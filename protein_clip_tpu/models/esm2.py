@@ -1,0 +1,336 @@
+"""ESM-2 encoder, implemented from scratch in pure JAX for TPU.
+
+Re-implements the frozen backbone the reference obtains from HF
+(``/root/reference/main.py:20-24``: ``EsmModel.from_pretrained(
+"facebook/esm2_t30_150M_UR50D")``, 30 layers, hidden 640) as a functional
+pytree-of-arrays model:
+
+- Layer weights are *stacked* along a leading layer axis and the block is run
+  with ``jax.lax.scan`` — one compiled layer body instead of 30 unrolled ones,
+  and a natural unit for ``jax.checkpoint`` rematerialisation.
+- Softmax is computed in float32 regardless of the compute dtype (bfloat16 on
+  TPU), matching HF's ``softmax(..., dtype=torch.float32)``.
+- Rotary embeddings, the exact-erf GELU, ESM's query-side 1/sqrt(d) scaling,
+  and the "token dropout" mask-ratio rescaling all follow the published ESM-2
+  semantics so that ``last_hidden_state`` is numerically interchangeable with
+  the HF module the reference freezes.
+
+``convert_hf_state_dict`` maps a HF ``EsmModel``/``EsmForMaskedLM`` state dict
+onto this pytree (used by the weight-import CLI and by the parity tests, which
+check against a small randomly initialised torch ESM).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ESM2Config:
+    vocab_size: int = 33
+    hidden_size: int = 640
+    num_layers: int = 30
+    num_heads: int = 20
+    intermediate_size: int = 2560
+    layer_norm_eps: float = 1e-5
+    pad_token_id: int = 1
+    mask_token_id: int = 32
+    token_dropout: bool = True
+    # dtype the bulk matmuls run in; f32 accumulation is always used.
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @staticmethod
+    def t30_150M(**over) -> "ESM2Config":
+        """facebook/esm2_t30_150M_UR50D (the reference's backbone)."""
+        return ESM2Config(**over)
+
+    @staticmethod
+    def t6_8M(**over) -> "ESM2Config":
+        """facebook/esm2_t6_8M_UR50D (notebooks/minimal_ram.ipynb variant)."""
+        return ESM2Config(
+            hidden_size=320, num_layers=6, num_heads=20,
+            intermediate_size=1280, **over,
+        )
+
+    @staticmethod
+    def tiny(**over) -> "ESM2Config":
+        """Tiny config for tests."""
+        return ESM2Config(
+            hidden_size=64, num_layers=2, num_heads=4,
+            intermediate_size=128, **over,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_params(key: jax.Array, cfg: ESM2Config, dtype=jnp.float32) -> Params:
+    """Random init (HF initializer_range=0.02 normal)."""
+    H, I, L, V = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers, cfg.vocab_size
+    ks = jax.random.split(key, 8)
+
+    def nrm(k, shape):
+        return (0.02 * jax.random.normal(k, shape)).astype(dtype)
+
+    def lin(k, fan_in, fan_out):
+        return {"w": nrm(k, (L, fan_in, fan_out)), "b": jnp.zeros((L, fan_out), dtype)}
+
+    def ln():
+        return {"w": jnp.ones((L, H), dtype), "b": jnp.zeros((L, H), dtype)}
+
+    params: Params = {
+        "embed": {"word": nrm(ks[0], (V, H))},
+        "layers": {
+            "attn": {
+                "q": lin(ks[1], H, H),
+                "k": lin(ks[2], H, H),
+                "v": lin(ks[3], H, H),
+                "o": lin(ks[4], H, H),
+                "ln": ln(),
+            },
+            "ffn": {
+                "wi": lin(ks[5], H, I),
+                "wo": lin(ks[6], I, H),
+                "ln": ln(),
+            },
+        },
+        "final_ln": {"w": jnp.ones((H,), dtype), "b": jnp.zeros((H,), dtype)},
+    }
+    return params
+
+
+def init_lm_head(key: jax.Array, cfg: ESM2Config, dtype=jnp.float32) -> Params:
+    """ESM MLM head: dense -> gelu -> LN -> tied decoder + bias."""
+    H, V = cfg.hidden_size, cfg.vocab_size
+    k1 = key
+    return {
+        "dense": {"w": (0.02 * jax.random.normal(k1, (H, H))).astype(dtype),
+                  "b": jnp.zeros((H,), dtype)},
+        "ln": {"w": jnp.ones((H,), dtype), "b": jnp.zeros((H,), dtype)},
+        "bias": jnp.zeros((V,), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x, w, b, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * w + b).astype(x.dtype)
+
+
+def _gelu_exact(x):
+    # ESM's original erf gelu (modeling_esm.py: gelu) — NOT the tanh approx.
+    x32 = x.astype(jnp.float32)
+    return (x32 * 0.5 * (1.0 + jax.lax.erf(x32 / math.sqrt(2.0)))).astype(x.dtype)
+
+
+def _rope_tables(seq_len: int, head_dim: int, dtype=jnp.float32):
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim))
+    t = np.arange(seq_len, dtype=np.float32)
+    freqs = np.outer(t, inv_freq)                      # (T, dh/2)
+    emb = np.concatenate([freqs, freqs], axis=-1)      # (T, dh)
+    return jnp.asarray(np.cos(emb), dtype), jnp.asarray(np.sin(emb), dtype)
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def _apply_rope(x, cos, sin):
+    # x: (B, T, heads, dh); cos/sin: (T, dh)
+    return x * cos[None, :, None, :] + _rotate_half(x) * sin[None, :, None, :]
+
+
+def _attention_block(x, p, mask_bias, cos, sin, cfg: ESM2Config):
+    B, T, H = x.shape
+    nh, dh = cfg.num_heads, cfg.head_dim
+    h = _layer_norm(x, p["ln"]["w"], p["ln"]["b"], cfg.layer_norm_eps)
+
+    def proj(h, lp):
+        return (jnp.einsum("bth,hd->btd", h, lp["w"],
+                           preferred_element_type=jnp.float32)
+                .astype(h.dtype) + lp["b"]).reshape(B, T, nh, dh)
+
+    q = proj(h, p["q"]) * (dh ** -0.5)   # ESM scales q before RoPE
+    k = proj(h, p["k"])
+    v = proj(h, p["v"])
+    q = _apply_rope(q, cos, sin)
+    k = _apply_rope(k, cos, sin)
+
+    scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores + mask_bias  # (B,1,1,T) additive
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    ctx = ctx.reshape(B, T, H)
+    out = (jnp.einsum("bth,hd->btd", ctx, p["o"]["w"],
+                      preferred_element_type=jnp.float32)
+           .astype(x.dtype) + p["o"]["b"])
+    return x + out
+
+
+def _ffn_block(x, p, cfg: ESM2Config):
+    h = _layer_norm(x, p["ln"]["w"], p["ln"]["b"], cfg.layer_norm_eps)
+    h = (jnp.einsum("bth,hi->bti", h, p["wi"]["w"],
+                    preferred_element_type=jnp.float32)
+         .astype(x.dtype) + p["wi"]["b"])
+    h = _gelu_exact(h)
+    h = (jnp.einsum("bti,ih->bth", h, p["wo"]["w"],
+                    preferred_element_type=jnp.float32)
+         .astype(x.dtype) + p["wo"]["b"])
+    return x + h
+
+
+def embed(params: Params, input_ids, attention_mask, cfg: ESM2Config):
+    """Token embedding incl. ESM-2 token-dropout mask-ratio rescale."""
+    x = jnp.take(params["embed"]["word"], input_ids, axis=0)
+    x = x.astype(cfg.compute_dtype)
+    if cfg.token_dropout:
+        is_mask = (input_ids == cfg.mask_token_id)
+        x = jnp.where(is_mask[..., None], 0.0, x)
+        mask_ratio_train = 0.15 * 0.8
+        src_len = jnp.maximum(attention_mask.sum(-1), 1).astype(jnp.float32)
+        ratio_obs = is_mask.sum(-1).astype(jnp.float32) / src_len
+        scale = (1.0 - mask_ratio_train) / (1.0 - ratio_obs)
+        x = (x * scale[:, None, None].astype(x.dtype))
+    x = x * attention_mask[..., None].astype(x.dtype)
+    return x
+
+
+def forward(
+    params: Params,
+    input_ids: jax.Array,       # (B, T) int32
+    attention_mask: jax.Array,  # (B, T) int32/bool
+    cfg: ESM2Config,
+    remat: bool = False,
+) -> jax.Array:
+    """Return last_hidden_state (B, T, H), matching HF EsmModel semantics."""
+    B, T = input_ids.shape
+    x = embed(params, input_ids, attention_mask, cfg)
+
+    neg = jnp.finfo(jnp.float32).min
+    mask_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * neg
+    cos, sin = _rope_tables(T, cfg.head_dim, cfg.compute_dtype)
+
+    def layer(x, lp):
+        x = _attention_block(x, lp["attn"], mask_bias, cos, sin, cfg)
+        x = _ffn_block(x, lp["ffn"], cfg)
+        return x, None
+
+    if remat:
+        layer = jax.checkpoint(layer)
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+    x = _layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"],
+                    cfg.layer_norm_eps)
+    return x
+
+
+def lm_logits(params: Params, lm_head: Params, hidden: jax.Array,
+              cfg: ESM2Config) -> jax.Array:
+    """ESM MLM head over last_hidden_state: dense→gelu→LN→tied-decoder+bias."""
+    h = (jnp.einsum("bth,hd->btd", hidden, lm_head["dense"]["w"],
+                    preferred_element_type=jnp.float32).astype(hidden.dtype)
+         + lm_head["dense"]["b"])
+    h = _gelu_exact(h)
+    h = _layer_norm(h, lm_head["ln"]["w"], lm_head["ln"]["b"], cfg.layer_norm_eps)
+    logits = jnp.einsum("bth,vh->btv", h, params["embed"]["word"].astype(h.dtype),
+                        preferred_element_type=jnp.float32)
+    return logits + lm_head["bias"].astype(logits.dtype)
+
+
+# ---------------------------------------------------------------------------
+# HF weight conversion
+# ---------------------------------------------------------------------------
+
+def convert_hf_state_dict(state_dict: dict[str, np.ndarray],
+                          cfg: ESM2Config, dtype=np.float32) -> Params:
+    """Map a HF EsmModel / EsmForMaskedLM state dict onto our stacked pytree.
+
+    Accepts numpy arrays (call ``.numpy()`` on torch tensors first). Linear
+    weights are transposed from torch's (out, in) to (in, out).
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.removeprefix("esm.")
+        sd[k] = np.asarray(v, dtype=dtype)
+
+    L = cfg.num_layers
+
+    def stack(fmt: str, transpose: bool = False):
+        arrs = [sd[fmt.format(i=i)] for i in range(L)]
+        if transpose:
+            arrs = [a.T for a in arrs]
+        return jnp.asarray(np.stack(arrs))
+
+    p = "encoder.layer.{i}."
+    params: Params = {
+        "embed": {"word": jnp.asarray(sd["embeddings.word_embeddings.weight"])},
+        "layers": {
+            "attn": {
+                "q": {"w": stack(p + "attention.self.query.weight", True),
+                      "b": stack(p + "attention.self.query.bias")},
+                "k": {"w": stack(p + "attention.self.key.weight", True),
+                      "b": stack(p + "attention.self.key.bias")},
+                "v": {"w": stack(p + "attention.self.value.weight", True),
+                      "b": stack(p + "attention.self.value.bias")},
+                "o": {"w": stack(p + "attention.output.dense.weight", True),
+                      "b": stack(p + "attention.output.dense.bias")},
+                "ln": {"w": stack(p + "attention.LayerNorm.weight"),
+                       "b": stack(p + "attention.LayerNorm.bias")},
+            },
+            "ffn": {
+                "wi": {"w": stack(p + "intermediate.dense.weight", True),
+                       "b": stack(p + "intermediate.dense.bias")},
+                "wo": {"w": stack(p + "output.dense.weight", True),
+                       "b": stack(p + "output.dense.bias")},
+                "ln": {"w": stack(p + "LayerNorm.weight"),
+                       "b": stack(p + "LayerNorm.bias")},
+            },
+        },
+        "final_ln": {
+            "w": jnp.asarray(sd["encoder.emb_layer_norm_after.weight"]),
+            "b": jnp.asarray(sd["encoder.emb_layer_norm_after.bias"]),
+        },
+    }
+    return params
+
+
+def convert_hf_lm_head(state_dict: dict[str, np.ndarray]) -> Params:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return {
+        "dense": {"w": jnp.asarray(sd["lm_head.dense.weight"].T),
+                  "b": jnp.asarray(sd["lm_head.dense.bias"])},
+        "ln": {"w": jnp.asarray(sd["lm_head.layer_norm.weight"]),
+               "b": jnp.asarray(sd["lm_head.layer_norm.bias"])},
+        "bias": jnp.asarray(sd["lm_head.bias"]),
+    }
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+def cast_params(params: Params, dtype) -> Params:
+    return jax.tree.map(lambda x: x.astype(dtype), params)
