@@ -1,0 +1,98 @@
+"""Shared CLI wiring for the entry points (reference L5 scripts).
+
+The reference hard-codes every hyperparameter inside each main()
+(main.py:26-50); here the same values are argparse defaults so each entry
+runs identically with no flags but stays configurable.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.tokenizer import EsmTokenizer
+from ..models import esm2
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data-dir", default="data",
+                   help="directory with the paired FASTAs + cluster TSV cache")
+    p.add_argument("--runs-dir", default="runs")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--embedding-dim", type=int, default=128)
+    p.add_argument("--h1", type=int, default=2)
+    p.add_argument("--h2", type=int, default=2)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--esm-config", default="t30_150M",
+                   choices=["t30_150M", "t6_8M", "tiny"])
+    p.add_argument("--esm-weights", default=None,
+                   help="npz from tools/convert_esm_weights.py, or an HF "
+                        "model dir; omit for random init (smoke runs)")
+    p.add_argument("--esm-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--synthetic-fixture", action="store_true",
+                   help="generate a synthetic corpus into --data-dir when "
+                        "the FASTAs are missing (no-network environments)")
+    p.add_argument("--fixture-families", type=int, default=160,
+                   help="synthetic corpus size; must be large enough that "
+                        "the 15%% val split fills at least one batch")
+    p.add_argument("--num-chunks", type=int, default=16,
+                   help="backbone microbatches per global step")
+
+
+def esm_config(name: str, dtype_name: str) -> esm2.ESM2Config:
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    return {
+        "t30_150M": esm2.ESM2Config.t30_150M,
+        "t6_8M": esm2.ESM2Config.t6_8M,
+        "tiny": esm2.ESM2Config.tiny,
+    }[name](compute_dtype=dtype)
+
+
+def load_esm(args, cfg: esm2.ESM2Config):
+    """ESM params: from converted npz, HF dir, or random init."""
+    dtype = cfg.compute_dtype
+    if args.esm_weights is None:
+        print("[esm] random init (pass --esm-weights for pretrained)")
+        return esm2.init_params(jax.random.key(0), cfg, dtype=dtype)
+    path = Path(args.esm_weights)
+    if path.suffix == ".npz":
+        from ..train.checkpoint import load_npz
+        like = jax.eval_shape(
+            lambda: esm2.init_params(jax.random.key(0), cfg, dtype=dtype))
+        like = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), like)
+        return load_npz(path, like)
+    # HF checkpoint directory (torch) — convert on the fly
+    import torch
+    from transformers import EsmModel
+    model = EsmModel.from_pretrained(str(path), add_pooling_layer=False)
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = esm2.convert_hf_state_dict(sd, cfg)
+    return esm2.cast_params(params, dtype)
+
+
+def ensure_data(args, prefix_a: str, prefix_b: str) -> Path:
+    data_dir = Path(args.data_dir)
+    fa = data_dir / f"{prefix_a}.fasta"
+    fb = data_dir / f"{prefix_b}.fasta"
+    if not (fa.exists() and fb.exists()):
+        if args.synthetic_fixture:
+            from ..data.synthetic import write_fixture
+            print(f"[data] writing synthetic fixture into {data_dir}")
+            write_fixture(data_dir, prefix1=prefix_a, prefix2=prefix_b,
+                          n_families=args.fixture_families, seed=args.seed)
+        else:
+            from ..data.fetch import download_propedia
+            download_propedia(data_dir)
+    return data_dir
+
+
+def make_tokenizer() -> EsmTokenizer:
+    return EsmTokenizer()

@@ -1,0 +1,169 @@
+"""CLIP training engine — the L4 layer (reference modules/training_utils.py).
+
+Public surface mirrors the reference's: ``train_gc`` (global-batch gradient-
+cached training, training_utils.py:92-155), ``train`` (plain per-batch,
+training_utils.py:7-28), ``evaluate`` (training_utils.py:30-49) — rebuilt as
+jit-compiled pure steps over static bucket shapes:
+
+- tokenize on host (NumPy) into a static bucket length;
+- one jit'd train step per (T_pep, T_rec) bucket pair, compiled once;
+- the frozen ESM-2 backbone scans over microbatches (train/gradcache.py) so
+  a 256-negative global batch fits HBM, and runs ONCE per step (the
+  reference runs it twice per sub-batch under GradCache);
+- no AMP GradScaler: bf16 on TPU needs no loss scaling
+  (reference scaler usage: training_utils.py:139-153).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.tokenizer import EsmTokenizer
+from ..models import clip, esm2
+from ..ops.infonce import clip_infonce
+from .gradcache import encode_hidden_chunked
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    model: clip.CLIPConfig
+    batch_size: int = 16                 # main.py:34
+    accumulated_batches: int = 16        # main.py:49 -> global batch 256
+    learning_rate: float = 1e-3          # main.py:45
+    num_chunks: int = 16                 # backbone microbatches per step
+    remat: bool = True
+
+    @property
+    def global_batch(self) -> int:
+        return self.batch_size * self.accumulated_batches
+
+
+def tokenize_pair_batch(tokenizer: EsmTokenizer, peps: list[str],
+                        recs: list[str]) -> dict[str, jnp.ndarray]:
+    bp = tokenizer(peps)
+    br = tokenizer(recs)
+    return {
+        "pep_ids": jnp.asarray(bp["input_ids"]),
+        "pep_mask": jnp.asarray(bp["attention_mask"]),
+        "rec_ids": jnp.asarray(br["input_ids"]),
+        "rec_mask": jnp.asarray(br["attention_mask"]),
+    }
+
+
+def make_train_step(cfg: EngineConfig,
+                    optimizer: optax.GradientTransformation,
+                    loss_fn: Callable = clip_infonce):
+    """jit'd global-batch step: (params, opt_state, esm_params, batch, rng)
+    -> (params, opt_state, loss)."""
+
+    mcfg = cfg.model
+
+    def head_loss(params, hp, hr, batch, rng):
+        rp, rr = jax.random.split(rng)
+        pep = clip.encode_side(params, "pep", hp, batch["pep_mask"], mcfg,
+                               train=True, rng=rp)
+        rec = clip.encode_side(params, "rec", hr, batch["rec_mask"], mcfg,
+                               train=True, rng=rr)
+        return loss_fn(pep, rec)
+
+    @jax.jit
+    def step(params, opt_state, esm_params, batch, rng):
+        hp = encode_hidden_chunked(esm_params, batch["pep_ids"],
+                                   batch["pep_mask"], mcfg.esm,
+                                   cfg.num_chunks, cfg.remat)
+        hr = encode_hidden_chunked(esm_params, batch["rec_ids"],
+                                   batch["rec_mask"], mcfg.esm,
+                                   cfg.num_chunks, cfg.remat)
+        loss, grads = jax.value_and_grad(head_loss)(
+            params, hp.astype(jnp.float32), hr.astype(jnp.float32),
+            batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_eval_step(cfg: EngineConfig, loss_fn: Callable = clip_infonce):
+    mcfg = cfg.model
+
+    @jax.jit
+    def step(params, esm_params, batch):
+        pep, rec = clip.forward(params, esm_params, batch, mcfg, train=False)
+        return loss_fn(pep, rec)
+
+    return step
+
+
+def _accumulate(loader: Iterable, n: int):
+    """Group n loader sub-batches into one global (peps, recs) batch —
+    the reference's cache-accumulate (training_utils.py:117-134)."""
+    peps: list[str] = []
+    recs: list[str] = []
+    count = 0
+    for p, r in loader:
+        peps.extend(p)
+        recs.extend(r)
+        count += 1
+        if count == n:
+            yield peps, recs
+            peps, recs, count = [], [], 0
+    # trailing partial big-batch dropped, matching the reference's
+    # `if (step+1) % accumulated_batches == 0` gate
+
+
+def train_gc(params, opt_state, esm_params, loader, tokenizer, step_fn,
+             cfg: EngineConfig, rng) -> tuple[Params, Any, float]:
+    """One epoch of global-batch training. Returns (params, opt_state, mean loss)."""
+    total, n_big = 0.0, 0
+    for peps, recs in _accumulate(loader, cfg.accumulated_batches):
+        rng, sub = jax.random.split(rng)
+        batch = tokenize_pair_batch(tokenizer, peps, recs)
+        params, opt_state, loss = step_fn(params, opt_state, esm_params,
+                                          batch, sub)
+        total += float(loss)
+        n_big += 1
+    if n_big == 0:
+        raise ValueError(
+            f"loader yielded fewer than accumulated_batches="
+            f"{cfg.accumulated_batches} sub-batches; no training step ran")
+    return params, opt_state, total / n_big
+
+
+def train_plain(params, opt_state, esm_params, loader, tokenizer, step_fn,
+                rng) -> tuple[Params, Any, float]:
+    """Per-sub-batch training (reference train(), training_utils.py:7-28)."""
+    total, n = 0.0, 0
+    for peps, recs in loader:
+        rng, sub = jax.random.split(rng)
+        batch = tokenize_pair_batch(tokenizer, peps, recs)
+        params, opt_state, loss = step_fn(params, opt_state, esm_params,
+                                          batch, sub)
+        total += float(loss)
+        n += 1
+    return params, opt_state, total / max(n, 1)
+
+
+def evaluate(params, esm_params, loader, tokenizer, eval_step) -> float:
+    """Mean per-batch loss (reference evaluate(), training_utils.py:30-49).
+
+    An empty loader (dataset smaller than batch_size with drop_last) returns
+    NaN rather than a silent 0.0 — the reference would ZeroDivisionError.
+    """
+    total, n = 0.0, 0
+    for peps, recs in loader:
+        batch = tokenize_pair_batch(tokenizer, peps, recs)
+        total += float(eval_step(params, esm_params, batch))
+        n += 1
+    if n == 0:
+        return float("nan")
+    return total / n

@@ -1,0 +1,110 @@
+"""Epoch-level training loop with the reference's run-artifact contract.
+
+Per epoch (main.py:62-87): train (gradcache or plain) -> validate -> append
+``Epoch,Train Loss,Validation Loss`` CSV row -> checkpoint on val improvement
+-> optional per-epoch figures. Final: test eval + loss-curve figure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+
+from . import checkpoint as ckpt
+from . import clip_engine, optimizer as opt_mod
+from ..data.tokenizer import EsmTokenizer
+
+
+@dataclasses.dataclass
+class FitResult:
+    train_losses: list[float]
+    val_losses: list[float]
+    best_val_loss: float
+    best_params: Any
+    params: Any
+    test_loss: float | None = None
+
+
+def fit(
+    run_dir: str | Path,
+    cfg: clip_engine.EngineConfig,
+    params: Any,
+    esm_params: Any,
+    train_loader,
+    val_loader,
+    tokenizer: EsmTokenizer,
+    num_epochs: int,
+    *,
+    rng: jax.Array,
+    use_gradcache: bool = True,
+    test_loader=None,
+    epoch_hook: Callable[[int, Any], None] | None = None,
+    log: Callable[[str], None] = print,
+) -> FitResult:
+    run_dir = Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    optimizer = opt_mod.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+    train_step = clip_engine.make_train_step(cfg, optimizer)
+    eval_step = clip_engine.make_eval_step(cfg)
+
+    losses_path = run_dir / "losses_per_epoch.txt"
+    metrics_path = run_dir / "metrics.jsonl"
+    model_path = run_dir / "best_model.npz"
+    log(f"Best model will be saved to {model_path}")
+    log(f"Losses will be saved to {losses_path}")
+
+    train_losses: list[float] = []
+    val_losses: list[float] = []
+    best_val = float("inf")
+    best_params = params
+
+    with open(losses_path, "w") as f:
+        f.write("Epoch,Train Loss,Validation Loss\n")
+        for epoch in range(num_epochs):
+            t0 = time.perf_counter()
+            rng, erng = jax.random.split(rng)
+            if use_gradcache:
+                params, opt_state, train_loss = clip_engine.train_gc(
+                    params, opt_state, esm_params, train_loader, tokenizer,
+                    train_step, cfg, erng)
+            else:
+                params, opt_state, train_loss = clip_engine.train_plain(
+                    params, opt_state, esm_params, train_loader, tokenizer,
+                    train_step, erng)
+            val_loss = clip_engine.evaluate(params, esm_params, val_loader,
+                                            tokenizer, eval_step)
+            train_losses.append(train_loss)
+            val_losses.append(val_loss)
+            f.write(f"{epoch + 1},{train_loss:.4f},{val_loss:.4f}\n")
+            f.flush()
+
+            if val_loss < best_val:
+                best_val = val_loss
+                best_params = params
+                ckpt.export_npz(model_path, best_params)
+
+            dt = time.perf_counter() - t0
+            with open(metrics_path, "a") as mf:
+                mf.write(json.dumps({
+                    "epoch": epoch + 1, "train_loss": train_loss,
+                    "val_loss": val_loss, "seconds": dt,
+                }) + "\n")
+            log(f"Epoch {epoch + 1}/{num_epochs} - Train Loss: "
+                f"{train_loss:.4f}, Val Loss: {val_loss:.4f} ({dt:.1f}s)")
+            if epoch_hook is not None:
+                epoch_hook(epoch, best_params)
+
+    test_loss = None
+    if test_loader is not None:
+        test_loss = clip_engine.evaluate(best_params, esm_params, test_loader,
+                                         tokenizer, eval_step)
+        log(f"Test Loss: {test_loss:.4f}")
+
+    return FitResult(train_losses, val_losses, best_val, best_params, params,
+                     test_loss)

@@ -1,0 +1,117 @@
+"""FILIP similarity parity vs a NumPy oracle of the reference formula
+(models.py:292-356): pairwise token scores / t, pad fill with dtype-min,
+max over the other side, eps-clamped masked mean over own side.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from protein_clip_tpu.models import filip
+from protein_clip_tpu.models.filip import filip_similarity
+
+
+def numpy_filip_oracle(ha, hb, mask_a, mask_b, temperature, eps=1e-6):
+    A, TA, D = ha.shape
+    B, TB, _ = hb.shape
+    scores = np.einsum("atd,bsd->abts", ha, hb) / temperature
+    pm = (mask_a[:, None, :, None].astype(bool)
+          & mask_b[None, :, None, :].astype(bool))
+    filled = np.where(pm, scores, np.finfo(scores.dtype).min)
+    s_a = filled.max(axis=3)  # (A,B,TA)
+    s_b = filled.max(axis=2)  # (A,B,TB)
+    ma = mask_a[:, None, :].astype(bool)
+    mb = mask_b[None, :, :].astype(bool)
+    sim_a = np.where(ma, s_a, 0).sum(-1) / np.maximum(
+        ma.sum(-1).astype(np.float64), eps)
+    sim_b = np.where(mb, s_b, 0).sum(-1) / np.maximum(
+        mb.sum(-1).astype(np.float64), eps)
+    return sim_a, sim_b
+
+
+def _norm(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.fixture
+def data(rng):
+    B, TA, TB, D = 6, 9, 13, 8
+    ha = _norm(rng.normal(size=(B, TA, D))).astype(np.float32)
+    hb = _norm(rng.normal(size=(B, TB, D))).astype(np.float32)
+    mask_a = np.ones((B, TA), np.int32)
+    mask_b = np.ones((B, TB), np.int32)
+    mask_a[1, 5:] = 0
+    mask_a[2, 2:] = 0
+    mask_b[0, 7:] = 0
+    mask_b[3, 1:] = 0
+    return ha, hb, mask_a, mask_b
+
+
+def test_filip_similarity_matches_oracle(data):
+    ha, hb, mask_a, mask_b = data
+    t = 0.8
+    sim_a, sim_b = filip_similarity(
+        jnp.asarray(ha), jnp.asarray(hb), jnp.asarray(mask_a),
+        jnp.asarray(mask_b), jnp.asarray(t))
+    ref_a, ref_b = numpy_filip_oracle(
+        ha.astype(np.float64), hb.astype(np.float64), mask_a, mask_b, t)
+    np.testing.assert_allclose(np.asarray(sim_a), ref_a, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sim_b), ref_b, atol=1e-5)
+
+
+def test_filip_self_similarity_diag_is_one(rng):
+    # identical normalized sequences at t=1: max-sim of a token with itself = 1
+    B, T, D = 4, 6, 8
+    h = _norm(rng.normal(size=(B, T, D))).astype(np.float32)
+    m = np.ones((B, T), np.int32)
+    sim_a, sim_b = filip_similarity(jnp.asarray(h), jnp.asarray(h),
+                                    jnp.asarray(m), jnp.asarray(m),
+                                    jnp.asarray(1.0))
+    np.testing.assert_allclose(np.diag(np.asarray(sim_a)), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.diag(np.asarray(sim_b)), 1.0, atol=1e-5)
+
+
+def test_filip_grads_finite(data):
+    ha, hb, mask_a, mask_b = data
+
+    def loss(ha_):
+        sa, sb = filip_similarity(ha_, jnp.asarray(hb), jnp.asarray(mask_a),
+                                  jnp.asarray(mask_b), jnp.asarray(1.0))
+        return jnp.sum(sa) + jnp.sum(sb)
+
+    g = jax.grad(loss)(jnp.asarray(ha))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_filip_forward_end_to_end(rng):
+    from protein_clip_tpu.models import esm2
+    cfg = filip.FILIPConfig(input_dim=64, embedding_dim=16, h1=2, h2=2,
+                            esm=esm2.ESM2Config.tiny())
+    params = filip.init_params(jax.random.key(0), cfg)
+    esm_params = esm2.init_params(jax.random.key(1), cfg.esm)
+    B, T = 3, 8
+    batch = {
+        "pep_ids": jnp.asarray(rng.integers(4, 24, (B, T)), jnp.int32),
+        "pep_mask": jnp.asarray(np.tri(B, T, k=T - B) > -1, jnp.int32),
+        "rec_ids": jnp.asarray(rng.integers(4, 24, (B, T)), jnp.int32),
+        "rec_mask": jnp.ones((B, T), jnp.int32),
+    }
+    sim_a, sim_b = filip.forward(params, esm_params, batch, cfg)
+    assert sim_a.shape == (B, B) and sim_b.shape == (B, B)
+    assert np.isfinite(np.asarray(sim_a)).all()
+
+
+def test_mean_average_similarity_matches_oracle(rng):
+    B, T, D = 4, 5, 6
+    ha = rng.normal(size=(B, T, D)).astype(np.float32)
+    hb = rng.normal(size=(B, T, D)).astype(np.float32)
+    ma = np.ones((B, T), np.int32); ma[0, 3:] = 0
+    mb = np.ones((B, T), np.int32)
+    got = np.asarray(filip.mean_average_similarity(
+        jnp.asarray(ha), jnp.asarray(hb), jnp.asarray(ma), jnp.asarray(mb),
+        jnp.asarray(2.0)))
+    pa = (ha * ma[..., None]).mean(1)
+    pb = (hb * mb[..., None]).mean(1)
+    ref = pa @ pb.T / 2.0
+    np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -1,0 +1,159 @@
+"""Training engine: gradcache equivalences + end-to-end mini fit run."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from protein_clip_tpu.data.tokenizer import EsmTokenizer
+from protein_clip_tpu.models import clip, esm2
+from protein_clip_tpu.ops.infonce import clip_infonce
+from protein_clip_tpu.train import clip_engine, loop
+from protein_clip_tpu.train.gradcache import (
+    encode_hidden_chunked, gradcache_value_and_grad,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                           h1=2, h2=2, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(1), esm_cfg)
+    params = clip.init_params(jax.random.key(2), mcfg)
+    return mcfg, esm_params, params
+
+
+def _batch(rng, B, T):
+    return {
+        "pep_ids": jnp.asarray(rng.integers(4, 24, (B, T)), jnp.int32),
+        "pep_mask": jnp.ones((B, T), jnp.int32),
+        "rec_ids": jnp.asarray(rng.integers(4, 24, (B, T)), jnp.int32),
+        "rec_mask": jnp.ones((B, T), jnp.int32),
+    }
+
+
+def test_chunked_encode_matches_unchunked(tiny, rng):
+    mcfg, esm_params, _ = tiny
+    b = _batch(rng, 8, 12)
+    full = esm2.forward(esm_params, b["pep_ids"], b["pep_mask"], mcfg.esm)
+    chunked = encode_hidden_chunked(esm_params, b["pep_ids"], b["pep_mask"],
+                                    mcfg.esm, num_chunks=4, remat=False)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               atol=1e-5)
+
+
+def test_frozen_fastpath_grads_match_direct(tiny, rng):
+    """stop_grad(chunked backbone) + head grads == grads of the monolithic
+    forward (the backbone is frozen, so they must agree)."""
+    mcfg, esm_params, params = tiny
+    b = _batch(rng, 8, 10)
+
+    def direct(p):
+        pep, rec = clip.forward(p, esm_params, b, mcfg, train=False)
+        return clip_infonce(pep, rec)
+
+    def fastpath(p):
+        hp = encode_hidden_chunked(esm_params, b["pep_ids"], b["pep_mask"],
+                                   mcfg.esm, 4, remat=False)
+        hr = encode_hidden_chunked(esm_params, b["rec_ids"], b["rec_mask"],
+                                   mcfg.esm, 4, remat=False)
+        pep = clip.encode_side(p, "pep", hp, b["pep_mask"], mcfg)
+        rec = clip.encode_side(p, "rec", hr, b["rec_mask"], mcfg)
+        return clip_infonce(pep, rec)
+
+    l1, g1 = jax.value_and_grad(direct)(params)
+    l2, g2 = jax.value_and_grad(fastpath)(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_generic_gradcache_matches_direct(rng):
+    """Two-pass gradcache == direct differentiation for an UNFROZEN encoder."""
+    D, H = 6, 10
+    key = jax.random.key(0)
+    k1, k2 = jax.random.split(key)
+    params = {"w": jax.random.normal(k1, (H, D)) * 0.3,
+              "b": jnp.zeros((D,))}
+    X = jnp.asarray(rng.normal(size=(4, 4, H)).astype(np.float32))  # 4 chunks of 4
+    Y = jnp.asarray(rng.normal(size=(4, 4, H)).astype(np.float32))
+
+    def encode(p, x):
+        return jnp.tanh(x @ p["w"] + p["b"])
+
+    loss, grads = gradcache_value_and_grad(encode, clip_infonce, params, X, Y)
+
+    def direct(p):
+        ex = encode(p, X.reshape(16, H))
+        ey = encode(p, Y.reshape(16, H))
+        return clip_infonce(ex, ey)
+
+    dl, dg = jax.value_and_grad(direct)(params)
+    np.testing.assert_allclose(float(loss), float(dl), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(grads["w"]), np.asarray(dg["w"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grads["b"]), np.asarray(dg["b"]),
+                               atol=1e-5)
+
+
+def test_train_step_reduces_loss(tiny, rng):
+    mcfg, esm_params, params = tiny
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = clip_engine.make_train_step(cfg, optimizer)
+    b = _batch(rng, 8, 12)
+    key = jax.random.key(0)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        params, opt_state, l = step(params, opt_state, esm_params, b, sub)
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses
+
+
+def test_fit_contract(tiny, tmp_path, rng):
+    """End-to-end mini run: CSV contract, best checkpoint, metrics."""
+    mcfg, esm_params, params = tiny
+
+    class FakeLoader:
+        def __init__(self, n_batches, bs, seed):
+            self.r = np.random.default_rng(seed)
+            self.n, self.bs = n_batches, bs
+            aas = list("LAGVSERTIDPKQNFYMHWC")
+            self.batches = [
+                (["".join(self.r.choice(aas, 10)) for _ in range(bs)],
+                 ["".join(self.r.choice(aas, 20)) for _ in range(bs)])
+                for _ in range(n_batches)]
+
+        def __iter__(self):
+            return iter(self.batches)
+
+        def __len__(self):
+            return self.n
+
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=4,
+                                   accumulated_batches=2, num_chunks=2)
+    tok = EsmTokenizer()
+    res = loop.fit(tmp_path, cfg, params, esm_params,
+                   FakeLoader(4, 4, 0), FakeLoader(2, 4, 1), tok,
+                   num_epochs=2, rng=jax.random.key(0),
+                   test_loader=FakeLoader(2, 4, 2), log=lambda s: None)
+
+    csv = (tmp_path / "losses_per_epoch.txt").read_text().strip().split("\n")
+    assert csv[0] == "Epoch,Train Loss,Validation Loss"
+    assert len(csv) == 3
+    assert csv[1].startswith("1,") and csv[2].startswith("2,")
+    assert (tmp_path / "best_model.npz").exists()
+    assert (tmp_path / "metrics.jsonl").exists()
+    assert res.test_loss is not None and np.isfinite(res.test_loss)
+    # checkpoint roundtrip
+    from protein_clip_tpu.train.checkpoint import load_npz
+    restored = load_npz(tmp_path / "best_model.npz", res.best_params)
+    for a, b in zip(jax.tree.leaves(restored),
+                    jax.tree.leaves(res.best_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
