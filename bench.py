@@ -1,0 +1,101 @@
+"""Benchmark: protein pairs/sec/chip at global batch 256 (BASELINE.json metric).
+
+Runs the full CLIP training step on the real TPU chip — frozen ESM-2 t30
+150M backbone in bf16 (chunk-scanned), trainable heads, 256-negative
+symmetric InfoNCE, Adam update — on a realistic workload (peptides 8-30 aa
+bucketed to 64 tokens, receptors 100-500 aa bucketed to 512 tokens; the
+reference's Propedia profile).
+
+Each timed step consumes DIFFERENT input data (the axon tunnel can coalesce
+identical computations; see .claude/skills/verify/SKILL.md).
+
+Prints one JSON line:
+  {"metric": "pairs_per_sec_per_chip", "value": N, "unit": "pairs/s",
+   "vs_baseline": N / cpu_reference_pairs_per_sec}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def make_batches(rng, n, global_batch, tokenizer):
+    from protein_clip_tpu.train.clip_engine import tokenize_pair_batch
+
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    batches = []
+    for _ in range(n):
+        peps = ["".join(rng.choice(aas, rng.integers(8, 30)))
+                for _ in range(global_batch)]
+        recs = ["".join(rng.choice(aas, rng.integers(100, 500)))
+                for _ in range(global_batch)]
+        batches.append(tokenize_pair_batch(tokenizer, peps, recs))
+    return batches
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import clip, esm2
+    from protein_clip_tpu.train import clip_engine, optimizer as opt_mod
+
+    dev = jax.devices()[0]
+    esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16)
+    mcfg = clip.CLIPConfig(esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
+                                  dtype=jnp.bfloat16)
+    params = clip.init_params(jax.random.key(1), mcfg)
+
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=16,
+                                   accumulated_batches=16, num_chunks=8,
+                                   remat=True)
+    optimizer = opt_mod.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+    step = clip_engine.make_train_step(cfg, optimizer)
+
+    tokenizer = EsmTokenizer()
+    rng = np.random.default_rng(42)
+    n_steps = 10
+    batches = make_batches(rng, n_steps + 1, cfg.global_batch, tokenizer)
+
+    key = jax.random.key(0)
+    # warmup/compile
+    key, sub = jax.random.split(key)
+    params, opt_state, loss = step(params, opt_state, esm_params,
+                                   batches[0], sub)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, esm_params,
+                                       batches[i + 1], sub)
+        # float() forces device->host sync; the axon tunnel's
+        # block_until_ready returns before execution finishes.
+        float(loss)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = n_steps * cfg.global_batch / dt
+
+    baseline_path = Path(__file__).parent / "bench_baseline.json"
+    vs_baseline = None
+    if baseline_path.exists():
+        base = json.loads(baseline_path.read_text())
+        vs_baseline = pairs_per_sec / base["cpu_pairs_per_sec"]
+
+    print(json.dumps({
+        "metric": "pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Multi-chip logic on the 8-fake-device CPU mesh.
+
+Key invariant (SURVEY.md §7 build step 5): the sharded global-batch loss and
+updates are numerically identical to the single-device computation at the
+same global batch — negatives span the mesh via the embedding all-gather.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from protein_clip_tpu.models import clip, esm2
+from protein_clip_tpu.parallel import mesh as mesh_mod
+from protein_clip_tpu.parallel import sharding as shard_mod
+from protein_clip_tpu.parallel.step import (
+    make_sharded_eval_step, make_sharded_train_step, shard_batch,
+)
+from protein_clip_tpu.train import clip_engine
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                           h1=2, h2=2, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(1), esm_cfg)
+    params = clip.init_params(jax.random.key(2), mcfg)
+    return mcfg, esm_params, params
+
+
+def _batch(rng, B, T):
+    mask = np.ones((B, T), np.int32)
+    mask[::3, T - 2:] = 0
+    return {
+        "pep_ids": jnp.asarray(rng.integers(4, 24, (B, T)), jnp.int32),
+        "pep_mask": jnp.asarray(mask),
+        "rec_ids": jnp.asarray(rng.integers(4, 24, (B, T)), jnp.int32),
+        "rec_mask": jnp.ones((B, T), jnp.int32),
+    }
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_shapes():
+    m = mesh_mod.make_mesh()
+    assert m.shape == {"data": 8, "model": 1}
+    m2 = mesh_mod.make_mesh(model=2)
+    assert m2.shape == {"data": 4, "model": 2}
+
+
+def test_sharded_eval_matches_single_device(tiny, rng):
+    mcfg, esm_params, params = tiny
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=2,
+                                   accumulated_batches=8, num_chunks=8)
+    b = _batch(rng, 16, 12)
+    single = clip_engine.make_eval_step(cfg)(params, esm_params, b)
+
+    m = mesh_mod.make_mesh()  # data=8
+    eval_step = make_sharded_eval_step(cfg, m)
+    sharded_loss = eval_step(params, esm_params, shard_batch(m, b))
+    np.testing.assert_allclose(float(single), float(sharded_loss), rtol=2e-5)
+
+
+def test_sharded_train_step_matches_single_device(tiny, rng):
+    """One optimizer step, deterministic path: params must match."""
+    mcfg, esm_params, params = tiny
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=2,
+                                   accumulated_batches=8, num_chunks=8,
+                                   remat=False)
+    # dropout off for exactness
+    mcfg_nodrop = clip.CLIPConfig(**{**mcfg.__dict__, "dropout": 0.0})
+    cfg = clip_engine.EngineConfig(model=mcfg_nodrop, batch_size=2,
+                                   accumulated_batches=8, num_chunks=8,
+                                   remat=False)
+    b = _batch(rng, 16, 12)
+    optimizer = optax.adam(1e-3)
+    opt0 = optimizer.init(params)
+    rng_key = jax.random.key(9)
+
+    p1, o1, l1 = clip_engine.make_train_step(cfg, optimizer)(
+        params, opt0, esm_params, b, rng_key)
+
+    m = mesh_mod.make_mesh()
+    step = make_sharded_train_step(cfg, optimizer, m)
+    p2, o2, l2 = step(params, opt0, esm_params, shard_batch(m, b), rng_key)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_tensor_parallel_esm_forward(tiny, rng):
+    """ESM forward with TP-sharded params == replicated forward."""
+    mcfg, esm_params, _ = tiny
+    b = _batch(rng, 8, 16)
+    ref = esm2.forward(esm_params, b["pep_ids"], b["pep_mask"], mcfg.esm)
+
+    m = mesh_mod.make_mesh(model=2)  # data=4, model=2
+    specs = shard_mod.esm_param_specs(esm_params)
+    sharded_params = shard_mod.shard_params(m, esm_params, specs)
+
+    fwd = jax.jit(lambda p, i, am: esm2.forward(p, i, am, mcfg.esm))
+    out = fwd(sharded_params, b["pep_ids"], b["pep_mask"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_dp_tp_combined_train_step(tiny, rng):
+    """data=4 x model=2 mesh: manual DP + GSPMD TP in one step."""
+    mcfg, esm_params, params = tiny
+    mcfg_nodrop = clip.CLIPConfig(**{**mcfg.__dict__, "dropout": 0.0})
+    cfg = clip_engine.EngineConfig(model=mcfg_nodrop, batch_size=4,
+                                   accumulated_batches=4, num_chunks=4,
+                                   remat=False)
+    b = _batch(rng, 16, 12)
+    optimizer = optax.adam(1e-3)
+    opt0 = optimizer.init(params)
+
+    p1, _, l1 = clip_engine.make_train_step(cfg, optimizer)(
+        params, opt0, esm_params, b, jax.random.key(0))
+
+    m = mesh_mod.make_mesh(model=2)
+    esm_sharded = shard_mod.shard_params(
+        m, esm_params, shard_mod.esm_param_specs(esm_params))
+    step = make_sharded_train_step(cfg, optimizer, m)
+    p2, _, l2 = step(params, opt0, esm_sharded, shard_batch(m, b),
+                     jax.random.key(0))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-3)
