@@ -1,0 +1,204 @@
+"""Fused FILIP max-similarity Pallas TPU kernel.
+
+The reference materialises the full (1,1,B,B,TA,TB) score tensor in one
+einsum (models.py:332) — the memory hot spot that forces its FILIP batch down
+to 10 (main_2protein_filip.py:33). This kernel is flash-attention-shaped
+instead: a (B, B) grid where each program streams hB[j] in TB-chunks against
+hA[i], keeping a running row-max and a masked column-max accumulator in VMEM.
+Peak memory is O(TA * chunk) per program; the 6-D tensor never exists.
+
+Temperature is folded out: scores are computed at t=1 and the caller divides
+by t (positive-t assumption: max commutes with the positive scaling —
+matches the reference whose learnable t stays near its 1.0 init).
+
+Backward (custom VJP) recomputes scores in j-blocks with plain jnp — the
+even-tie-splitting max gradient — at O(B * block * TA * TB) memory.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = float(jnp.finfo(jnp.float32).min)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _maxsim_kernel(ha_ref, hb_ref, ma_ref, mb_ref, oa_ref, ob_ref,
+                   *, tb_chunk: int):
+    # All intermediates kept 2D for Mosaic.
+    a = ha_ref[0]                                          # (TA, D)
+    ma_row = ma_ref[0].astype(jnp.float32)                 # (1, TA)
+    TA = a.shape[0]
+    TB = hb_ref.shape[1]
+    n_chunks = TB // tb_chunk
+
+    ma_col = ma_row.reshape(TA, 1)
+
+    def body(c, carry):
+        row_max, acc_b = carry
+        b = hb_ref[0, pl.ds(c * tb_chunk, tb_chunk), :]    # (chunk, D)
+        mb = mb_ref[0, :, pl.ds(c * tb_chunk, tb_chunk)].astype(jnp.float32)
+        # contract over D without materialising a transpose (MXU-friendly)
+        s = jax.lax.dot_general(
+            a.astype(jnp.float32), b.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (TA, chunk)
+        valid = ma_col * mb                                # (TA, chunk)
+        s = jnp.where(valid > 0, s, _NEG)
+        row_max = jnp.maximum(row_max, jnp.max(s, axis=1, keepdims=True))
+        col_max = jnp.max(s, axis=0, keepdims=True)        # (1, chunk)
+        acc_b = acc_b + jnp.sum(col_max * mb)
+        return row_max, acc_b
+
+    row_max0 = jnp.full((TA, 1), _NEG, jnp.float32)
+    # static unroll: n_chunks is a trace-time constant (<= TB/512)
+    carry = (row_max0, jnp.float32(0.0))
+    for c in range(n_chunks):
+        carry = body(c, carry)
+    row_max, acc_b = carry
+
+    cnt_a = jnp.maximum(jnp.sum(ma_row), 1e-6)
+    cnt_b = jnp.maximum(jnp.sum(mb_ref[0].astype(jnp.float32)), 1e-6)
+    j = pl.program_id(1)
+    oa_ref[0, 0, j] = jnp.sum(row_max * ma_col) / cnt_a
+    ob_ref[0, 0, j] = acc_b / cnt_b
+
+
+def _maxsim_call(ha, hb, mask_a, mask_b, interpret):
+    B, TA, D = ha.shape
+    _, TB, _ = hb.shape
+    tb_chunk = min(TB, 512)
+    if TB % tb_chunk:
+        raise ValueError(f"TB={TB} must be a multiple of {tb_chunk}")
+    kernel = functools.partial(_maxsim_kernel, tb_chunk=tb_chunk)
+    grid = (B, B)
+    oa, ob = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TA, D), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, D), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # masks arrive (B, 1, T): block last-two dims == array last-two
+            # dims, satisfying Mosaic's (8, 128) tiling rule.
+            pl.BlockSpec((1, 1, TA), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TB), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            # (B,1,B) rows in SMEM: block last-two dims == array last-two
+            # dims; each program writes one scalar at its j.
+            pl.BlockSpec((1, 1, B), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, B), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, B), jnp.float32),
+        ),
+        interpret=interpret,
+    )(ha, hb, mask_a[:, None, :], mask_b[:, None, :])
+    return oa.reshape(B, B), ob.reshape(B, B)
+
+
+def _raw_maxsim_bwd(ha, hb, mask_a, mask_b, ga, gb, j_block: int = 8):
+    """Recompute-based backward: even tie-splitting max grad, j-blocked."""
+    B, TA, D = ha.shape
+    _, TB, _ = hb.shape
+    ma = mask_a.astype(jnp.float32)                       # (B, TA)
+    mb = mask_b.astype(jnp.float32)                       # (B, TB)
+    cnt_a = jnp.maximum(ma.sum(-1), 1e-6)                 # (B,)
+    cnt_b = jnp.maximum(mb.sum(-1), 1e-6)
+
+    n_blocks = max(1, B // j_block)
+    jb = B // n_blocks
+
+    def block(carry, blk):
+        dha, dhb = carry
+        j0 = blk * jb
+        hb_blk = jax.lax.dynamic_slice_in_dim(hb, j0, jb, 0)      # (jb,TB,D)
+        mb_blk = jax.lax.dynamic_slice_in_dim(mb, j0, jb, 0)
+        ga_blk = jax.lax.dynamic_slice_in_dim(ga, j0, jb, 1)      # (B,jb)
+        gb_blk = jax.lax.dynamic_slice_in_dim(gb, j0, jb, 1)
+        cntb_blk = jax.lax.dynamic_slice_in_dim(cnt_b, j0, jb, 0)
+
+        s = jnp.einsum("atd,jsd->ajts", ha, hb_blk,
+                       preferred_element_type=jnp.float32)
+        valid = (ma[:, None, :, None] * mb_blk[None, :, None, :]) > 0
+        sm = jnp.where(valid, s, _NEG)
+
+        rmax = jnp.max(sm, axis=3, keepdims=True)
+        pa = (sm == rmax).astype(jnp.float32) * valid
+        pa = pa / jnp.maximum(pa.sum(3, keepdims=True), 1.0)
+        cmax = jnp.max(sm, axis=2, keepdims=True)
+        pb = (sm == cmax).astype(jnp.float32) * valid
+        pb = pb / jnp.maximum(pb.sum(2, keepdims=True), 1.0)
+
+        coef_a = (ga_blk / cnt_a[:, None])[:, :, None, None] \
+            * ma[:, None, :, None]
+        coef_b = (gb_blk / cntb_blk[None, :])[:, :, None, None] \
+            * mb_blk[None, :, None, :]
+        ds = coef_a * pa + coef_b * pb                       # (B,jb,TA,TB)
+
+        dha = dha + jnp.einsum("ajts,jsd->atd", ds, hb_blk,
+                               preferred_element_type=jnp.float32)
+        dhb_blk = jnp.einsum("ajts,atd->jsd", ds, ha,
+                             preferred_element_type=jnp.float32)
+        dhb = jax.lax.dynamic_update_slice_in_dim(
+            dhb, jax.lax.dynamic_slice_in_dim(dhb, j0, jb, 0) + dhb_blk,
+            j0, 0)
+        return (dha, dhb), None
+
+    dha0 = jnp.zeros_like(ha, jnp.float32)
+    dhb0 = jnp.zeros_like(hb, jnp.float32)
+    (dha, dhb), _ = jax.lax.scan(block, (dha0, dhb0),
+                                 jnp.arange(n_blocks))
+    return dha.astype(ha.dtype), dhb.astype(hb.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _raw_maxsim(ha, hb, mask_a, mask_b, interpret=None):
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _maxsim_call(ha, hb, mask_a, mask_b, interpret)
+
+
+def _raw_fwd(ha, hb, mask_a, mask_b, interpret):
+    if interpret is None:
+        interpret = not _on_tpu()
+    out = _maxsim_call(ha, hb, mask_a, mask_b, interpret)
+    return out, (ha, hb, mask_a, mask_b)
+
+
+def _raw_bwd(interpret, res, gs):
+    ha, hb, mask_a, mask_b = res
+    ga, gb = gs
+    dha, dhb = _raw_maxsim_bwd(ha, hb, mask_a, mask_b, ga, gb)
+    return dha, dhb, None, None
+
+
+_raw_maxsim.defvjp(_raw_fwd, _raw_bwd)
+
+
+def filip_similarity_fused(ha, hb, mask_a, mask_b, temperature,
+                           interpret: bool | None = None):
+    """Drop-in for models.filip.filip_similarity (positive temperature).
+
+    Returns (sim_a, sim_b), each (B, B) float32.
+    """
+    mask_a = jnp.asarray(mask_a, jnp.int32)
+    mask_b = jnp.asarray(mask_b, jnp.int32)
+    raw_a, raw_b = _raw_maxsim(ha, hb, mask_a, mask_b, interpret)
+    t = temperature.astype(jnp.float32)
+    return raw_a / t, raw_b / t
