@@ -9,17 +9,9 @@ heatmaps + loss curves into runs/<timestamp>/.
 from __future__ import annotations
 
 import argparse
-from functools import partial
-
-import jax
-import numpy as np
 
 from . import common
-from ..data.dataset import PairLoader, generate_datasets
-from ..models import clip
-from ..train import clip_engine, loop
-from ..utils import prng, rundir
-from ..viz import plots
+from ._clip_runner import run_clip_training
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -34,81 +26,9 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
-def similarity_fn(params, esm_params, mcfg, tokenizer):
-    """(peps, recs) -> raw cosine matrix for the viz hook."""
-
-    def compute(peps, recs):
-        batch = clip_engine.tokenize_pair_batch(tokenizer, peps, recs)
-        pep, rec = clip.forward(params, esm_params, batch, mcfg, train=False)
-        return np.asarray(clip.cosine_similarity_matrix(
-            pep, rec, params["temperature"]))
-
-    return compute
-
-
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
-    rng = prng.set_seed(args.seed)
-    run_dir = rundir.make_run_dir(args.runs_dir)
-    print(f"All run info will be saved to {run_dir}")
-
-    esm_cfg = common.esm_config(args.esm_config, args.esm_dtype)
-    esm_params = common.load_esm(args, esm_cfg)
-    tokenizer = common.make_tokenizer()
-
-    mcfg = clip.CLIPConfig(
-        input_dim=esm_cfg.hidden_size, embedding_dim=args.embedding_dim,
-        h1=args.h1, h2=args.h2, dropout=args.dropout, esm=esm_cfg)
-    rng, krng = jax.random.split(rng)
-    params = clip.init_params(krng, mcfg)
-
-    data_dir = common.ensure_data(args, "peptide", "receptor")
-    train_ds, val_ds, test_ds = generate_datasets(
-        data_dir, "peptide", "receptor", seed=args.seed)
-    train_loader = PairLoader(train_ds, args.batch_size, shuffle=True,
-                              drop_last=True, seed=args.seed)
-    val_loader = PairLoader(val_ds, args.batch_size, shuffle=False,
-                            drop_last=True, seed=args.seed)
-    test_loader = PairLoader(test_ds, args.batch_size, shuffle=False,
-                             drop_last=True, seed=args.seed)
-
-    plots.plot_protein_lengths(run_dir, data_dir,
-                               prefix1="peptide", prefix2="receptor")
-    plots.plot_embedding_cosine_similarities(
-        run_dir, "Raw Embedding Cosine Similarities", train_loader, tokenizer,
-        similarity_fn(params, esm_params, mcfg, tokenizer))
-
-    cfg = clip_engine.EngineConfig(
-        model=mcfg, batch_size=args.batch_size,
-        accumulated_batches=args.accumulated_batches,
-        learning_rate=args.lr, num_chunks=args.num_chunks)
-
-    def epoch_hook(epoch, best_params):
-        if not args.epoch_figures:
-            return
-        for name, ldr in (("Train", train_loader), ("Val", val_loader)):
-            plots.plot_embedding_cosine_similarities(
-                run_dir,
-                f"Trained Embedding Cosine Similarities on {name} Set "
-                f"- Epoch {epoch + 1}",
-                ldr, tokenizer,
-                similarity_fn(best_params, esm_params, mcfg, tokenizer))
-
-    result = loop.fit(
-        run_dir, cfg, params, esm_params, train_loader, val_loader, tokenizer,
-        args.epochs, rng=rng, use_gradcache=not args.no_gradcache,
-        test_loader=test_loader, epoch_hook=epoch_hook)
-
-    train_bs = (args.batch_size * args.accumulated_batches
-                if not args.no_gradcache else args.batch_size)
-    plots.plot_loss_curves(run_dir, result.train_losses, result.val_losses,
-                           train_bs, args.batch_size)
-    for name, ldr in (("Train", train_loader), ("Val", val_loader)):
-        plots.plot_embedding_cosine_similarities(
-            run_dir, f"Trained Embedding Cosine Similarities on {name} Set",
-            ldr, tokenizer,
-            similarity_fn(result.best_params, esm_params, mcfg, tokenizer))
-    return 0
+    return run_clip_training(args, prefix_a="peptide", prefix_b="receptor")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,116 @@
+"""FILIP training entry (reference main_2protein_filip.py).
+
+Token-level late-interaction model on the protein-protein data: batch 10,
+10 epochs, no GradCache (main_2protein_filip.py:33,44,63). On TPU the fused
+max-sim kernel removes the reference's B2T2 memory wall, so --batch-size can
+go well past 10.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+import jax
+
+from . import common
+from ..data.dataset import PairLoader, generate_datasets
+from ..models import filip
+from ..train import clip_engine, filip_engine, loop
+from ..utils import prng, rundir
+from ..viz import plots
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_common_args(p)
+    p.set_defaults(batch_size=10)                 # main_2protein_filip.py:33
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--max-sequence-length", type=int, default=2000)
+    p.add_argument("--use-dcl", action="store_true",
+                   help="diagonal-masked denominator "
+                        "(training_utils_filip.py:4-23; off in reference)")
+    p.add_argument("--epoch-figures", action="store_true")
+    return p
+
+
+def filip_similarity_viz(params, esm_params, mcfg, tokenizer):
+    """(peps, recs) -> averaged two-direction similarity matrix
+    (visualizations.py:54-105)."""
+
+    def compute(peps, recs):
+        batch = clip_engine.tokenize_pair_batch(tokenizer, peps, recs)
+        sim_a, sim_b = filip.forward(params, esm_params, batch, mcfg,
+                                     train=False)
+        return np.asarray((sim_a + sim_b) / 2.0)
+
+    return compute
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    rng = prng.set_seed(args.seed)
+    run_dir = rundir.make_run_dir(args.runs_dir)
+    print(f"All run info will be saved to {run_dir}")
+
+    esm_cfg = common.esm_config(args.esm_config, args.esm_dtype)
+    esm_params = common.load_esm(args, esm_cfg)
+    tokenizer = common.make_tokenizer()
+
+    mcfg = filip.FILIPConfig(
+        input_dim=esm_cfg.hidden_size, embedding_dim=args.embedding_dim,
+        h1=args.h1, h2=args.h2, dropout=args.dropout, esm=esm_cfg)
+    rng, krng = jax.random.split(rng)
+    params = filip.init_params(krng, mcfg)
+
+    data_dir = common.ensure_data(args, "protein1", "protein2")
+    train_ds, val_ds, test_ds = generate_datasets(
+        data_dir, "protein1", "protein2", seed=args.seed,
+        max_sequence_length=args.max_sequence_length)
+    train_loader = PairLoader(train_ds, args.batch_size, shuffle=True,
+                              drop_last=True, seed=args.seed)
+    val_loader = PairLoader(val_ds, args.batch_size, shuffle=False,
+                            drop_last=True, seed=args.seed)
+    test_loader = PairLoader(test_ds, args.batch_size, shuffle=False,
+                             drop_last=True, seed=args.seed)
+
+    plots.plot_clustering(run_dir, data_dir, prefix="protein2")
+    plots.plot_protein_lengths(run_dir, data_dir)
+    plots.plot_embedding_cosine_similarities(
+        run_dir, "Raw Embedding Cosine Similarities", train_loader, tokenizer,
+        filip_similarity_viz(params, esm_params, mcfg, tokenizer))
+
+    cfg = clip_engine.EngineConfig(
+        model=mcfg, batch_size=args.batch_size, accumulated_batches=1,
+        learning_rate=args.lr, num_chunks=1)
+
+    def epoch_hook(epoch, best_params):
+        if not args.epoch_figures:
+            return
+        for name, ldr in (("Train", train_loader), ("Val", val_loader)):
+            plots.plot_embedding_cosine_similarities(
+                run_dir,
+                f"Trained Embedding Cosine Similarities on {name} Set "
+                f"- Epoch {epoch + 1}",
+                ldr, tokenizer,
+                filip_similarity_viz(best_params, esm_params, mcfg,
+                                     tokenizer))
+
+    result = loop.fit(
+        run_dir, cfg, params, esm_params, train_loader, val_loader, tokenizer,
+        args.epochs, rng=rng, use_gradcache=False, test_loader=test_loader,
+        epoch_hook=epoch_hook, engine=filip_engine)
+
+    plots.plot_loss_curves(run_dir, result.train_losses, result.val_losses,
+                           args.batch_size, args.batch_size)
+    for name, ldr in (("Train", train_loader), ("Val", val_loader)):
+        plots.plot_embedding_cosine_similarities(
+            run_dir, f"Trained Embedding Cosine Similarities on {name} Set",
+            ldr, tokenizer,
+            filip_similarity_viz(result.best_params, esm_params, mcfg,
+                                 tokenizer))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,117 @@
+"""Retrieval evaluation — the reference's top-k protocol (topk.py:48-88 +
+training_utils.py:174-228, eval_gc_allrec_onepep).
+
+Reference semantics per query k: pin the k-th peptide, score it against all
+256 receptor candidates (16 batches x 16 under GradCache), and report
+rank = 1 + #(candidates scoring above the true partner). The cumulative
+top-k accuracy curve over 256 queries is compared to a shuffled-random
+baseline.
+
+TPU-native redesign: encode each side ONCE (batched, jit) and rank the whole
+256x256 logit matrix in one shot — the reference re-encodes all 256
+candidates per query (256x redundant work). Ranks are identical: logit[i, j]
+depends only on embeddings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import clip
+from ..train.clip_engine import tokenize_pair_batch
+from ..train.gradcache import encode_hidden_chunked
+
+
+@dataclasses.dataclass
+class RetrievalResult:
+    ranks: np.ndarray            # (N,) 1-based rank of true partner per query
+    accuracies: np.ndarray       # (N,) cumulative top-k accuracy
+    random_accuracies: np.ndarray
+
+    @property
+    def top1(self) -> float:
+        return float(self.accuracies[0])
+
+
+def encode_candidates(params, esm_params, loader, tokenizer, mcfg,
+                      n_candidates: int = 256, num_chunks: int = 16):
+    """Collect the first n_candidates pairs from the loader and embed both
+    sides once. Returns (pep_emb, rec_emb), each (N, D)."""
+    peps: list[str] = []
+    recs: list[str] = []
+    for p, r in loader:
+        peps.extend(p)
+        recs.extend(r)
+        if len(peps) >= n_candidates:
+            break
+    if len(peps) < n_candidates:
+        raise ValueError(
+            f"loader yielded {len(peps)} pairs < {n_candidates} candidates")
+    peps, recs = peps[:n_candidates], recs[:n_candidates]
+    batch = tokenize_pair_batch(tokenizer, peps, recs)
+
+    @jax.jit
+    def embed(params, esm_params, batch):
+        hp = encode_hidden_chunked(esm_params, batch["pep_ids"],
+                                   batch["pep_mask"], mcfg.esm, num_chunks)
+        hr = encode_hidden_chunked(esm_params, batch["rec_ids"],
+                                   batch["rec_mask"], mcfg.esm, num_chunks)
+        pep = clip.encode_side(params, "pep", hp.astype(jnp.float32),
+                               batch["pep_mask"], mcfg, train=False)
+        rec = clip.encode_side(params, "rec", hr.astype(jnp.float32),
+                               batch["rec_mask"], mcfg, train=False)
+        return pep, rec
+
+    return embed(params, esm_params, batch)
+
+
+def ranks_from_embeddings(pep_emb, rec_emb) -> np.ndarray:
+    """1-based rank of the true partner for every query.
+
+    rank_k = 1 + #(diag logits strictly above the true diag logit), the
+    reference's counting rule (training_utils.py:219-223): query k is
+    broadcast against every receptor, so scores = logits[k, :], and the
+    reference compares diag(broadcast matrix) == logits[k, :] against
+    logits[k, k].
+    """
+    logits = np.asarray(jnp.einsum("id,jd->ij", pep_emb, rec_emb))
+    diag = np.diag(logits)
+    # the self term contributes 0 (x > x is False), as in the reference
+    return 1 + (logits > diag[:, None]).sum(axis=1)
+
+
+def topk_curve(ranks: np.ndarray, n: int) -> np.ndarray:
+    """Cumulative top-k accuracy curve (topk.py:53-61)."""
+    top_k = np.zeros(n, dtype=np.int64)
+    for r in ranks:
+        idx = min(int(r) - 1, n - 1)
+        top_k[idx] += 1
+    return np.cumsum(top_k) / len(ranks)
+
+
+def random_baseline_curve(n: int, seed: int | None = None) -> np.ndarray:
+    """Shuffled-arange baseline (topk.py:63-74): ranks are a permutation of
+    0..n-1, giving the diagonal accuracy line."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    top_k = np.zeros(n, dtype=np.int64)
+    for r in perm:
+        top_k[int(r)] += 1
+    return np.cumsum(top_k) / n
+
+
+def evaluate_retrieval(params, esm_params, loader, tokenizer, mcfg,
+                       n_candidates: int = 256, seed: int | None = None
+                       ) -> RetrievalResult:
+    pep, rec = encode_candidates(params, esm_params, loader, tokenizer, mcfg,
+                                 n_candidates)
+    ranks = ranks_from_embeddings(pep, rec)
+    return RetrievalResult(
+        ranks=ranks,
+        accuracies=topk_curve(ranks, n_candidates),
+        random_accuracies=random_baseline_curve(n_candidates, seed),
+    )

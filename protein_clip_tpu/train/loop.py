@@ -45,13 +45,17 @@ def fit(
     test_loader=None,
     epoch_hook: Callable[[int, Any], None] | None = None,
     log: Callable[[str], None] = print,
+    engine=None,
 ) -> FitResult:
+    """engine: module exposing make_train_step/make_eval_step with the
+    clip_engine signatures (clip_engine default; filip_engine for FILIP)."""
+    engine = engine or clip_engine
     run_dir = Path(run_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
     optimizer = opt_mod.adam(cfg.learning_rate)
     opt_state = optimizer.init(params)
-    train_step = clip_engine.make_train_step(cfg, optimizer)
-    eval_step = clip_engine.make_eval_step(cfg)
+    train_step = engine.make_train_step(cfg, optimizer)
+    eval_step = engine.make_eval_step(cfg)
 
     losses_path = run_dir / "losses_per_epoch.txt"
     metrics_path = run_dir / "metrics.jsonl"

@@ -1,0 +1,81 @@
+"""Retrieval protocol: rank counting + curves vs the reference semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from protein_clip_tpu.eval.retrieval import (
+    evaluate_retrieval, random_baseline_curve, ranks_from_embeddings,
+    topk_curve,
+)
+
+
+def test_rank_counting_rule(rng):
+    # hand-built logits: query 0's true partner beaten by 2 others
+    pep = np.eye(4, dtype=np.float32)
+    rec = np.eye(4, dtype=np.float32)
+    # make rec_1 and rec_2 score higher than rec_0 for query 0
+    pep[0] = [0.1, 1.0, 1.0, 0.0]
+    ranks = ranks_from_embeddings(jnp.asarray(pep), jnp.asarray(rec))
+    assert ranks[0] == 3  # 1 + 2 candidates strictly above
+    assert ranks[1] == 1 and ranks[2] == 1
+
+
+def test_perfect_embeddings_rank_one(rng):
+    x = rng.normal(size=(32, 8)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    ranks = ranks_from_embeddings(jnp.asarray(x * 10), jnp.asarray(x * 10))
+    assert (ranks == 1).all()
+
+
+def test_topk_curve_properties(rng):
+    ranks = rng.integers(1, 257, size=256)
+    curve = topk_curve(ranks, 256)
+    assert curve.shape == (256,)
+    assert (np.diff(curve) >= 0).all()
+    assert curve[-1] == 1.0
+    # top-1 = fraction of rank-1 queries
+    np.testing.assert_allclose(curve[0], (ranks == 1).mean())
+
+
+def test_random_baseline_is_diagonal():
+    curve = random_baseline_curve(256, seed=0)
+    # permutation of 0..255 -> exactly linear cumulative accuracy
+    np.testing.assert_allclose(curve, np.arange(1, 257) / 256)
+
+
+def test_evaluate_retrieval_end_to_end(rng):
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import clip, esm2
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=8,
+                           h1=2, h2=2, esm=esm_cfg)
+    params = clip.init_params(jax.random.key(0), mcfg)
+    esm_params = esm2.init_params(jax.random.key(1), esm_cfg)
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+
+    batches = [(
+        ["".join(rng.choice(aas, 12)) for _ in range(8)],
+        ["".join(rng.choice(aas, 20)) for _ in range(8)],
+    ) for _ in range(3)]
+
+    res = evaluate_retrieval(params, esm_params, batches, EsmTokenizer(),
+                             mcfg, n_candidates=16, seed=0)
+    assert res.ranks.shape == (16,)
+    assert (1 <= res.ranks).all() and (res.ranks <= 16).all()
+    assert 0 <= res.top1 <= 1
+
+
+def test_insufficient_candidates_raises(rng):
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import clip, esm2
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=8,
+                           h1=1, h2=1, esm=esm_cfg)
+    params = clip.init_params(jax.random.key(0), mcfg)
+    esm_params = esm2.init_params(jax.random.key(1), esm_cfg)
+    with pytest.raises(ValueError, match="candidates"):
+        evaluate_retrieval(params, esm_params, [(["MK"], ["AC"])],
+                           EsmTokenizer(), mcfg, n_candidates=16)
