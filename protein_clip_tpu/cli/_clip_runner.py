@@ -18,7 +18,8 @@ def similarity_fn(params, esm_params, mcfg, tokenizer):
     (visualizations.py:38-52 de-scaling)."""
 
     def compute(peps, recs):
-        batch = clip_engine.tokenize_pair_batch(tokenizer, peps, recs)
+        batch = clip_engine.expand_batch(
+            clip_engine.tokenize_pair_batch(tokenizer, peps, recs))
         pep, rec = clip.forward(params, esm_params, batch, mcfg, train=False)
         return np.asarray(clip.cosine_similarity_matrix(
             pep, rec, params["temperature"]))
@@ -29,8 +30,11 @@ def similarity_fn(params, esm_params, mcfg, tokenizer):
 def run_clip_training(args, *, prefix_a: str, prefix_b: str,
                       plot_cluster: bool = False,
                       max_sequence_length: int | None = None) -> int:
+    from pathlib import Path
     rng = prng.set_seed(args.seed)
-    run_dir = rundir.make_run_dir(args.runs_dir)
+    resume = args.resume_dir is not None
+    run_dir = Path(args.resume_dir) if resume else rundir.make_run_dir(
+        args.runs_dir)
     print(f"All run info will be saved to {run_dir}")
 
     esm_cfg = common.esm_config(args.esm_config, args.esm_dtype)
@@ -39,7 +43,8 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
 
     mcfg = clip.CLIPConfig(
         input_dim=esm_cfg.hidden_size, embedding_dim=args.embedding_dim,
-        h1=args.h1, h2=args.h2, dropout=args.dropout, esm=esm_cfg)
+        h1=args.h1, h2=args.h2, dropout=args.dropout,
+        activation=args.activation, esm=esm_cfg)
     rng, krng = jax.random.split(rng)
     params = clip.init_params(krng, mcfg)
 
@@ -81,7 +86,7 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
     result = loop.fit(
         run_dir, cfg, params, esm_params, train_loader, val_loader, tokenizer,
         args.epochs, rng=rng, use_gradcache=not args.no_gradcache,
-        test_loader=test_loader, epoch_hook=epoch_hook)
+        test_loader=test_loader, epoch_hook=epoch_hook, resume=resume)
 
     train_bs = (args.batch_size * args.accumulated_batches
                 if not args.no_gradcache else args.batch_size)

@@ -28,6 +28,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--h1", type=int, default=2)
     p.add_argument("--h2", type=int, default=2)
     p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--activation", default="relu",
+                   choices=["relu", "tanh", "gelu"],
+                   help="head FFN activation (tanh = notebook N5 variant)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--esm-config", default="t30_150M",
                    choices=["t30_150M", "t6_8M", "tiny"])
@@ -44,6 +47,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "the 15%% val split fills at least one batch")
     p.add_argument("--num-chunks", type=int, default=16,
                    help="backbone microbatches per global step")
+    p.add_argument("--resume-dir", default=None,
+                   help="existing run dir: restore latest Orbax train state "
+                        "and continue (appends to its CSV)")
 
 
 def esm_config(name: str, dtype_name: str) -> esm2.ESM2Config:

@@ -39,7 +39,8 @@ def filip_similarity_viz(params, esm_params, mcfg, tokenizer):
     (visualizations.py:54-105)."""
 
     def compute(peps, recs):
-        batch = clip_engine.tokenize_pair_batch(tokenizer, peps, recs)
+        batch = clip_engine.expand_batch(
+            clip_engine.tokenize_pair_batch(tokenizer, peps, recs))
         sim_a, sim_b = filip.forward(params, esm_params, batch, mcfg,
                                      train=False)
         return np.asarray((sim_a + sim_b) / 2.0)
@@ -49,8 +50,11 @@ def filip_similarity_viz(params, esm_params, mcfg, tokenizer):
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    from pathlib import Path
     rng = prng.set_seed(args.seed)
-    run_dir = rundir.make_run_dir(args.runs_dir)
+    resume = args.resume_dir is not None
+    run_dir = Path(args.resume_dir) if resume else rundir.make_run_dir(
+        args.runs_dir)
     print(f"All run info will be saved to {run_dir}")
 
     esm_cfg = common.esm_config(args.esm_config, args.esm_dtype)
@@ -99,7 +103,7 @@ def main(argv=None) -> int:
     result = loop.fit(
         run_dir, cfg, params, esm_params, train_loader, val_loader, tokenizer,
         args.epochs, rng=rng, use_gradcache=False, test_loader=test_loader,
-        epoch_hook=epoch_hook, engine=filip_engine)
+        epoch_hook=epoch_hook, engine=filip_engine, resume=resume)
 
     plots.plot_loss_curves(run_dir, result.train_losses, result.val_losses,
                            args.batch_size, args.batch_size)

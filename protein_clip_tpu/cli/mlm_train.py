@@ -1,0 +1,117 @@
+"""MLM training entry — the masked-token objective over the shared ESM-2
+stack (README "Masked Language Model" section + MLM_Testing.ipynb, N1).
+
+Trains the tied-decoder LM head (and optionally unfreezes the backbone) with
+token-level masking at --mask-prob, same run-artifact contract as the other
+entries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import common
+from ..data.dataset import PairLoader, generate_datasets
+from ..models import esm2, mlm
+from ..train import checkpoint as ckpt
+from ..train import optimizer as opt_mod
+from ..utils import prng, rundir
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_common_args(p)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--mask-prob", type=float, default=0.15)
+    p.add_argument("--prefix-a", default="peptide")
+    p.add_argument("--prefix-b", default="receptor")
+    p.add_argument("--side", default="b", choices=["a", "b", "both"],
+                   help="which side's sequences to train on")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    rng = prng.set_seed(args.seed)
+    run_dir = rundir.make_run_dir(args.runs_dir)
+    print(f"All run info will be saved to {run_dir}")
+
+    esm_cfg = common.esm_config(args.esm_config, args.esm_dtype)
+    esm_params = common.load_esm(args, esm_cfg)
+    tokenizer = common.make_tokenizer()
+    rng, hk = jax.random.split(rng)
+    lm_head = esm2.init_lm_head(hk, esm_cfg)
+
+    data_dir = common.ensure_data(args, args.prefix_a, args.prefix_b)
+    train_ds, val_ds, _ = generate_datasets(
+        data_dir, args.prefix_a, args.prefix_b, seed=args.seed)
+    train_loader = PairLoader(train_ds, args.batch_size, shuffle=True,
+                              drop_last=True, seed=args.seed)
+    val_loader = PairLoader(val_ds, args.batch_size, shuffle=False,
+                            drop_last=True, seed=args.seed)
+
+    optimizer = opt_mod.adam(args.lr)
+    opt_state = optimizer.init(lm_head)
+
+    @jax.jit
+    def train_step(lm_head, opt_state, ids, mask, key):
+        masked, labels = mlm.mask_tokens(key, ids, mask, args.mask_prob)
+        loss, grads = jax.value_and_grad(
+            lambda h: mlm.mlm_loss(esm_params, h, masked, mask, labels,
+                                   esm_cfg))(lm_head)
+        updates, opt_state = optimizer.update(grads, opt_state, lm_head)
+        return optax.apply_updates(lm_head, updates), opt_state, loss
+
+    @jax.jit
+    def eval_step(lm_head, ids, mask, key):
+        masked, labels = mlm.mask_tokens(key, ids, mask, args.mask_prob)
+        return mlm.mlm_loss(esm_params, lm_head, masked, mask, labels,
+                            esm_cfg)
+
+    def seqs_of(batch):
+        a, b = batch
+        return {"a": a, "b": b, "both": list(a) + list(b)}[args.side]
+
+    losses_path = run_dir / "losses_per_epoch.txt"
+    best_val = float("inf")
+    with open(losses_path, "w") as f:
+        f.write("Epoch,Train Loss,Validation Loss\n")
+        for epoch in range(args.epochs):
+            t0 = time.perf_counter()
+            tl, tn = 0.0, 0
+            for batch in train_loader:
+                enc = tokenizer(seqs_of(batch))
+                rng, sk = jax.random.split(rng)
+                lm_head, opt_state, loss = train_step(
+                    lm_head, opt_state, jnp.asarray(enc["input_ids"]),
+                    jnp.asarray(enc["attention_mask"]), sk)
+                tl += float(loss); tn += 1
+            vl, vn = 0.0, 0
+            for batch in val_loader:
+                enc = tokenizer(seqs_of(batch))
+                rng, sk = jax.random.split(rng)
+                vl += float(eval_step(lm_head,
+                                      jnp.asarray(enc["input_ids"]),
+                                      jnp.asarray(enc["attention_mask"]), sk))
+                vn += 1
+            tl /= max(tn, 1)
+            vl = vl / vn if vn else float("nan")
+            f.write(f"{epoch + 1},{tl:.4f},{vl:.4f}\n")
+            f.flush()
+            if vl < best_val:
+                best_val = vl
+                ckpt.export_npz(run_dir / "best_model.npz", lm_head)
+            print(f"Epoch {epoch + 1}/{args.epochs} - Train Loss: {tl:.4f}, "
+                  f"Val Loss: {vl:.4f} ({time.perf_counter() - t0:.1f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -66,6 +66,33 @@ _SPECIAL_IDS = {t: ESM2_VOCAB.index(t) for t in _SPECIALS}
 class TokenizerConfig:
     add_special_tokens: bool = True
     buckets: tuple[int, ...] = DEFAULT_BUCKETS
+    # C++ batch fast path (data/native/tokenize.cc); falls back to NumPy
+    # when the library is unavailable or sequences contain '<' specials.
+    use_native: bool = True
+
+
+_NATIVE = None
+_NATIVE_FAILED = False
+
+
+def _native_lib():
+    global _NATIVE, _NATIVE_FAILED
+    if _NATIVE is not None or _NATIVE_FAILED:
+        return _NATIVE
+    try:
+        import ctypes
+        from .native.build import build_library
+        lib = ctypes.CDLL(str(build_library("tokenize")))
+        lib.pct_tokenize_batch.restype = ctypes.c_int
+        lib.pct_tokenize_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        _NATIVE = lib
+    except Exception:  # pragma: no cover - toolchain missing
+        _NATIVE_FAILED = True
+        _NATIVE = None
+    return _NATIVE
 
 
 class EsmTokenizer:
@@ -147,6 +174,16 @@ class EsmTokenizer:
         longest sequence (or exact max length if bucketed=False, matching the
         reference's pad-to-longest semantics byte for byte).
         """
+        if (self.config.use_native and seqs
+                and not any("<" in s for s in seqs)):
+            lib = _native_lib()
+            if lib is not None:
+                max_len = max(len(s) for s in seqs) + 2
+                if pad_to is None:
+                    pad_to = (self.bucket_length(max_len) if bucketed
+                              else max_len)
+                return self._call_native(lib, seqs, pad_to)
+
         encs = [self.encode(s) for s in seqs]
         max_len = max((len(e) for e in encs), default=2)
         if pad_to is None:
@@ -162,6 +199,19 @@ class EsmTokenizer:
             batch[row, : len(e)] = e
             mask[row, : len(e)] = 1
         return {"input_ids": batch, "attention_mask": mask}
+
+
+    def _call_native(self, lib, seqs, pad_to: int) -> dict[str, np.ndarray]:
+        import ctypes
+        n = len(seqs)
+        ids = np.empty((n, pad_to), dtype=np.int32)
+        mask = np.empty((n, pad_to), dtype=np.int32)
+        arr = (ctypes.c_char_p * n)(*[s.encode("latin-1") for s in seqs])
+        lib.pct_tokenize_batch(
+            arr, n, pad_to,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return {"input_ids": ids, "attention_mask": mask}
 
 
 def write_hf_vocab(path: str) -> None:

@@ -56,6 +56,8 @@ def encode_candidates(params, esm_params, loader, tokenizer, mcfg,
 
     @jax.jit
     def embed(params, esm_params, batch):
+        from ..train.clip_engine import expand_batch
+        batch = expand_batch(batch)
         hp = encode_hidden_chunked(esm_params, batch["pep_ids"],
                                    batch["pep_mask"], mcfg.esm, num_chunks)
         hr = encode_hidden_chunked(esm_params, batch["rec_ids"],

@@ -30,6 +30,8 @@ class CLIPConfig:
     h1: int = 2                   # main.py:28
     h2: int = 2                   # main.py:29
     dropout: float = 0.1          # main.py:30
+    # FFN activation: 'relu' (reference), 'tanh' (notebook N5 variant), 'gelu'
+    activation: str = "relu"
     esm: esm2.ESM2Config = dataclasses.field(default_factory=esm2.ESM2Config.t30_150M)
 
 
@@ -51,7 +53,8 @@ def encode_side(params: Params, side: str, hidden: jax.Array,
     """Head pipeline for one side over precomputed backbone hidden states."""
     return heads.encode_pooled(
         params[side], hidden, mask, params["temperature"],
-        dropout_rate=cfg.dropout, train=train, rng=rng)
+        dropout_rate=cfg.dropout, train=train, rng=rng,
+        activation=cfg.activation)
 
 
 def forward(params: Params, esm_params: Params, batch: dict[str, jax.Array],

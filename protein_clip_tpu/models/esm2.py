@@ -47,6 +47,12 @@ class ESM2Config:
     token_dropout: bool = True
     # dtype the bulk matmuls run in; f32 accumulation is always used.
     compute_dtype: Any = jnp.float32
+    # Fused flash-attention (Pallas) path: tiles the softmax so the
+    # (B, heads, T, T) score tensor never hits HBM. Exact w.r.t. the eager
+    # path: ESM scales q BEFORE RoPE, and rotation is linear, so the scale
+    # commutes. TPU-only; ignored elsewhere.
+    use_flash_attention: bool = False
+    flash_min_seq_len: int = 256  # eager is faster for tiny T
 
     @property
     def head_dim(self) -> int:
@@ -161,7 +167,13 @@ def _apply_rope(x, cos, sin):
     return x * cos[None, :, None, :] + _rotate_half(x) * sin[None, :, None, :]
 
 
-def _attention_block(x, p, mask_bias, cos, sin, cfg: ESM2Config):
+def _use_flash(cfg: ESM2Config, seq_len: int) -> bool:
+    return (cfg.use_flash_attention and seq_len >= cfg.flash_min_seq_len
+            and jax.default_backend() == "tpu")
+
+
+def _attention_block(x, p, mask_bias, attention_mask, cos, sin,
+                     cfg: ESM2Config):
     B, T, H = x.shape
     nh, dh = cfg.num_heads, cfg.head_dim
     h = _layer_norm(x, p["ln"]["w"], p["ln"]["b"], cfg.layer_norm_eps)
@@ -177,12 +189,23 @@ def _attention_block(x, p, mask_bias, cos, sin, cfg: ESM2Config):
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
-    scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores + mask_bias  # (B,1,1,T) additive
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if _use_flash(cfg, T):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds, flash_attention)
+        seg = attention_mask.astype(jnp.int32)
+        ctx = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            segment_ids=SegmentIds(q=seg, kv=seg), sm_scale=1.0)
+        ctx = ctx.transpose(0, 2, 1, 3).astype(x.dtype)
+    else:
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores + mask_bias  # (B,1,1,T) additive
+        probs = jax.nn.softmax(scores.astype(jnp.float32),
+                               axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
     ctx = ctx.reshape(B, T, H)
     out = (jnp.einsum("bth,hd->btd", ctx, p["o"]["w"],
                       preferred_element_type=jnp.float32)
@@ -234,7 +257,8 @@ def forward(
     cos, sin = _rope_tables(T, cfg.head_dim, cfg.compute_dtype)
 
     def layer(x, lp):
-        x = _attention_block(x, lp["attn"], mask_bias, cos, sin, cfg)
+        x = _attention_block(x, lp["attn"], mask_bias, attention_mask, cos,
+                             sin, cfg)
         x = _ffn_block(x, lp["ffn"], cfg)
         return x, None
 

@@ -32,6 +32,7 @@ class FILIPConfig:
     h1: int = 2
     h2: int = 2
     dropout: float = 0.1
+    activation: str = "relu"
     esm: esm2.ESM2Config = dataclasses.field(default_factory=esm2.ESM2Config.t30_150M)
 
 
@@ -51,7 +52,8 @@ def encode_side_tokens(params: Params, side: str, hidden: jax.Array,
                        rng: jax.Array | None = None) -> jax.Array:
     """Per-token embeddings, L2-normalised along d (models.py:238-239)."""
     x = heads.encode_tokens(params[side], hidden,
-                            dropout_rate=cfg.dropout, train=train, rng=rng)
+                            dropout_rate=cfg.dropout, train=train, rng=rng,
+                            activation=cfg.activation)
     norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
                             keepdims=True))
     return (x.astype(jnp.float32) / norm).astype(x.dtype)

@@ -77,8 +77,16 @@ def _layer_norm(x, w, b, eps=1e-5):
     return (((x32 - mu) * jax.lax.rsqrt(var + eps)) * w + b).astype(x.dtype)
 
 
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,        # notebooks/negative_cosine_similarities.ipynb (N5)
+    "gelu": jax.nn.gelu,
+}
+
+
 def apply_ffn(params: Params, x: jax.Array, *, dropout_rate: float,
-              train: bool, rng: jax.Array | None) -> jax.Array:
+              train: bool, rng: jax.Array | None,
+              activation: str = "relu") -> jax.Array:
     """Scan the hidden blocks, then the output linear."""
     n_blocks = params["blocks"]["w"].shape[0]
     use_dropout = train and dropout_rate > 0.0 and n_blocks > 0
@@ -88,7 +96,7 @@ def apply_ffn(params: Params, x: jax.Array, *, dropout_rate: float,
     def block_body(h, bp, bkey):
         h = jnp.einsum("...d,de->...e", h, bp["w"],
                        preferred_element_type=jnp.float32).astype(h.dtype) + bp["b"]
-        h = jax.nn.relu(h)
+        h = ACTIVATIONS[activation](h)
         h = _layer_norm(h, bp["ln_w"], bp["ln_b"])
         if use_dropout:
             keep = jax.random.bernoulli(bkey, 1.0 - dropout_rate, h.shape)
@@ -120,7 +128,8 @@ def masked_mean(h: jax.Array, mask: jax.Array) -> jax.Array:
 
 def encode_pooled(params: Params, hidden: jax.Array, mask: jax.Array,
                   temperature: jax.Array, *, dropout_rate: float = 0.1,
-                  train: bool = False, rng: jax.Array | None = None) -> jax.Array:
+                  train: bool = False, rng: jax.Array | None = None,
+                  activation: str = "relu") -> jax.Array:
     """Full head pipeline -> scaled pooled embedding (models.py:32-52)."""
     r1 = r2 = None
     if rng is not None:
@@ -130,10 +139,10 @@ def encode_pooled(params: Params, hidden: jax.Array, mask: jax.Array,
                     preferred_element_type=jnp.float32).astype(hidden.dtype)
          + proj["b"])
     x = apply_ffn(params["aa_ffn"], x, dropout_rate=dropout_rate,
-                  train=train, rng=r1)
+                  train=train, rng=r1, activation=activation)
     pooled = masked_mean(x, mask)
     pooled = apply_ffn(params["emb_ffn"], pooled, dropout_rate=dropout_rate,
-                       train=train, rng=r2)
+                       train=train, rng=r2, activation=activation)
     normed = pooled * jax.lax.rsqrt(
         jnp.sum(jnp.square(pooled.astype(jnp.float32)), axis=-1, keepdims=True)
         .astype(pooled.dtype) + jnp.finfo(jnp.float32).tiny)
@@ -142,11 +151,12 @@ def encode_pooled(params: Params, hidden: jax.Array, mask: jax.Array,
 
 def encode_tokens(params: Params, hidden: jax.Array, *,
                   dropout_rate: float = 0.1, train: bool = False,
-                  rng: jax.Array | None = None) -> jax.Array:
+                  rng: jax.Array | None = None,
+                  activation: str = "relu") -> jax.Array:
     """FILIP variant: per-token embeddings, no pool/normalize (models.py:178-196)."""
     proj = params["projection"]
     x = (jnp.einsum("btd,de->bte", hidden, proj["w"],
                     preferred_element_type=jnp.float32).astype(hidden.dtype)
          + proj["b"])
     return apply_ffn(params["aa_ffn"], x, dropout_rate=dropout_rate,
-                     train=train, rng=rng)
+                     train=train, rng=rng, activation=activation)

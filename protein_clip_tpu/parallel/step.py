@@ -42,6 +42,8 @@ def make_sharded_train_step(cfg, optimizer: optax.GradientTransformation,
     local_chunks = max(1, local_batch // chunk)
 
     def local_step(params, opt_state, esm_params, batch, rng):
+        from ..train.clip_engine import expand_batch
+        batch = expand_batch(batch)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         hp = encode_hidden_chunked(esm_params, batch["pep_ids"],
                                    batch["pep_mask"], mcfg.esm,
@@ -86,6 +88,8 @@ def make_sharded_eval_step(cfg, mesh, loss_fn=clip_infonce):
     mcfg = cfg.model
 
     def local_step(params, esm_params, batch):
+        from ..train.clip_engine import expand_batch
+        batch = expand_batch(batch)
         pep_l, rec_l = clip.forward(params, esm_params, batch, mcfg,
                                     train=False)
         pep = jax.lax.all_gather(pep_l, DATA_AXIS, axis=0, tiled=True)

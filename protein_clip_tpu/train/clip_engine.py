@@ -48,15 +48,45 @@ class EngineConfig:
 
 
 def tokenize_pair_batch(tokenizer: EsmTokenizer, peps: list[str],
-                        recs: list[str]) -> dict[str, jnp.ndarray]:
+                        recs: list[str],
+                        compact: bool = True) -> dict[str, jnp.ndarray]:
+    """Tokenize both sides into a device batch.
+
+    compact=True ships int8 token ids only (the 33-token ESM vocab fits) —
+    8x fewer bytes host->device than int32 ids+masks; masks are derived on
+    device by ``expand_batch`` (attention_mask == ids != <pad>).
+    """
     bp = tokenizer(peps)
     br = tokenizer(recs)
+    if compact:
+        return {
+            "pep_ids": jnp.asarray(bp["input_ids"].astype(np.int8)),
+            "rec_ids": jnp.asarray(br["input_ids"].astype(np.int8)),
+        }
     return {
         "pep_ids": jnp.asarray(bp["input_ids"]),
         "pep_mask": jnp.asarray(bp["attention_mask"]),
         "rec_ids": jnp.asarray(br["input_ids"]),
         "rec_mask": jnp.asarray(br["attention_mask"]),
     }
+
+
+def expand_batch(batch: dict[str, jnp.ndarray]) -> dict[str, jnp.ndarray]:
+    """Device-side: restore int32 ids + attention masks from a compact batch.
+
+    Pads only ever occur as trailing <pad> tokens (tokenizer contract), so
+    attention_mask == (ids != pad_id) exactly.
+    """
+    from ..data.tokenizer import PAD_ID
+
+    if "pep_mask" in batch:
+        return batch
+    out = {}
+    for side in ("pep", "rec"):
+        ids = batch[f"{side}_ids"]
+        out[f"{side}_ids"] = ids.astype(jnp.int32)
+        out[f"{side}_mask"] = (ids != PAD_ID).astype(jnp.int32)
+    return out
 
 
 def make_train_step(cfg: EngineConfig,
@@ -77,6 +107,7 @@ def make_train_step(cfg: EngineConfig,
 
     @jax.jit
     def step(params, opt_state, esm_params, batch, rng):
+        batch = expand_batch(batch)
         hp = encode_hidden_chunked(esm_params, batch["pep_ids"],
                                    batch["pep_mask"], mcfg.esm,
                                    cfg.num_chunks, cfg.remat)
@@ -98,6 +129,7 @@ def make_eval_step(cfg: EngineConfig, loss_fn: Callable = clip_infonce):
 
     @jax.jit
     def step(params, esm_params, batch):
+        batch = expand_batch(batch)
         pep, rec = clip.forward(params, esm_params, batch, mcfg, train=False)
         return loss_fn(pep, rec)
 
@@ -123,11 +155,19 @@ def _accumulate(loader: Iterable, n: int):
 
 def train_gc(params, opt_state, esm_params, loader, tokenizer, step_fn,
              cfg: EngineConfig, rng) -> tuple[Params, Any, float]:
-    """One epoch of global-batch training. Returns (params, opt_state, mean loss)."""
+    """One epoch of global-batch training. Returns (params, opt_state, mean loss).
+
+    Tokenization + host->device transfer run on a background thread two
+    batches ahead (data/prefetch.py), overlapping device compute.
+    """
+    from ..data.prefetch import prefetch_to_device
+
     total, n_big = 0.0, 0
-    for peps, recs in _accumulate(loader, cfg.accumulated_batches):
+    batches = prefetch_to_device(
+        _accumulate(loader, cfg.accumulated_batches),
+        lambda pr: tokenize_pair_batch(tokenizer, pr[0], pr[1]))
+    for batch in batches:
         rng, sub = jax.random.split(rng)
-        batch = tokenize_pair_batch(tokenizer, peps, recs)
         params, opt_state, loss = step_fn(params, opt_state, esm_params,
                                           batch, sub)
         total += float(loss)

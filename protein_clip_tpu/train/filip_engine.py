@@ -18,7 +18,7 @@ import optax
 from ..models import filip
 from ..ops.infonce import filip_loss
 from ..ops.filip_pallas import filip_similarity_fused
-from .clip_engine import EngineConfig, tokenize_pair_batch
+from .clip_engine import EngineConfig, expand_batch, tokenize_pair_batch
 
 Params = dict[str, Any]
 
@@ -39,6 +39,7 @@ def make_train_step(cfg: EngineConfig,
     sim_fn = similarity_fn or default_similarity_fn()
 
     def loss_fn(params, esm_params, batch, rng):
+        batch = expand_batch(batch)
         sim_a, sim_b = filip.forward(params, esm_params, batch, mcfg,
                                      train=True, rng=rng, remat=cfg.remat,
                                      similarity_fn=sim_fn)
@@ -62,6 +63,7 @@ def make_eval_step(cfg: EngineConfig, similarity_fn: Callable | None = None,
 
     @jax.jit
     def step(params, esm_params, batch):
+        batch = expand_batch(batch)
         sim_a, sim_b = filip.forward(params, esm_params, batch, mcfg,
                                      train=False, similarity_fn=sim_fn)
         return filip_loss(sim_a, sim_b, use_dcl)

@@ -20,6 +20,33 @@ from . import clip_engine, optimizer as opt_mod
 from ..data.tokenizer import EsmTokenizer
 
 
+def _save_state(state_dir: Path, epoch: int, state: Any) -> None:
+    """Orbax snapshot at run_dir/state/epoch_<n>; keeps only the latest."""
+    path = state_dir / f"epoch_{epoch}"
+    ckpt.save_orbax(path, state)
+    for old in sorted(state_dir.glob("epoch_*")):
+        if old != path:
+            import shutil
+            shutil.rmtree(old, ignore_errors=True)
+
+
+def _restore_latest_state(state_dir: Path, like_partial: dict):
+    """Restore the newest epoch snapshot, or None if absent."""
+    if not state_dir.exists():
+        return None
+    snaps = sorted(state_dir.glob("epoch_*"),
+                   key=lambda p: int(p.name.split("_")[1]))
+    if not snaps:
+        return None
+    epoch = int(snaps[-1].name.split("_")[1])
+    like = dict(like_partial)
+    like["best_val"] = jax.numpy.asarray(0.0)
+    like["train_losses"] = jax.numpy.zeros((epoch,))
+    like["val_losses"] = jax.numpy.zeros((epoch,))
+    state = ckpt.restore_orbax(snaps[-1], like)
+    return state, epoch
+
+
 @dataclasses.dataclass
 class FitResult:
     train_losses: list[float]
@@ -46,9 +73,15 @@ def fit(
     epoch_hook: Callable[[int, Any], None] | None = None,
     log: Callable[[str], None] = print,
     engine=None,
+    resume: bool = False,
+    save_state_every: int = 1,
 ) -> FitResult:
     """engine: module exposing make_train_step/make_eval_step with the
-    clip_engine signatures (clip_engine default; filip_engine for FILIP)."""
+    clip_engine signatures (clip_engine default; filip_engine for FILIP).
+
+    resume: restore the latest Orbax train state from run_dir/state and
+    continue (the reference can only save, not resume — SURVEY.md §5).
+    """
     engine = engine or clip_engine
     run_dir = Path(run_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
@@ -60,6 +93,7 @@ def fit(
     losses_path = run_dir / "losses_per_epoch.txt"
     metrics_path = run_dir / "metrics.jsonl"
     model_path = run_dir / "best_model.npz"
+    state_dir = run_dir / "state"
     log(f"Best model will be saved to {model_path}")
     log(f"Losses will be saved to {losses_path}")
 
@@ -67,10 +101,27 @@ def fit(
     val_losses: list[float] = []
     best_val = float("inf")
     best_params = params
+    start_epoch = 0
 
-    with open(losses_path, "w") as f:
-        f.write("Epoch,Train Loss,Validation Loss\n")
-        for epoch in range(num_epochs):
+    if resume:
+        restored = _restore_latest_state(
+            state_dir, {"params": params, "opt_state": opt_state,
+                        "best_params": best_params})
+        if restored is not None:
+            state, start_epoch = restored
+            params = state["params"]
+            opt_state = state["opt_state"]
+            best_params = state["best_params"]
+            best_val = float(state["best_val"])
+            train_losses = list(state["train_losses"])
+            val_losses = list(state["val_losses"])
+            log(f"Resumed from epoch {start_epoch}")
+
+    mode = "a" if (resume and start_epoch > 0) else "w"
+    with open(losses_path, mode) as f:
+        if mode == "w":
+            f.write("Epoch,Train Loss,Validation Loss\n")
+        for epoch in range(start_epoch, num_epochs):
             t0 = time.perf_counter()
             rng, erng = jax.random.split(rng)
             if use_gradcache:
@@ -101,6 +152,14 @@ def fit(
                 }) + "\n")
             log(f"Epoch {epoch + 1}/{num_epochs} - Train Loss: "
                 f"{train_loss:.4f}, Val Loss: {val_loss:.4f} ({dt:.1f}s)")
+            if (epoch + 1) % save_state_every == 0:
+                _save_state(state_dir, epoch + 1, {
+                    "params": params, "opt_state": opt_state,
+                    "best_params": best_params,
+                    "best_val": jax.numpy.asarray(best_val),
+                    "train_losses": jax.numpy.asarray(train_losses),
+                    "val_losses": jax.numpy.asarray(val_losses),
+                })
             if epoch_hook is not None:
                 epoch_hook(epoch, best_params)
 

@@ -1,0 +1,49 @@
+"""Golden regression: seeded tiny end-to-end run pins per-epoch losses
+(SURVEY.md §4 test plan — the substitute for the reference's
+plot-eyeballing acceptance)."""
+
+import pathlib
+
+import numpy as np
+import jax
+import pytest
+
+from protein_clip_tpu.data import synthetic
+from protein_clip_tpu.data.dataset import PairLoader, generate_datasets
+from protein_clip_tpu.data.tokenizer import EsmTokenizer
+from protein_clip_tpu.models import clip, esm2
+from protein_clip_tpu.train import clip_engine, loop
+
+# pinned from the seeded run (CPU f32, jax 0.9.0); loose tolerance guards
+# against accidental semantic drift while allowing fp reassociation noise
+GOLDEN_TRAIN = [2.147516, 2.073801, 2.112289]
+GOLDEN_VAL = [1.445185, 1.467349, 1.434688]
+
+
+def test_seeded_run_reproduces_golden_losses(tmp_path):
+    synthetic.write_fixture(tmp_path, n_families=30, seed=42)
+    tr, va, _ = generate_datasets(tmp_path, seed=42)
+    trl = PairLoader(tr, 4, shuffle=True, drop_last=True, seed=42)
+    val = PairLoader(va, 4, shuffle=False, drop_last=True, seed=42)
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                           h1=2, h2=2, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(1), esm_cfg)
+    params = clip.init_params(jax.random.key(2), mcfg)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=4,
+                                   accumulated_batches=2, num_chunks=2)
+    res = loop.fit(tmp_path / "run", cfg, params, esm_params, trl, val,
+                   EsmTokenizer(), num_epochs=3, rng=jax.random.key(0),
+                   log=lambda s: None)
+    np.testing.assert_allclose(res.train_losses, GOLDEN_TRAIN, rtol=1e-3)
+    np.testing.assert_allclose(res.val_losses, GOLDEN_VAL, rtol=1e-3)
+
+
+def test_same_seed_same_split(tmp_path):
+    """The cluster split itself is golden under seed 42."""
+    synthetic.write_fixture(tmp_path, n_families=30, seed=42)
+    tr1, va1, te1 = generate_datasets(tmp_path, seed=42)
+    tr2, va2, te2 = generate_datasets(tmp_path, seed=42)
+    assert tr1.cluster_ids == tr2.cluster_ids
+    assert va1.cluster_ids == va2.cluster_ids
+    assert te1.cluster_ids == te2.cluster_ids

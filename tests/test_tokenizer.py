@@ -88,3 +88,30 @@ def test_empty_sequence():
     assert ids.tolist() == [CLS_ID, EOS_ID]
     out = tok(["", "MK"])
     assert out["attention_mask"][0].sum() == 2
+
+
+def test_native_batch_matches_numpy(rng):
+    from protein_clip_tpu.data.tokenizer import _native_lib
+    if _native_lib() is None:
+        pytest.skip("native tokenizer unavailable")
+    aas = list("LAGVSERTIDPKQNFYMHWCXBUZO")
+    seqs = ["".join(rng.choice(aas, rng.integers(1, 200))) for _ in range(64)]
+    seqs += ["", "M", "M1K 2V*zq"]  # edge cases incl. unk bytes
+    fast = EsmTokenizer(TokenizerConfig(use_native=True))
+    slow = EsmTokenizer(TokenizerConfig(use_native=False))
+    a = fast(seqs)
+    b = slow(seqs)
+    np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
+    np.testing.assert_array_equal(a["attention_mask"], b["attention_mask"])
+    # truncation parity at a clamped bucket
+    fast2 = EsmTokenizer(TokenizerConfig(buckets=(16,), use_native=True))
+    slow2 = EsmTokenizer(TokenizerConfig(buckets=(16,), use_native=False))
+    a2, b2 = fast2(seqs), slow2(seqs)
+    np.testing.assert_array_equal(a2["input_ids"], b2["input_ids"])
+    np.testing.assert_array_equal(a2["attention_mask"], b2["attention_mask"])
+
+
+def test_native_falls_back_on_specials():
+    t = EsmTokenizer(TokenizerConfig(use_native=True))
+    out = t(["MK<mask>TV"])
+    assert MASK_ID in out["input_ids"][0].tolist()

@@ -157,3 +157,23 @@ def test_fit_contract(tiny, tmp_path, rng):
     for a, b in zip(jax.tree.leaves(restored),
                     jax.tree.leaves(res.best_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compact_batch_roundtrip(rng):
+    """int8 wire format: expand_batch reconstructs exact ids + masks."""
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.train.clip_engine import (expand_batch,
+                                                    tokenize_pair_batch)
+    tok = EsmTokenizer()
+    peps = ["MKTV", "", "ACDEFGHIKLMNPQRSTVWY"]
+    recs = ["LLLLL", "M", "KKK"]
+    compact = tokenize_pair_batch(tok, peps, recs, compact=True)
+    full = tokenize_pair_batch(tok, peps, recs, compact=False)
+    assert compact["pep_ids"].dtype == jnp.int8
+    restored = expand_batch(compact)
+    for k in ("pep_ids", "pep_mask", "rec_ids", "rec_mask"):
+        np.testing.assert_array_equal(np.asarray(restored[k]),
+                                      np.asarray(full[k]))
+    # idempotent on already-full batches
+    again = expand_batch(full)
+    assert again is full
