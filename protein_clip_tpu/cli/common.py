@@ -94,6 +94,9 @@ def ensure_data(args, prefix_a: str, prefix_b: str) -> Path:
             print(f"[data] writing synthetic fixture into {data_dir}")
             write_fixture(data_dir, prefix1=prefix_a, prefix2=prefix_b,
                           n_families=args.fixture_families, seed=args.seed)
+        elif prefix_a == "protein1":
+            from ..data.fetch import download_pdb_two_chain
+            download_pdb_two_chain(data_dir)
         else:
             from ..data.fetch import download_propedia
             download_propedia(data_dir)

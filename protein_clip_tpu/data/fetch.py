@@ -38,21 +38,24 @@ def download_propedia(data_dir: str | Path) -> None:
 
 
 def download_pdb_two_chain(data_dir: str | Path,
-                           max_sequence_length: int = 2000) -> None:
+                           max_sequence_length: int = 2000,
+                           limit: int | None = None) -> None:
     """Protein–protein corpus from the RCSB PDB (data_utils_2protein.py:88-145).
 
-    The reference queries RCSB for entries with exactly two protein chains,
-    downloads each PDB file, and concatenates per-chain 3-letter residue
-    names into `protein1.fasta` / `protein2.fasta`. That requires the
-    rcsbsearchapi + BioPython stack and live network access — neither is
-    available here, so this raises with staging instructions; the pipeline
-    consumes the same two-FASTA layout regardless of producer.
+    Pure-Python re-implementation (no rcsbsearchapi/BioPython): see
+    protein_clip_tpu.data.pdb. Requires network; offline environments stage
+    the FASTAs manually or pass --synthetic-fixture.
     """
     data_dir = Path(data_dir)
     f1 = data_dir / "protein1.fasta"
     f2 = data_dir / "protein2.fasta"
     if f1.exists() and f2.exists():
         return
-    raise RuntimeError(
-        "PDB scraping needs network + rcsbsearchapi. Stage protein1.fasta / "
-        f"protein2.fasta into {data_dir}, or pass --synthetic-fixture.")
+    from .pdb import build_two_chain_fastas
+    try:
+        build_two_chain_fastas(data_dir, max_sequence_length, limit=limit)
+    except Exception as e:
+        raise RuntimeError(
+            f"PDB acquisition failed ({e}). In offline environments stage "
+            f"protein1.fasta / protein2.fasta into {data_dir}, or pass "
+            f"--synthetic-fixture.") from e

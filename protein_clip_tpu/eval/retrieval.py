@@ -106,6 +106,22 @@ def random_baseline_curve(n: int, seed: int | None = None) -> np.ndarray:
     return np.cumsum(top_k) / n
 
 
+def eval_allrec_onequery(params, esm_params, loader, tokenizer, mcfg,
+                         k: int, n_candidates: int = 256) -> list[int]:
+    """API-parity equivalent of the reference's ``eval_gc_allrec_onepep``
+    (training_utils.py:174-228): rank of query k's true partner among the
+    candidate pool, as a single-element list (the reference returns
+    ``big_batches`` with one count).
+
+    Prefer ``evaluate_retrieval`` — it produces all N ranks for the cost the
+    reference pays per single query.
+    """
+    pep, rec = encode_candidates(params, esm_params, loader, tokenizer, mcfg,
+                                 n_candidates)
+    ranks = ranks_from_embeddings(pep, rec)
+    return [int(ranks[k])]
+
+
 def evaluate_retrieval(params, esm_params, loader, tokenizer, mcfg,
                        n_candidates: int = 256, seed: int | None = None
                        ) -> RetrievalResult:

@@ -90,6 +90,15 @@ def filip_similarity(ha: jax.Array, hb: jax.Array, mask_a: jax.Array,
     return sim_a, sim_b
 
 
+def token_max_similarity(ha: jax.Array, hb: jax.Array) -> jax.Array:
+    """Per-pair token max-similarity (the notebooks/filip.ipynb prototype,
+    N2): for aligned pair i, mean over hA[i]'s tokens of the max dot product
+    against hB[i]'s tokens. Returns (B,)."""
+    scores = jnp.einsum("btd,bsd->bts", ha, hb,
+                        preferred_element_type=jnp.float32)
+    return jnp.mean(jnp.max(scores, axis=-1), axis=-1)
+
+
 def mean_average_similarity(ha, hb, mask_a, mask_b, temperature):
     """Unused-in-training reference variant (models.py:266-290): plain mean
     pooling over tokens (divides by T, not valid count) then dot / t."""

@@ -1,0 +1,96 @@
+"""Aux subsystems: PCA analysis, token max-sim prototype, SP FILIP,
+pipeline stage split, retrieval API-parity wrapper."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from protein_clip_tpu.eval.pca import pca2, paired_cosine
+from protein_clip_tpu.models import esm2, filip
+from protein_clip_tpu.models.filip import filip_similarity, token_max_similarity
+from protein_clip_tpu.parallel import mesh as mesh_mod
+from protein_clip_tpu.parallel.filip_sp import filip_similarity_seqsharded
+from protein_clip_tpu.parallel.pipeline import split_layer_stages
+
+
+def test_pca2_recovers_dominant_direction(rng):
+    d = np.zeros(8)
+    d[0] = 1.0
+    x = rng.normal(size=(200, 1)) * 5 @ d[None, :] + rng.normal(size=(200, 8)) * 0.1
+    proj, ratio = pca2(x)
+    assert proj.shape == (200, 2)
+    assert ratio[0] > 0.9
+    # PC1 correlates with the planted direction
+    corr = np.corrcoef(proj[:, 0], x[:, 0])[0, 1]
+    assert abs(corr) > 0.99
+
+
+def test_paired_cosine(rng):
+    a = rng.normal(size=(5, 4))
+    got = paired_cosine(a, a * 3.0)
+    np.testing.assert_allclose(got, 1.0, atol=1e-9)
+
+
+def test_token_max_similarity_prototype(rng):
+    ha = rng.normal(size=(3, 4, 8)).astype(np.float32)
+    hb = rng.normal(size=(3, 6, 8)).astype(np.float32)
+    got = np.asarray(token_max_similarity(jnp.asarray(ha), jnp.asarray(hb)))
+    ref = np.array([
+        (ha[i] @ hb[i].T).max(axis=1).mean() for i in range(3)])
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_seqsharded_filip_matches_lax(rng):
+    B, TA, TB, D = 4, 16, 12, 8
+    ha = rng.normal(size=(B, TA, D)).astype(np.float32)
+    hb = rng.normal(size=(B, TB, D)).astype(np.float32)
+    ma = np.ones((B, TA), np.int32); ma[0, 10:] = 0; ma[2, 3:] = 0
+    mb = np.ones((B, TB), np.int32); mb[1, 6:] = 0
+    t = jnp.asarray(0.8)
+
+    ref_a, ref_b = filip_similarity(jnp.asarray(ha), jnp.asarray(hb),
+                                    jnp.asarray(ma), jnp.asarray(mb), t)
+    m = mesh_mod.make_mesh()  # data=8; TA=16 divisible
+    got_a, got_b = filip_similarity_seqsharded(
+        m, jnp.asarray(ha), jnp.asarray(hb), jnp.asarray(ma),
+        jnp.asarray(mb), t)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(ref_a),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
+                               atol=1e-5)
+
+
+def test_pipeline_stage_split():
+    cfg = esm2.ESM2Config.tiny()  # 2 layers
+    params = esm2.init_params(jax.random.key(0), cfg)
+    stages = split_layer_stages(params, 2)
+    assert len(stages) == 2
+    assert "embed" in stages[0] and "embed" not in stages[1]
+    assert "final_ln" in stages[1] and "final_ln" not in stages[0]
+    w0 = stages[0]["layers"]["attn"]["q"]["w"]
+    assert w0.shape[0] == 1
+    np.testing.assert_array_equal(
+        np.asarray(w0[0]), np.asarray(params["layers"]["attn"]["q"]["w"][0]))
+
+
+def test_eval_allrec_onequery_wrapper(rng):
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.eval.retrieval import (
+        eval_allrec_onequery, evaluate_retrieval)
+    from protein_clip_tpu.models import clip
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=8,
+                           h1=2, h2=2, esm=esm_cfg)
+    params = clip.init_params(jax.random.key(0), mcfg)
+    esm_params = esm2.init_params(jax.random.key(1), esm_cfg)
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    batches = [(
+        ["".join(rng.choice(aas, 12)) for _ in range(8)],
+        ["".join(rng.choice(aas, 20)) for _ in range(8)],
+    ) for _ in range(2)]
+    full = evaluate_retrieval(params, esm_params, batches, EsmTokenizer(),
+                              mcfg, n_candidates=16, seed=0)
+    single = eval_allrec_onequery(params, esm_params, batches, EsmTokenizer(),
+                                  mcfg, k=3, n_candidates=16)
+    assert single == [int(full.ranks[3])]
