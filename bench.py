@@ -23,8 +23,9 @@ from pathlib import Path
 import numpy as np
 
 
-def make_batches(rng, n, global_batch, tokenizer):
-    from protein_clip_tpu.train.clip_engine import tokenize_pair_batch
+def make_batches(rng, n, global_batch, tokenizer, length_groups=1):
+    from protein_clip_tpu.train.clip_engine import (tokenize_grouped,
+                                                    tokenize_pair_batch)
 
     aas = list("LAGVSERTIDPKQNFYMHWC")
     batches = []
@@ -33,7 +34,11 @@ def make_batches(rng, n, global_batch, tokenizer):
                 for _ in range(global_batch)]
         recs = ["".join(rng.choice(aas, rng.integers(100, 500)))
                 for _ in range(global_batch)]
-        batches.append(tokenize_pair_batch(tokenizer, peps, recs))
+        if length_groups > 1:
+            batches.append(tokenize_grouped(tokenizer, peps, recs,
+                                            length_groups))
+        else:
+            batches.append(tokenize_pair_batch(tokenizer, peps, recs))
     return batches
 
 
@@ -61,7 +66,7 @@ def main():
 
     cfg = clip_engine.EngineConfig(model=mcfg, batch_size=16,
                                    accumulated_batches=16, num_chunks=8,
-                                   remat=True)
+                                   remat=True, length_groups=4)
     optimizer = opt_mod.adam(cfg.learning_rate)
     opt_state = optimizer.init(params)
     step = clip_engine.make_train_step(cfg, optimizer)
@@ -69,22 +74,26 @@ def main():
     tokenizer = EsmTokenizer()
     rng = np.random.default_rng(42)
     n_steps = 10
-    batches = make_batches(rng, n_steps + 1, cfg.global_batch, tokenizer)
+    batches = make_batches(rng, n_steps + 1, cfg.global_batch, tokenizer,
+                           cfg.length_groups)
     # Pre-stage on device: a production input pipeline overlaps host->device
     # transfer with compute (data/prefetch.py); the axon tunnel serialises
     # transfers at ~0.3 MB/s AND materialises device_put lazily, so force
     # the transfer with a real reduction per array before timing.
     batches = [jax.device_put(b) for b in batches]
     for b in batches:
-        for v in b.values():
-            float(jnp.sum(v.astype(jnp.int32)))
+        for leaf in jax.tree.leaves(b):
+            float(jnp.sum(leaf.astype(jnp.int32)))
 
     key = jax.random.key(0)
-    # warmup/compile
-    key, sub = jax.random.split(key)
-    params, opt_state, loss = step(params, opt_state, esm_params,
-                                   batches[0], sub)
-    jax.block_until_ready(loss)
+    # warmup/compile: one step per batch — length-grouped bucket
+    # compositions vary slightly between batches and each distinct
+    # composition compiles once (cached thereafter; in a real run the few
+    # compositions amortise over thousands of steps).
+    for b in batches:
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, esm_params, b, sub)
+        float(loss)
 
     t0 = time.perf_counter()
     for i in range(n_steps):

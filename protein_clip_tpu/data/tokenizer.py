@@ -41,7 +41,13 @@ VOCAB_SIZE = len(ESM2_VOCAB)  # 33
 
 # Default static pad buckets (tokens incl. <cls>/<eos>). The reference caps
 # ingest at 2000 residues (modules/data_utils_2protein.py:88) => 2002 tokens.
-DEFAULT_BUCKETS: tuple[int, ...] = (32, 64, 128, 256, 512, 1024, 2048)
+# Sub-power-of-two steps (multiples of 64; T only needs sublane-8 alignment)
+# cut padding waste for length-grouped batches (train.clip_engine.
+# tokenize_grouped) at the cost of a few more cached compilations.
+DEFAULT_BUCKETS: tuple[int, ...] = (
+    32, 64, 128, 192, 256, 320, 384, 448, 512, 640, 768, 1024,
+    1280, 1536, 2048,
+)
 
 
 def _build_byte_table() -> np.ndarray:

@@ -15,9 +15,11 @@ from protein_clip_tpu.models import clip, esm2
 from protein_clip_tpu.train import clip_engine, loop
 
 # pinned from the seeded run (CPU f32, jax 0.9.0); loose tolerance guards
-# against accidental semantic drift while allowing fp reassociation noise
-GOLDEN_TRAIN = [2.147516, 2.073801, 2.112289]
-GOLDEN_VAL = [1.445185, 1.467349, 1.434688]
+# against accidental semantic drift while allowing fp reassociation noise.
+# NOTE: the values depend on DEFAULT_BUCKETS (dropout mask shape follows the
+# pad bucket) — regenerate when the bucket set changes.
+GOLDEN_TRAIN = [2.140295, 2.074165, 2.112592]
+GOLDEN_VAL = [1.450437, 1.476688, 1.441805]
 
 
 def test_seeded_run_reproduces_golden_losses(tmp_path):

@@ -177,3 +177,32 @@ def test_compact_batch_roundtrip(rng):
     # idempotent on already-full batches
     again = expand_batch(full)
     assert again is full
+
+
+def test_grouped_step_matches_ungrouped_loss(tiny, rng):
+    """Length-grouped step: same loss as ungrouped at the same pairs
+    (permutation-invariant InfoNCE), dropout off."""
+    mcfg, esm_params, params = tiny
+    mcfg0 = clip.CLIPConfig(**{**mcfg.__dict__, "dropout": 0.0})
+    cfg = clip_engine.EngineConfig(model=mcfg0, batch_size=8,
+                                   accumulated_batches=1, num_chunks=4,
+                                   remat=False)
+    optimizer = optax.adam(1e-3)
+    opt0 = optimizer.init(params)
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    tok = EsmTokenizer()
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    peps = ["".join(rng.choice(aas, int(n))) for n in rng.integers(5, 12, 8)]
+    recs = ["".join(rng.choice(aas, int(n))) for n in rng.integers(10, 60, 8)]
+
+    plain = clip_engine.make_train_step(cfg, optimizer)
+    b = clip_engine.tokenize_pair_batch(tok, peps, recs)
+    _, _, l_plain = plain(params, opt0, esm_params, b, jax.random.key(0))
+
+    grouped = clip_engine.make_train_step_grouped(cfg, optimizer)
+    gb = clip_engine.tokenize_grouped(tok, peps, recs, n_groups=2)
+    assert gb[0]["rec_ids"].shape[1] <= gb[1]["rec_ids"].shape[1]
+    p2, _, l_grouped = grouped(params, opt0, esm_params, gb,
+                               jax.random.key(0))
+    np.testing.assert_allclose(float(l_plain), float(l_grouped), rtol=1e-5)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(p2))
