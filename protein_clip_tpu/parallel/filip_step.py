@@ -1,0 +1,115 @@
+"""Multi-chip FILIP training step: DP over 'data' with token-level gather.
+
+Late-interaction negatives need *token* embeddings, not pooled vectors: each
+chip encodes its local batch shard, all-gathers the other side's normalised
+token tensor (B_local, T, D) -> (B_global, T, D) over ICI, and computes its
+B_local rows of both similarity matrices. Both FILIP direction losses reduce
+row-wise (the denominator of training_utils_filip.py:4-23 sums over axis 1),
+so each chip owns complete rows and the global loss is a psum of row sums.
+
+Gradients flow through the all-gather back to each chip's local tokens
+(reduce-scatter inserted by XLA's AD of all_gather) — GradCache-style
+cotangent routing at token granularity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from ..models import filip
+from ..models.filip import filip_similarity
+from .mesh import DATA_AXIS
+
+
+def _row_direction_loss_sum(logits_rows, diag_rows, use_dcl=False):
+    """Sum (not mean) of per-row CE terms for locally-owned rows.
+
+    logits_rows: (B_local, B_global); diag_rows: the positive logit of each
+    local row (the column index equals the row's global position).
+    """
+    logits_rows = logits_rows.astype(jnp.float32)
+    if use_dcl:
+        b_local, b_global = logits_rows.shape
+        shard = jax.lax.axis_index(DATA_AXIS)
+        col = jax.lax.broadcasted_iota(jnp.int32, (b_local, b_global), 1)
+        row_global = (jax.lax.broadcasted_iota(jnp.int32,
+                                               (b_local, b_global), 0)
+                      + shard * b_local)
+        logits_rows = jnp.where(col == row_global, -jnp.inf, logits_rows)
+    lse = jax.nn.logsumexp(logits_rows, axis=1)
+    return jnp.sum(lse - diag_rows)
+
+
+def make_sharded_filip_train_step(cfg, optimizer: optax.GradientTransformation,
+                                  mesh, use_dcl: bool = False):
+    """jit(shard_map) FILIP step; batch sharded over 'data', params
+    replicated (TP over 'model' via GSPMD as in parallel/step.py)."""
+    from ..models import esm2 as esm2_mod
+    from ..train.clip_engine import expand_batch
+
+    mcfg = cfg.model
+    n_data = mesh.shape[DATA_AXIS]
+
+    def local_step(params, opt_state, esm_params, batch, rng):
+        batch = expand_batch(batch)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        hp = jax.lax.stop_gradient(
+            esm2_mod.forward(esm_params, batch["pep_ids"], batch["pep_mask"],
+                             mcfg.esm, remat=cfg.remat)).astype(jnp.float32)
+        hr = jax.lax.stop_gradient(
+            esm2_mod.forward(esm_params, batch["rec_ids"], batch["rec_mask"],
+                             mcfg.esm, remat=cfg.remat)).astype(jnp.float32)
+        b_local = hp.shape[0]
+        b_global = b_local * n_data
+
+        def loss_fn(p):
+            rp, rr = jax.random.split(rng)
+            ha = filip.encode_side_tokens(p, "pep", hp, mcfg, train=True,
+                                          rng=rp)
+            hb = filip.encode_side_tokens(p, "rec", hr, mcfg, train=True,
+                                          rng=rr)
+            ma = batch["pep_mask"]
+            mb = batch["rec_mask"]
+            # gather the OTHER side's tokens so each chip owns full rows
+            hb_all = jax.lax.all_gather(hb, DATA_AXIS, axis=0, tiled=True)
+            mb_all = jax.lax.all_gather(mb, DATA_AXIS, axis=0, tiled=True)
+
+            t = p["temperature"]
+            # local-A-vs-global-B gives complete rows of BOTH matrices:
+            # sim_a[i,j] reduces over A's tokens, sim_b[i,j] over B's.
+            sim_a_rows, sim_b_rows = filip_similarity(ha, hb_all, ma, mb_all,
+                                                      t)
+
+            shard = jax.lax.axis_index(DATA_AXIS)
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (b_local, b_global), 1)
+            row_global = (jax.lax.broadcasted_iota(
+                jnp.int32, (b_local, b_global), 0) + shard * b_local)
+            diag_a = jnp.sum(jnp.where(col == row_global, sim_a_rows, 0.0),
+                             axis=1)
+            diag_b = jnp.sum(jnp.where(col == row_global, sim_b_rows, 0.0),
+                             axis=1)
+
+            sum_a = _row_direction_loss_sum(sim_a_rows, diag_a, use_dcl)
+            sum_b = _row_direction_loss_sum(sim_b_rows, diag_b, use_dcl)
+            total = jax.lax.psum(sum_a + sum_b, DATA_AXIS)
+            return 0.5 * total / b_global
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        axis_names={DATA_AXIS},
+        check_vma=False,
+    )
+    return jax.jit(sharded)

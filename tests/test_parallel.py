@@ -134,3 +134,37 @@ def test_dp_tp_combined_train_step(tiny, rng):
     for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=1e-5, rtol=1e-3)
+
+
+def test_sharded_filip_step_matches_single_device(tiny, rng):
+    """Multi-chip FILIP: token-gather DP step == single-device step."""
+    from protein_clip_tpu.models import filip as filip_mod
+    from protein_clip_tpu.parallel.filip_step import (
+        make_sharded_filip_train_step)
+    from protein_clip_tpu.train import filip_engine
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = filip_mod.FILIPConfig(input_dim=esm_cfg.hidden_size,
+                                 embedding_dim=16, h1=2, h2=2, dropout=0.0,
+                                 esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(1), esm_cfg)
+    params = filip_mod.init_params(jax.random.key(2), mcfg)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=16,
+                                   accumulated_batches=1, num_chunks=1,
+                                   remat=False)
+    b = _batch(rng, 16, 12)
+    optimizer = optax.adam(1e-3)
+    opt0 = optimizer.init(params)
+
+    single = filip_engine.make_train_step(
+        cfg, optimizer, similarity_fn=filip_mod.filip_similarity)
+    p1, _, l1 = single(params, opt0, esm_params, b, jax.random.key(0))
+
+    m = mesh_mod.make_mesh()  # data=8, local batch 2
+    step = make_sharded_filip_train_step(cfg, optimizer, m)
+    p2, _, l2 = step(params, opt0, esm_params, shard_batch(m, b),
+                     jax.random.key(0))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-3)
