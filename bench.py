@@ -65,7 +65,7 @@ def main():
     params = clip.init_params(jax.random.key(1), mcfg)
 
     cfg = clip_engine.EngineConfig(model=mcfg, batch_size=16,
-                                   accumulated_batches=16, num_chunks=8,
+                                   accumulated_batches=16, num_chunks=16,
                                    remat=True, length_groups=4)
     optimizer = opt_mod.adam(cfg.learning_rate)
     opt_state = optimizer.init(params)

@@ -47,12 +47,18 @@ class ESM2Config:
     token_dropout: bool = True
     # dtype the bulk matmuls run in; f32 accumulation is always used.
     compute_dtype: Any = jnp.float32
-    # Fused flash-attention (Pallas) path: tiles the softmax so the
-    # (B, heads, T, T) score tensor never hits HBM. Exact w.r.t. the eager
-    # path: ESM scales q BEFORE RoPE, and rotation is linear, so the scale
-    # commutes. TPU-only; ignored elsewhere.
+    # Attention implementation:
+    # - "eager": einsum + masked softmax (XLA-fused), works everywhere;
+    # - "fused": ops/attention_pallas.py — single-shot VMEM softmax per
+    #   (batch, head), shaped for ESM's head_dim=32 (TPU only, T <= 1024);
+    # - "flash": stock pallas flash kernel (pads dh to 128 — measured
+    #   slower for ESM; kept for long-T fallback).
+    attention_impl: str = "eager"
+    fused_min_seq_len: int = 128   # eager wins for tiny T
+    fused_max_seq_len: int = 1024  # (T,T) f32 tile must fit VMEM
+    # Back-compat alias for "flash"
     use_flash_attention: bool = False
-    flash_min_seq_len: int = 256  # eager is faster for tiny T
+    flash_min_seq_len: int = 256
 
     @property
     def head_dim(self) -> int:
@@ -189,7 +195,14 @@ def _attention_block(x, p, mask_bias, attention_mask, cos, sin,
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
-    if _use_flash(cfg, T):
+    if (cfg.attention_impl == "fused"
+            and cfg.fused_min_seq_len <= T <= cfg.fused_max_seq_len
+            and jax.default_backend() == "tpu"):
+        from ..ops.attention_pallas import fused_attention
+        ctx = fused_attention(q, k, v, attention_mask).astype(x.dtype)
+    elif _use_flash(cfg, T) or (cfg.attention_impl == "flash"
+                                and T >= cfg.flash_min_seq_len
+                                and jax.default_backend() == "tpu"):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             SegmentIds, flash_attention)
         seg = attention_mask.astype(jnp.int32)

@@ -54,7 +54,11 @@ def plot_embedding_cosine_similarities(base_path, title, loader, tokenizer,
         print(f"[viz] skipping '{title}': loader is empty")
         return ""
     matrix = compute_fn(peps, recs)
-    return plot_similarity_matrix(base_path, title, matrix)
+    path = plot_similarity_matrix(base_path, title, matrix)
+    if path:
+        # raw matrix alongside the heatmap, for numerical parity checks
+        np.save(Path(path).with_suffix(".npy"), np.asarray(matrix))
+    return path
 
 
 def plot_loss_curves(base_path, train_losses, val_losses,

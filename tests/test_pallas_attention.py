@@ -1,0 +1,59 @@
+"""Fused dh=32 attention kernel vs the eager reference (interpret on CPU)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from protein_clip_tpu.models import esm2
+from protein_clip_tpu.ops.attention_pallas import (
+    _eager_reference, fused_attention)
+
+
+def _qkvm(rng, B=2, T=128, NH=4, DH=32):
+    q = rng.normal(size=(B, T, NH, DH)).astype(np.float32) * 0.3
+    k = rng.normal(size=(B, T, NH, DH)).astype(np.float32) * 0.3
+    v = rng.normal(size=(B, T, NH, DH)).astype(np.float32)
+    mask = np.ones((B, T), np.int32)
+    mask[0, T // 2:] = 0
+    mask[1 % B, T - 5:] = 0
+    return (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(mask))
+
+
+def test_fused_matches_eager(rng):
+    q, k, v, mask = _qkvm(rng)
+    got = np.asarray(fused_attention(q, k, v, mask))
+    ref = np.asarray(_eager_reference(q, k, v, mask))
+    m = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(got[m], ref[m], atol=1e-5)
+
+
+def test_fused_grads_match_eager(rng):
+    q, k, v, mask = _qkvm(rng, B=1, T=16)
+
+    def loss_fused(q_, k_, v_):
+        return jnp.sum(fused_attention(q_, k_, v_, mask) ** 2)
+
+    def loss_eager(q_, k_, v_):
+        return jnp.sum(_eager_reference(q_, k_, v_, mask) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_eager, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_esm_forward_fused_matches_eager(rng):
+    cfg_e = esm2.ESM2Config.tiny()
+    # fused path only engages on TPU; on CPU this exercises the dispatch
+    # logic falling back to eager — outputs must be identical either way.
+    cfg_f = dataclasses.replace(cfg_e, attention_impl="fused",
+                                fused_min_seq_len=8)
+    params = esm2.init_params(jax.random.key(0), cfg_e)
+    ids = jnp.asarray(rng.integers(4, 24, (3, 24)), jnp.int32)
+    mask = jnp.ones((3, 24), jnp.int32)
+    a = esm2.forward(params, ids, mask, cfg_e)
+    b = esm2.forward(params, ids, mask, cfg_f)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
