@@ -14,6 +14,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: TPU compiles for the 150M backbone cost
+# 30-200s; cache them across runs.
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path.home() / ".cache" / "jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 from ..data.tokenizer import EsmTokenizer
 from ..models import esm2
 

@@ -173,13 +173,25 @@ class EsmTokenizer:
         seqs: Sequence[str],
         pad_to: int | None = None,
         bucketed: bool = True,
+        padding: bool | None = None,
+        return_tensors: str | None = None,
     ) -> dict[str, np.ndarray]:
         """Tokenize a batch -> {'input_ids', 'attention_mask'} int32 arrays.
 
         pad_to: explicit static length; otherwise the bucket covering the
         longest sequence (or exact max length if bucketed=False, matching the
         reference's pad-to-longest semantics byte for byte).
+
+        padding/return_tensors: HF EsmTokenizer call-compat shims —
+        ``padding=True`` selects pad-to-longest (bucketed=False);
+        return_tensors accepts 'np' (default behavior) only.
         """
+        if padding is True:
+            bucketed = False
+        if return_tensors not in (None, "np"):
+            raise ValueError(
+                f"return_tensors={return_tensors!r} unsupported: arrays are "
+                "NumPy; wrap with jnp.asarray for device use")
         if (self.config.use_native and seqs
                 and not any("<" in s for s in seqs)):
             lib = _native_lib()

@@ -30,6 +30,15 @@ from ..models import clip, esm2
 from ..ops.infonce import clip_infonce
 from .gradcache import encode_hidden_chunked
 
+
+def default_loss_fn() -> Callable:
+    """Fused Pallas InfoNCE on TPU (ops/infonce_pallas.py), lax elsewhere.
+    Values agree to f32 rounding (tests/test_pallas_infonce.py)."""
+    if jax.default_backend() == "tpu":
+        from ..ops.infonce_pallas import fused_infonce
+        return fused_infonce
+    return clip_infonce
+
 Params = dict[str, Any]
 
 
@@ -118,10 +127,12 @@ def tokenize_grouped(tokenizer: EsmTokenizer, peps: list[str],
 
 def make_train_step(cfg: EngineConfig,
                     optimizer: optax.GradientTransformation,
-                    loss_fn: Callable = clip_infonce):
+                    loss_fn: Callable | None = None):
     """jit'd global-batch step: (params, opt_state, esm_params, batch, rng)
     -> (params, opt_state, loss). With cfg.length_groups > 1 the batch is a
-    tuple of length-grouped batches (tokenize_grouped)."""
+    tuple of length-grouped batches (tokenize_grouped). loss_fn defaults to
+    the fused Pallas InfoNCE on TPU."""
+    loss_fn = loss_fn or default_loss_fn()
     if cfg.length_groups > 1:
         return make_train_step_grouped(cfg, optimizer, loss_fn)
 
@@ -156,10 +167,11 @@ def make_train_step(cfg: EngineConfig,
 
 def make_train_step_grouped(cfg: EngineConfig,
                             optimizer: optax.GradientTransformation,
-                            loss_fn: Callable = clip_infonce):
+                            loss_fn: Callable | None = None):
     """Train step over length-grouped batches (tokenize_grouped output):
     each group's backbone pass runs at its own (smaller) bucket length;
     pooled embeddings concatenate before the global-batch loss."""
+    loss_fn = loss_fn or default_loss_fn()
     mcfg = cfg.model
 
     def group_hidden(esm_params, batch, n_chunks):
@@ -198,7 +210,8 @@ def make_train_step_grouped(cfg: EngineConfig,
     return step
 
 
-def make_eval_step(cfg: EngineConfig, loss_fn: Callable = clip_infonce):
+def make_eval_step(cfg: EngineConfig, loss_fn: Callable | None = None):
+    loss_fn = loss_fn or default_loss_fn()
     mcfg = cfg.model
 
     @jax.jit
