@@ -39,7 +39,8 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="head FFN activation (tanh = notebook N5 variant)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--esm-config", default="t30_150M",
-                   choices=["t30_150M", "t6_8M", "tiny"])
+                   choices=["t30_150M", "t6_8M", "t12_35M", "t33_650M",
+                            "t36_3B", "tiny"])
     p.add_argument("--esm-weights", default=None,
                    help="npz from tools/convert_esm_weights.py, or an HF "
                         "model dir; omit for random init (smoke runs)")
@@ -66,6 +67,9 @@ def esm_config(name: str, dtype_name: str) -> esm2.ESM2Config:
     return {
         "t30_150M": esm2.ESM2Config.t30_150M,
         "t6_8M": esm2.ESM2Config.t6_8M,
+        "t12_35M": esm2.ESM2Config.t12_35M,
+        "t33_650M": esm2.ESM2Config.t33_650M,
+        "t36_3B": esm2.ESM2Config.t36_3B,
         "tiny": esm2.ESM2Config.tiny,
     }[name](compute_dtype=dtype)
 

@@ -78,6 +78,31 @@ class ESM2Config:
         )
 
     @staticmethod
+    def t12_35M(**over) -> "ESM2Config":
+        """facebook/esm2_t12_35M_UR50D."""
+        return ESM2Config(
+            hidden_size=480, num_layers=12, num_heads=20,
+            intermediate_size=1920, **over,
+        )
+
+    @staticmethod
+    def t33_650M(**over) -> "ESM2Config":
+        """facebook/esm2_t33_650M_UR50D — fits one v5e chip in bf16."""
+        return ESM2Config(
+            hidden_size=1280, num_layers=33, num_heads=20,
+            intermediate_size=5120, **over,
+        )
+
+    @staticmethod
+    def t36_3B(**over) -> "ESM2Config":
+        """facebook/esm2_t36_3B_UR50D — the tensor-parallel regime
+        (parallel/sharding.py 'model' axis)."""
+        return ESM2Config(
+            hidden_size=2560, num_layers=36, num_heads=40,
+            intermediate_size=10240, **over,
+        )
+
+    @staticmethod
     def tiny(**over) -> "ESM2Config":
         """Tiny config for tests."""
         return ESM2Config(

@@ -94,3 +94,45 @@ def test_eval_allrec_onequery_wrapper(rng):
     single = eval_allrec_onequery(params, esm_params, batches, EsmTokenizer(),
                                   mcfg, k=3, n_candidates=16)
     assert single == [int(full.ranks[3])]
+
+
+def test_embedder_order_and_batching(rng):
+    """Embedder: length-sorted batching preserves order; ragged tail padded."""
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.eval.embed import Embedder, nearest_partners
+    from protein_clip_tpu.models import clip
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=8,
+                           h1=2, h2=2, esm=esm_cfg)
+    params = clip.init_params(jax.random.key(0), mcfg)
+    esm_params = esm2.init_params(jax.random.key(1), esm_cfg)
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    seqs = ["".join(rng.choice(aas, int(n)))
+            for n in rng.integers(5, 40, 11)]  # 11 seqs, batch 4 -> ragged
+    embedder = Embedder(params, esm_params, mcfg, side="rec", batch_size=4,
+                        num_chunks=2)
+    emb = embedder(seqs)
+    assert emb.shape == (11, 8)
+    # single-sequence embedding must match its batched counterpart
+    one = embedder([seqs[7]])
+    np.testing.assert_allclose(emb[7], one[0], atol=1e-4)
+    # nearest_partners returns self as top hit for identical corpora
+    idx, scores = nearest_partners(emb, emb, k=3)
+    assert (idx[:, 0] == np.arange(11)).mean() > 0.7
+
+
+def test_esm_family_configs():
+    for name, (H, L, P) in {
+        "t12_35M": (480, 12, 35e6),
+        "t33_650M": (1280, 33, 650e6),
+        "t36_3B": (2560, 36, 2.8e9),
+    }.items():
+        cfg = getattr(esm2.ESM2Config, name)()
+        assert cfg.hidden_size == H and cfg.num_layers == L
+        assert cfg.hidden_size % cfg.num_heads == 0
+        # parameter-count sanity via shapes (no init for the big ones)
+        shapes = jax.eval_shape(
+            lambda: esm2.init_params(jax.random.key(0), cfg))
+        n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+        assert 0.7 * P < n < 1.3 * P, (name, n)
