@@ -12,7 +12,6 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # Persistent compilation cache: TPU compiles for the 150M backbone cost
 # 30-200s; cache them across runs.

@@ -9,12 +9,10 @@ entries.
 from __future__ import annotations
 
 import argparse
-import json
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from . import common

@@ -10,14 +10,12 @@ nearest-partner query over precomputed embeddings.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..data.tokenizer import EsmTokenizer
-from ..models import clip, esm2
+from ..models import clip
 from ..train.gradcache import encode_hidden_chunked
 
 

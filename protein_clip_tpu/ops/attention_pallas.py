@@ -17,8 +17,6 @@ attention under jax.vjp. Correct everywhere, fast where it matters.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

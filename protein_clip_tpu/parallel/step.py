@@ -12,8 +12,6 @@ GradCache's cached-embedding cotangent routing, but done by XLA.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -17,7 +17,6 @@ jit-compiled pure steps over static bucket shapes:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Iterable
 
 import jax
@@ -26,7 +25,7 @@ import numpy as np
 import optax
 
 from ..data.tokenizer import EsmTokenizer
-from ..models import clip, esm2
+from ..models import clip
 from ..ops.infonce import clip_infonce
 from .gradcache import encode_hidden_chunked
 

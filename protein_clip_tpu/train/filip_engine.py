@@ -12,13 +12,12 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from ..models import filip
 from ..ops.infonce import filip_loss
 from ..ops.filip_pallas import filip_similarity_fused
-from .clip_engine import EngineConfig, expand_batch, tokenize_pair_batch
+from .clip_engine import EngineConfig, expand_batch
 
 Params = dict[str, Any]
 

@@ -9,7 +9,6 @@ cosine by exp(-temperature) (":38-52"), loss curves normalised by
 from __future__ import annotations
 
 import math
-import os
 from pathlib import Path
 
 import matplotlib
