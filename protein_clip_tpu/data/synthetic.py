@@ -29,12 +29,18 @@ def make_pair_corpus(
     peptide_len: tuple[int, int] = (8, 30),
     mutation_rate: float = 0.1,
     seed: int = 42,
+    correlated: bool = False,
 ) -> tuple[list[str], list[str]]:
     """Return (peptides, receptors), index-paired like the Propedia files.
 
     Receptors within a family are point-mutated copies of a family ancestor
     (≥ 1-mutation_rate identity), so a min-seq-id 0.5 clusterer should group
     them; peptides are independent random sequences per pair.
+
+    correlated=True plants each pair's peptide inside its receptor as a
+    binding-motif stand-in, giving the corpus a learnable pep<->rec signal —
+    used to demonstrate that end-to-end training beats random retrieval
+    (tools/learning_demo.py).
     """
     rng = random.Random(seed)
     peptides: list[str] = []
@@ -47,6 +53,9 @@ def make_pair_corpus(
             rec = _mutate(ancestor, int(mutation_rate * rlen), rng)
             plen = rng.randint(*peptide_len)
             pep = "".join(rng.choice(AA) for _ in range(plen))
+            if correlated:
+                pos = rng.randrange(max(len(rec) - plen, 1))
+                rec = rec[:pos] + pep + rec[pos + plen:]
             peptides.append(pep)
             receptors.append(rec)
     return peptides, receptors

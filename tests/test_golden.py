@@ -49,3 +49,36 @@ def test_same_seed_same_split(tmp_path):
     assert tr1.cluster_ids == tr2.cluster_ids
     assert va1.cluster_ids == va2.cluster_ids
     assert te1.cluster_ids == te2.cluster_ids
+
+
+def test_learning_signal_on_correlated_corpus(tmp_path):
+    """Short end-to-end training on the correlated corpus must beat random
+    retrieval (the full demo lives in tools/learning_demo.py)."""
+    from protein_clip_tpu.data.dataset import ClusterPairDataset, PairLoader
+    from protein_clip_tpu.eval.retrieval import evaluate_retrieval
+    from protein_clip_tpu.train import clip_engine
+
+    peps, recs = synthetic.make_pair_corpus(
+        n_families=96, members_per_family=(1, 1), correlated=True,
+        receptor_len=(30, 50), peptide_len=(8, 12), seed=7)
+    clusters = {f"c{i}": [(peps[i], recs[i])] for i in range(len(peps))}
+    ids = list(clusters)
+    train_ds = ClusterPairDataset(clusters, ids[:64], seed=0)
+    val_ds = ClusterPairDataset(clusters, ids[64:], seed=1)
+    trl = PairLoader(train_ds, 16, shuffle=True, drop_last=True, seed=0)
+    val = PairLoader(val_ds, 16, shuffle=False, drop_last=True, seed=0)
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=32,
+                           h1=2, h2=2, dropout=0.0, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    params = clip.init_params(jax.random.key(1), mcfg)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=16,
+                                   accumulated_batches=2, num_chunks=2)
+    res = loop.fit(tmp_path, cfg, params, esm_params, trl, val,
+                   EsmTokenizer(), num_epochs=15, rng=jax.random.key(2),
+                   log=lambda s: None)
+    assert res.train_losses[-1] < res.train_losses[0] - 0.3
+    after = evaluate_retrieval(res.best_params, esm_params, trl,
+                               EsmTokenizer(), mcfg, n_candidates=32, seed=0)
+    assert after.top1 > 3 / 32  # >= 3x random
