@@ -1,0 +1,132 @@
+"""TPU hardware smoke: compiled-kernel and engine-path checks the CPU test
+suite can't cover (tests/ run on the fake-device CPU mesh; Mosaic tiling
+issues only surface when actually compiled).
+
+Run on a TPU host: python tools/tpu_smoke.py
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    assert jax.default_backend() == "tpu", jax.devices()
+    rng = np.random.default_rng(0)
+    failures = []
+
+    def check(name, fn):
+        t0 = time.perf_counter()
+        try:
+            fn()
+            print(f"[ok] {name} ({time.perf_counter() - t0:.1f}s)")
+        except Exception as e:
+            failures.append(name)
+            print(f"[FAIL] {name}: {type(e).__name__} {str(e)[:200]}")
+
+    # fused InfoNCE at reference batch and at odd batch sizes
+    def infonce_shapes():
+        from protein_clip_tpu.ops.infonce import clip_infonce
+        from protein_clip_tpu.ops.infonce_pallas import fused_infonce
+        for B, D in [(256, 128), (10, 128), (16, 32)]:
+            x = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+            y = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+            got = float(jax.jit(fused_infonce)(x, y))
+            ref = float(clip_infonce(x, y))
+            # rel tolerance: padded-tile f32 reassociation at odd B
+            assert abs(got - ref) < 1e-3 * max(abs(ref), 1.0), (B, D, got,
+                                                                ref)
+            gx, _ = jax.grad(lambda a, b: fused_infonce(a, b),
+                             argnums=(0, 1))(x, y)
+            assert np.isfinite(np.asarray(gx)).all()
+
+    check("fused_infonce odd shapes", infonce_shapes)
+
+    # FILIP kernel at the reference FILIP batch (10) and mixed buckets
+    def filip_shapes():
+        from protein_clip_tpu.models.filip import filip_similarity
+        from protein_clip_tpu.ops.filip_pallas import filip_similarity_fused
+        for B, TA, TB in [(10, 64, 320), (16, 32, 512), (12, 192, 192)]:
+            ha = rng.normal(size=(B, TA, 128)).astype(np.float32)
+            hb = rng.normal(size=(B, TB, 128)).astype(np.float32)
+            ha /= np.linalg.norm(ha, axis=-1, keepdims=True)
+            hb /= np.linalg.norm(hb, axis=-1, keepdims=True)
+            ma = np.ones((B, TA), np.int32); ma[0, TA // 2:] = 0
+            mb = np.ones((B, TB), np.int32); mb[-1, 5:] = 0
+            t = jnp.asarray(1.0)
+            got = jax.jit(lambda *a: filip_similarity_fused(*a, t))(
+                jnp.asarray(ha), jnp.asarray(hb), jnp.asarray(ma),
+                jnp.asarray(mb))
+            ref = filip_similarity(jnp.asarray(ha), jnp.asarray(hb),
+                                   jnp.asarray(ma), jnp.asarray(mb), t)
+            for gm, rm in zip(got, ref):
+                d = float(jnp.abs(gm - rm).max())
+                assert d < 1e-5, (B, TA, TB, d)
+
+    check("filip kernel odd shapes", filip_shapes)
+
+    # fused attention kernel compiled (gated off by default, still must work)
+    def fused_attention():
+        from protein_clip_tpu.ops.attention_pallas import (
+            _eager_reference, fused_attention)
+        # realistic scaling: q carries dh^-0.5 (logits ~N(0,1)); unscaled
+        # logits (+-30) amplify near-tie softmax sensitivity in BOTH paths
+        q = jnp.asarray(rng.normal(size=(4, 256, 20, 32)).astype(np.float32)
+                        ) * (32 ** -0.5)
+        k = jnp.asarray(rng.normal(size=(4, 256, 20, 32)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(4, 256, 20, 32)).astype(np.float32))
+        m = np.ones((4, 256), np.int32); m[1, 100:] = 0
+        got = jax.jit(fused_attention)(q, k, v, jnp.asarray(m))
+        ref = _eager_reference(q, k, v, jnp.asarray(m))
+        mb = np.asarray(m).astype(bool)
+        assert float(jnp.abs(got - ref)[mb].max()) < 1e-3
+
+    check("fused attention kernel", fused_attention)
+
+    # FILIP train step at reference batch 10 with the fused kernel
+    def filip_engine_step():
+        from protein_clip_tpu.models import esm2, filip
+        from protein_clip_tpu.train import clip_engine, filip_engine
+        from protein_clip_tpu.train import optimizer as opt_mod
+        esm_cfg = esm2.ESM2Config.t6_8M(compute_dtype=jnp.bfloat16)
+        mcfg = filip.FILIPConfig(input_dim=esm_cfg.hidden_size,
+                                 embedding_dim=128, esm=esm_cfg)
+        esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
+                                      dtype=jnp.bfloat16)
+        params = filip.init_params(jax.random.key(1), mcfg)
+        cfg = clip_engine.EngineConfig(model=mcfg, batch_size=10,
+                                       accumulated_batches=1, num_chunks=1)
+        optimizer = opt_mod.adam(1e-3)
+        step = filip_engine.make_train_step(cfg, optimizer)
+        from protein_clip_tpu.data.tokenizer import EsmTokenizer
+        tok = EsmTokenizer()
+        aas = list("LAGVSERTIDPKQNFYMHWC")
+        batch = clip_engine.tokenize_pair_batch(
+            tok,
+            ["".join(rng.choice(aas, rng.integers(20, 60)))
+             for _ in range(10)],
+            ["".join(rng.choice(aas, rng.integers(100, 400)))
+             for _ in range(10)])
+        p, o, l = step(params, optimizer.init(params), esm_params, batch,
+                       jax.random.key(2))
+        assert np.isfinite(float(l))
+
+    check("FILIP engine step (bs 10, fused kernel)", filip_engine_step)
+
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("\nTPU SMOKE OK")
+
+
+if __name__ == "__main__":
+    main()
