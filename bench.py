@@ -34,7 +34,10 @@ def make_batches(rng, n, global_batch, tokenizer, length_groups=1):
                 for _ in range(global_batch)]
         recs = ["".join(rng.choice(aas, rng.integers(100, 500)))
                 for _ in range(global_batch)]
-        if length_groups > 1:
+        if length_groups == "packed":
+            from protein_clip_tpu.train.packed_engine import tokenize_packed
+            batches.append(tokenize_packed(tokenizer, peps, recs))
+        elif isinstance(length_groups, int) and length_groups > 1:
             batches.append(tokenize_grouped(tokenizer, peps, recs,
                                             length_groups))
         else:
@@ -66,7 +69,7 @@ def main():
 
     cfg = clip_engine.EngineConfig(model=mcfg, batch_size=16,
                                    accumulated_batches=16, num_chunks=16,
-                                   remat=True, length_groups=4)
+                                   remat=True, packed=True)
     optimizer = opt_mod.adam(cfg.learning_rate)
     opt_state = optimizer.init(params)
     step = clip_engine.make_train_step(cfg, optimizer)
@@ -75,7 +78,7 @@ def main():
     rng = np.random.default_rng(42)
     n_steps = 10
     batches = make_batches(rng, n_steps + 1, cfg.global_batch, tokenizer,
-                           cfg.length_groups)
+                           "packed" if cfg.packed else cfg.length_groups)
     # Pre-stage on device: a production input pipeline overlaps host->device
     # transfer with compute (data/prefetch.py); the axon tunnel serialises
     # transfers at ~0.3 MB/s AND materialises device_put lazily, so force

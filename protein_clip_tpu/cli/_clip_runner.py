@@ -71,7 +71,8 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
         model=mcfg, batch_size=args.batch_size,
         accumulated_batches=args.accumulated_batches,
         learning_rate=args.lr, num_chunks=args.num_chunks,
-        length_groups=args.length_groups if not args.no_gradcache else 1)
+        length_groups=args.length_groups if not args.no_gradcache else 1,
+        packed=args.packed and not args.no_gradcache)
 
     def epoch_hook(epoch, best_params):
         if not args.epoch_figures:

@@ -53,6 +53,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "the 15%% val split fills at least one batch")
     p.add_argument("--num-chunks", type=int, default=16,
                    help="backbone microbatches per global step")
+    p.add_argument("--packed", action="store_true",
+                   help="sequence-packed encoding (segment-masked rows; "
+                        "supersedes --length-groups)")
     p.add_argument("--length-groups", type=int, default=4,
                    help="length-sorted encode groups per global batch "
                         "(1 = single pad bucket)")

@@ -193,8 +193,12 @@ def _rotate_half(x):
 
 
 def _apply_rope(x, cos, sin):
-    # x: (B, T, heads, dh); cos/sin: (T, dh)
-    return x * cos[None, :, None, :] + _rotate_half(x) * sin[None, :, None, :]
+    # x: (B, T, heads, dh); cos/sin: (T, dh) shared positions, or
+    # (B, T, dh) per-token positions (packed rows, data/packing.py)
+    if cos.ndim == 2:
+        return (x * cos[None, :, None, :]
+                + _rotate_half(x) * sin[None, :, None, :])
+    return x * cos[:, :, None, :] + _rotate_half(x) * sin[:, :, None, :]
 
 
 def _use_flash(cfg: ESM2Config, seq_len: int) -> bool:
@@ -203,7 +207,7 @@ def _use_flash(cfg: ESM2Config, seq_len: int) -> bool:
 
 
 def _attention_block(x, p, mask_bias, attention_mask, cos, sin,
-                     cfg: ESM2Config):
+                     cfg: ESM2Config, force_eager: bool = False):
     B, T, H = x.shape
     nh, dh = cfg.num_heads, cfg.head_dim
     h = _layer_norm(x, p["ln"]["w"], p["ln"]["b"], cfg.layer_norm_eps)
@@ -219,14 +223,15 @@ def _attention_block(x, p, mask_bias, attention_mask, cos, sin,
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
-    if (cfg.attention_impl == "fused"
+    if (not force_eager and cfg.attention_impl == "fused"
             and cfg.fused_min_seq_len <= T <= cfg.fused_max_seq_len
             and jax.default_backend() == "tpu"):
         from ..ops.attention_pallas import fused_attention
         ctx = fused_attention(q, k, v, attention_mask).astype(x.dtype)
-    elif _use_flash(cfg, T) or (cfg.attention_impl == "flash"
-                                and T >= cfg.flash_min_seq_len
-                                and jax.default_backend() == "tpu"):
+    elif not force_eager and (
+            _use_flash(cfg, T) or (cfg.attention_impl == "flash"
+                                   and T >= cfg.flash_min_seq_len
+                                   and jax.default_backend() == "tpu")):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             SegmentIds, flash_attention)
         seg = attention_mask.astype(jnp.int32)
@@ -284,18 +289,40 @@ def forward(
     attention_mask: jax.Array,  # (B, T) int32/bool
     cfg: ESM2Config,
     remat: bool = False,
+    segment_ids: jax.Array | None = None,  # (B, T), packed rows
+    positions: jax.Array | None = None,    # (B, T), within-segment pos
 ) -> jax.Array:
-    """Return last_hidden_state (B, T, H), matching HF EsmModel semantics."""
+    """Return last_hidden_state (B, T, H), matching HF EsmModel semantics.
+
+    With segment_ids/positions (packed rows, data/packing.py) attention is
+    block-diagonal per segment and RoPE restarts per segment, so each packed
+    sequence computes exactly what it would unpacked. (Token-dropout rescale
+    is ratio-free without <mask> tokens, so packing does not disturb it;
+    packed MLM is unsupported.)
+    """
     B, T = input_ids.shape
     x = embed(params, input_ids, attention_mask, cfg)
 
     neg = jnp.finfo(jnp.float32).min
-    mask_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * neg
+    if segment_ids is not None:
+        same = (segment_ids[:, :, None] == segment_ids[:, None, :])
+        valid = (segment_ids > 0)[:, None, :]
+        allowed = same & valid
+        mask_bias = jnp.where(allowed[:, None, :, :], 0.0, neg
+                              ).astype(jnp.float32)
+    else:
+        mask_bias = (1.0 - attention_mask[:, None, None, :]
+                     .astype(jnp.float32)) * neg
     cos, sin = _rope_tables(T, cfg.head_dim, cfg.compute_dtype)
+    if positions is not None:
+        cos = jnp.take(cos, positions, axis=0)  # (B, T, dh)
+        sin = jnp.take(sin, positions, axis=0)
+
+    force_eager = segment_ids is not None  # fused/flash lack segment bias
 
     def layer(x, lp):
         x = _attention_block(x, lp["attn"], mask_bias, attention_mask, cos,
-                             sin, cfg)
+                             sin, cfg, force_eager=force_eager)
         x = _ffn_block(x, lp["ffn"], cfg)
         return x, None
 

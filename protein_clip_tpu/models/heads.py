@@ -149,6 +149,39 @@ def encode_pooled(params: Params, hidden: jax.Array, mask: jax.Array,
     return normed * jnp.exp(temperature.astype(normed.dtype) / 2.0)
 
 
+def encode_pooled_packed(params: Params, hidden: jax.Array, sel: jax.Array,
+                         temperature: jax.Array, *,
+                         dropout_rate: float = 0.1, train: bool = False,
+                         rng: jax.Array | None = None,
+                         activation: str = "relu") -> jax.Array:
+    """encode_pooled over PACKED rows (data/packing.py).
+
+    hidden: (R, L, H) backbone states of packed rows; sel: (N, R, L) one-hot
+    segment selector. Returns (N, D) scaled embeddings in original sequence
+    order — numerically the unpacked pipeline's output per sequence.
+    """
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    proj = params["projection"]
+    x = (jnp.einsum("rlh,hd->rld", hidden, proj["w"],
+                    preferred_element_type=jnp.float32).astype(hidden.dtype)
+         + proj["b"])
+    x = apply_ffn(params["aa_ffn"], x, dropout_rate=dropout_rate,
+                  train=train, rng=r1, activation=activation)
+    sums = jnp.einsum("nrl,rld->nd", sel.astype(x.dtype), x,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+    cnt = jnp.clip(jnp.sum(sel, axis=(1, 2)), 1.0, None).astype(x.dtype)
+    pooled = sums / cnt[:, None]
+    pooled = apply_ffn(params["emb_ffn"], pooled, dropout_rate=dropout_rate,
+                       train=train, rng=r2, activation=activation)
+    normed = pooled * jax.lax.rsqrt(
+        jnp.sum(jnp.square(pooled.astype(jnp.float32)), axis=-1,
+                keepdims=True).astype(pooled.dtype)
+        + jnp.finfo(jnp.float32).tiny)
+    return normed * jnp.exp(temperature.astype(normed.dtype) / 2.0)
+
+
 def encode_tokens(params: Params, hidden: jax.Array, *,
                   dropout_rate: float = 0.1, train: bool = False,
                   rng: jax.Array | None = None,

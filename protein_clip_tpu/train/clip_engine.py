@@ -53,6 +53,9 @@ class EngineConfig:
     # buckets (tokenize_grouped) — cuts backbone padding waste ~25-40% on
     # wide length distributions. 1 = single bucket (reference-shaped).
     length_groups: int = 1
+    # sequence packing (train/packed_engine.py): ~95% token fill via
+    # segment-masked rows; supersedes length_groups when True.
+    packed: bool = False
 
     @property
     def global_batch(self) -> int:
@@ -132,6 +135,9 @@ def make_train_step(cfg: EngineConfig,
     tuple of length-grouped batches (tokenize_grouped). loss_fn defaults to
     the fused Pallas InfoNCE on TPU."""
     loss_fn = loss_fn or default_loss_fn()
+    if cfg.packed:
+        from .packed_engine import make_train_step_packed
+        return make_train_step_packed(cfg, optimizer, loss_fn)
     if cfg.length_groups > 1:
         return make_train_step_grouped(cfg, optimizer, loss_fn)
 
@@ -249,7 +255,10 @@ def train_gc(params, opt_state, esm_params, loader, tokenizer, step_fn,
     from ..data.prefetch import prefetch_to_device
 
     total, n_big = 0.0, 0
-    if cfg.length_groups > 1:
+    if cfg.packed:
+        from .packed_engine import tokenize_packed
+        prepare = lambda pr: tokenize_packed(tokenizer, pr[0], pr[1])
+    elif cfg.length_groups > 1:
         prepare = lambda pr: tokenize_grouped(tokenizer, pr[0], pr[1],
                                               cfg.length_groups)
     else:

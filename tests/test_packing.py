@@ -1,0 +1,130 @@
+"""Sequence packing: packed forward == unpacked forward, per sequence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from protein_clip_tpu.data.packing import pack_sequences, segment_pool_matrix
+from protein_clip_tpu.data.tokenizer import EsmTokenizer
+from protein_clip_tpu.models import esm2, heads
+
+
+def _sequences(rng, n=10, lo=5, hi=40):
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    return ["".join(rng.choice(aas, int(L)))
+            for L in rng.integers(lo, hi, n)]
+
+
+def test_pack_shapes_and_mapping(rng):
+    tok = EsmTokenizer()
+    seqs = _sequences(rng, 12)
+    encs = [tok.encode(s) for s in seqs]
+    packed = pack_sequences(encs, row_len=64, row_multiple=4)
+    R, L = packed.ids.shape
+    assert L == 64 and R % 4 == 0
+    assert R < 12  # actually packed (not one row per seq)
+    # every sequence's tokens are intact at its slot
+    for i, e in enumerate(encs):
+        r, k = packed.owner_row[i], packed.owner_seg[i]
+        at = packed.segment_ids[r] == k
+        np.testing.assert_array_equal(packed.ids[r][at], e)
+        np.testing.assert_array_equal(packed.positions[r][at],
+                                      np.arange(len(e)))
+    # selector sums to sequence lengths
+    sel = segment_pool_matrix(packed)
+    np.testing.assert_array_equal(sel.sum(axis=(1, 2)),
+                                  [len(e) for e in encs])
+
+
+def test_packed_hidden_matches_unpacked(rng):
+    cfg = esm2.ESM2Config.tiny()
+    params = esm2.init_params(jax.random.key(0), cfg)
+    tok = EsmTokenizer()
+    seqs = _sequences(rng, 8, lo=5, hi=25)
+    encs = [tok.encode(s) for s in seqs]
+
+    packed = pack_sequences(encs, row_len=64, row_multiple=1)
+    mask = (packed.segment_ids > 0).astype(np.int32)
+    h_packed = np.asarray(esm2.forward(
+        params, jnp.asarray(packed.ids), jnp.asarray(mask), cfg,
+        segment_ids=jnp.asarray(packed.segment_ids),
+        positions=jnp.asarray(packed.positions)))
+
+    for i, e in enumerate(encs):
+        ids = jnp.asarray(e[None, :], jnp.int32)
+        m = jnp.ones((1, len(e)), jnp.int32)
+        h_solo = np.asarray(esm2.forward(params, ids, m, cfg))[0]
+        r, k = packed.owner_row[i], packed.owner_seg[i]
+        at = packed.segment_ids[r] == k
+        np.testing.assert_allclose(h_packed[r][at], h_solo,
+                                   atol=2e-5, rtol=2e-4)
+
+
+def test_packed_pooled_embedding_matches_unpacked(rng):
+    esm_cfg = esm2.ESM2Config.tiny()
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    head = heads.init_head(jax.random.key(1), esm_cfg.hidden_size, 16, 2, 2)
+    tok = EsmTokenizer()
+    seqs = _sequences(rng, 6, lo=5, hi=25)
+    encs = [tok.encode(s) for s in seqs]
+    t = jnp.asarray(0.5)
+
+    packed = pack_sequences(encs, row_len=64, row_multiple=1)
+    mask = (packed.segment_ids > 0).astype(np.int32)
+    hp = esm2.forward(esm_params, jnp.asarray(packed.ids), jnp.asarray(mask),
+                      esm_cfg, segment_ids=jnp.asarray(packed.segment_ids),
+                      positions=jnp.asarray(packed.positions))
+    sel = jnp.asarray(segment_pool_matrix(packed))
+    emb_packed = np.asarray(heads.encode_pooled_packed(
+        head, hp, sel, t, train=False))
+
+    for i, e in enumerate(encs):
+        ids = jnp.asarray(e[None, :], jnp.int32)
+        m = jnp.ones((1, len(e)), jnp.int32)
+        h = esm2.forward(esm_params, ids, m, esm_cfg)
+        emb = np.asarray(heads.encode_pooled(head, h, m, t, train=False))[0]
+        np.testing.assert_allclose(emb_packed[i], emb, atol=1e-4, rtol=1e-3)
+
+
+def test_row_len_overflow_raises(rng):
+    tok = EsmTokenizer()
+    encs = [tok.encode("A" * 100)]
+    import pytest
+    with pytest.raises(ValueError, match="longer than row_len"):
+        pack_sequences(encs, row_len=64)
+
+
+def test_packed_train_step_matches_plain(rng):
+    """Packed step loss == plain step loss on the same pairs (dropout off)."""
+    import optax
+    from protein_clip_tpu.models import clip
+    from protein_clip_tpu.train import clip_engine
+    from protein_clip_tpu.train.packed_engine import (
+        make_train_step_packed, tokenize_packed)
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                           h1=2, h2=2, dropout=0.0, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    params = clip.init_params(jax.random.key(1), mcfg)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2,
+                                   remat=False)
+    tok = EsmTokenizer()
+    peps = _sequences(rng, 8, lo=5, hi=15)
+    recs = _sequences(rng, 8, lo=10, hi=50)
+    optimizer = optax.adam(1e-3)
+    opt0 = optimizer.init(params)
+
+    plain = clip_engine.make_train_step(cfg, optimizer)
+    b = clip_engine.tokenize_pair_batch(tok, peps, recs)
+    p1, _, l1 = plain(params, opt0, esm_params, b, jax.random.key(2))
+
+    packed_step = make_train_step_packed(cfg, optimizer, rows_per_chunk=1)
+    pb = tokenize_packed(tok, peps, recs, pep_row_len=32, rec_row_len=64)
+    p2, _, l2 = packed_step(params, opt0, esm_params, pb, jax.random.key(2))
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=2e-5, rtol=1e-3)
