@@ -56,6 +56,8 @@ class EngineConfig:
     # sequence packing (train/packed_engine.py): ~95% token fill via
     # segment-masked rows; supersedes length_groups when True.
     packed: bool = False
+    # FILIP only: diagonal-masked denominator (training_utils_filip.py:4-23)
+    filip_use_dcl: bool = False
 
     @property
     def global_batch(self) -> int:

@@ -33,8 +33,9 @@ def default_similarity_fn():
 def make_train_step(cfg: EngineConfig,
                     optimizer: optax.GradientTransformation,
                     similarity_fn: Callable | None = None,
-                    use_dcl: bool = False):
+                    use_dcl: bool | None = None):
     mcfg = cfg.model
+    use_dcl = cfg.filip_use_dcl if use_dcl is None else use_dcl
     sim_fn = similarity_fn or default_similarity_fn()
 
     def loss_fn(params, esm_params, batch, rng):
@@ -56,8 +57,9 @@ def make_train_step(cfg: EngineConfig,
 
 
 def make_eval_step(cfg: EngineConfig, similarity_fn: Callable | None = None,
-                   use_dcl: bool = False):
+                   use_dcl: bool | None = None):
     mcfg = cfg.model
+    use_dcl = cfg.filip_use_dcl if use_dcl is None else use_dcl
     sim_fn = similarity_fn or default_similarity_fn()
 
     @jax.jit

@@ -123,7 +123,10 @@ def fit(
             f.write("Epoch,Train Loss,Validation Loss\n")
         for epoch in range(start_epoch, num_epochs):
             t0 = time.perf_counter()
-            rng, erng = jax.random.split(rng)
+            # fold_in: epoch keys are a function of (root rng, epoch), so a
+            # resumed run derives the SAME per-epoch keys as an
+            # uninterrupted one (the reference cannot resume at all).
+            erng = jax.random.fold_in(rng, epoch)
             if use_gradcache:
                 params, opt_state, train_loss = clip_engine.train_gc(
                     params, opt_state, esm_params, train_loader, tokenizer,

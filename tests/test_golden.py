@@ -18,8 +18,8 @@ from protein_clip_tpu.train import clip_engine, loop
 # against accidental semantic drift while allowing fp reassociation noise.
 # NOTE: the values depend on DEFAULT_BUCKETS (dropout mask shape follows the
 # pad bucket) — regenerate when the bucket set changes.
-GOLDEN_TRAIN = [2.140295, 2.074165, 2.112592]
-GOLDEN_VAL = [1.450437, 1.476688, 1.441805]
+GOLDEN_TRAIN = [2.10983, 2.108755, 2.043514]
+GOLDEN_VAL = [1.397388, 1.408772, 1.402213]
 
 
 def test_seeded_run_reproduces_golden_losses(tmp_path):

@@ -46,20 +46,14 @@ def test_resume_matches_uninterrupted(setup, tmp_path):
     full = loop.fit(tmp_path / "full", cfg, params, esm_params, tr, va, tok,
                     num_epochs=4, rng=jax.random.key(0), log=lambda s: None)
 
-    # interrupted: 2 epochs, then resume to 4.
-    # NOTE determinism caveat: the loop splits the rng per epoch from the
-    # initial key, so resuming re-derives the same per-epoch keys only if the
-    # caller passes the same root rng. Loaders are deterministic per __iter__
-    # call order; FakeLoader replays identically. Dropout is 0 here.
+    # interrupted: 2 epochs, then resume to 4 with the SAME root rng —
+    # per-epoch keys are fold_in(rng, epoch), so the resumed run derives
+    # identical keys to the uninterrupted one.
     loop.fit(tmp_path / "split", cfg, params, esm_params, tr, va, tok,
              num_epochs=2, rng=jax.random.key(0), log=lambda s: None)
-    # rng threading: epochs 0-1 consumed two splits; replay them
-    rng = jax.random.key(0)
-    for _ in range(2):
-        rng, _ = jax.random.split(rng)
     resumed = loop.fit(tmp_path / "split", cfg, params, esm_params, tr, va,
-                       tok, num_epochs=4, rng=rng, log=lambda s: None,
-                       resume=True)
+                       tok, num_epochs=4, rng=jax.random.key(0),
+                       log=lambda s: None, resume=True)
 
     np.testing.assert_allclose(resumed.train_losses[2:], full.train_losses[2:],
                                rtol=1e-5)
