@@ -204,6 +204,10 @@ def make_train_step_grouped(cfg: EngineConfig,
 
     @jax.jit
     def step(params, opt_state, esm_params, batches, rng):
+        if isinstance(batches, dict):
+            raise ValueError(
+                "grouped step needs a tuple of tokenize_grouped batches "
+                "(cfg.length_groups > 1 pairs with the grouped tokenizer)")
         batches = tuple(expand_batch(b) for b in batches)
         n_groups = len(batches)
         n_chunks = max(1, cfg.num_chunks // n_groups)

@@ -52,7 +52,6 @@ def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
         out[f"{side}_seg"] = jnp.asarray(packed.segment_ids)
         out[f"{side}_pos"] = jnp.asarray(packed.positions)
         out[f"{side}_owner"] = jnp.asarray(owner)
-        out[f"{side}_n"] = jnp.asarray(n)  # static via shape of owner? keep
     return out
 
 
@@ -128,6 +127,10 @@ def make_train_step_packed(cfg: EngineConfig,
 
     @jax.jit
     def step(params, opt_state, esm_params, batch, rng):
+        if "pep_seg" not in batch:
+            raise ValueError(
+                "packed step needs tokenize_packed batches (cfg.packed=True "
+                "pairs with the packed tokenizer; got a plain batch)")
         hp = _encode_packed_chunked(esm_params, batch["pep_ids"],
                                     batch["pep_seg"], batch["pep_pos"],
                                     mcfg.esm, rows_per_chunk, cfg.remat)
