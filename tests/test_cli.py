@@ -94,3 +94,19 @@ def test_resume_entry(workdir, trained_run):
     lines = csv.split("\n")
     assert len(lines) == 4  # header + 3 epochs (2 restored + 1 new)
     assert lines[-1].startswith("3,")
+
+
+def test_packed_training_entry(workdir, trained_run):
+    """--packed path through the real CLI (fresh run dir)."""
+    from protein_clip_tpu.cli.main_2protein import main
+    rc = main(TINY + [
+        "--epochs", "1", "--batch-size", "4", "--accumulated-batches", "2",
+        "--num-chunks", "2", "--packed", "--data-dir", "data",
+        "--runs-dir", "runs_packed",
+    ])
+    assert rc == 0
+    run = sorted(Path("runs_packed").iterdir())[-1]
+    csv = (run / "losses_per_epoch.txt").read_text().strip().split("\n")
+    assert len(csv) == 2 and csv[1].startswith("1,")
+    _, tr, va = csv[1].split(",")
+    assert np.isfinite(float(tr)) and np.isfinite(float(va))
