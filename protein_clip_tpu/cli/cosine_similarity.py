@@ -41,7 +41,8 @@ def main(argv=None) -> int:
     tokenizer = common.make_tokenizer()
     mcfg = clip.CLIPConfig(
         input_dim=esm_cfg.hidden_size, embedding_dim=args.embedding_dim,
-        h1=args.h1, h2=args.h2, dropout=args.dropout, esm=esm_cfg)
+        h1=args.h1, h2=args.h2, dropout=args.dropout,
+        activation=args.activation, esm=esm_cfg)
 
     raw_params = clip.init_params(jax.random.key(0), mcfg)
     best_params = load_npz(args.checkpoint, raw_params)

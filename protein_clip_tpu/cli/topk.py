@@ -48,7 +48,8 @@ def main(argv=None) -> int:
     tokenizer = common.make_tokenizer()
     mcfg = clip.CLIPConfig(
         input_dim=esm_cfg.hidden_size, embedding_dim=args.embedding_dim,
-        h1=args.h1, h2=args.h2, dropout=args.dropout, esm=esm_cfg)
+        h1=args.h1, h2=args.h2, dropout=args.dropout,
+        activation=args.activation, esm=esm_cfg)
     params = load_npz(args.checkpoint, clip.init_params(jax.random.key(0),
                                                         mcfg))
 
@@ -63,7 +64,8 @@ def main(argv=None) -> int:
     result = evaluate_retrieval(params, esm_params, loader, tokenizer, mcfg,
                                 n_candidates=args.n_candidates)
     print(f"top-1 accuracy: {result.top1:.4f}")
-    print(f"top-10 accuracy: {result.accuracies[9]:.4f}")
+    if args.n_candidates >= 10:
+        print(f"top-10 accuracy: {result.accuracies[9]:.4f}")
     print(f"mean rank: {result.ranks.mean():.1f} / {args.n_candidates}")
 
     k_vals = np.linspace(0, args.n_candidates, args.n_candidates)

@@ -56,7 +56,17 @@ class PairLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self._seed = seed
         self._rng = random.Random(seed)
+
+    def reseed_epoch(self, epoch: int) -> None:
+        """Derive host RNG state purely from (base seed, epoch), so a
+        resumed run replays the SAME shuffle order and cluster-member
+        sampling as the uninterrupted run (device keys are fold_in-stable
+        already; train/loop.py calls this per epoch)."""
+        self._rng = random.Random(self._seed * 1_000_003 + epoch)
+        if hasattr(self.dataset, "reseed"):
+            self.dataset.reseed(self._seed * 1_000_003 + epoch + 500_009)
 
     def __len__(self) -> int:
         n = len(self.dataset)

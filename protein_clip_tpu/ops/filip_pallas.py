@@ -191,6 +191,14 @@ def _raw_bwd(interpret, res, gs):
 _raw_maxsim.defvjp(_raw_fwd, _raw_bwd)
 
 
+# Folding temperature out of the max is only valid for t > 0; the learnable
+# t inits at 1.0 and stays near it, but nothing in the optimizer constrains
+# it. Enforce the documented assumption instead of trusting it: clamp at a
+# small positive floor, so a t driven <= 0 saturates the scale rather than
+# silently flipping the max/mean semantics vs the reference.
+_T_FLOOR = 1e-4
+
+
 def filip_similarity_fused(ha, hb, mask_a, mask_b, temperature,
                            interpret: bool | None = None):
     """Drop-in for models.filip.filip_similarity (positive temperature).
@@ -200,5 +208,5 @@ def filip_similarity_fused(ha, hb, mask_a, mask_b, temperature,
     mask_a = jnp.asarray(mask_a, jnp.int32)
     mask_b = jnp.asarray(mask_b, jnp.int32)
     raw_a, raw_b = _raw_maxsim(ha, hb, mask_a, mask_b, interpret)
-    t = temperature.astype(jnp.float32)
+    t = jnp.maximum(temperature.astype(jnp.float32), _T_FLOOR)
     return raw_a / t, raw_b / t

@@ -30,12 +30,28 @@ from ..ops.infonce import clip_infonce
 from .gradcache import encode_hidden_chunked
 
 
+# The fused kernel keeps x, y, and the (B, B) logits VMEM-resident with no
+# grid; past this budget (or off sublane alignment) Mosaic would fail at
+# compile time deep inside a jit, so fall back to the lax path instead.
+_FUSED_INFONCE_VMEM_BUDGET = 8 * 1024 * 1024
+
+
 def default_loss_fn() -> Callable:
     """Fused Pallas InfoNCE on TPU (ops/infonce_pallas.py), lax elsewhere.
-    Values agree to f32 rounding (tests/test_pallas_infonce.py)."""
+    Values agree to f32 rounding (tests/test_pallas_infonce.py). Shapes the
+    single-shot kernel cannot hold in VMEM (very large negative pools /
+    embedding dims) use the lax fallback transparently."""
     if jax.default_backend() == "tpu":
         from ..ops.infonce_pallas import fused_infonce
-        return fused_infonce
+
+        def loss(x, y):
+            b, d = x.shape
+            vmem_bytes = 4 * (2 * b * d + 2 * b * b)  # x, y, logits, probs
+            if vmem_bytes > _FUSED_INFONCE_VMEM_BUDGET or d % 8:
+                return clip_infonce(x, y)
+            return fused_infonce(x, y)
+
+        return loss
     return clip_infonce
 
 Params = dict[str, Any]

@@ -123,10 +123,14 @@ def fit(
             f.write("Epoch,Train Loss,Validation Loss\n")
         for epoch in range(start_epoch, num_epochs):
             t0 = time.perf_counter()
-            # fold_in: epoch keys are a function of (root rng, epoch), so a
-            # resumed run derives the SAME per-epoch keys as an
-            # uninterrupted one (the reference cannot resume at all).
+            # Resume stability: device keys are fold_in(root, epoch) and the
+            # host-side loader RNGs (shuffle + cluster-member sampling) are
+            # reseeded per epoch, so a resumed run replays the exact stream
+            # of an uninterrupted one (the reference cannot resume at all).
             erng = jax.random.fold_in(rng, epoch)
+            for loader in (train_loader, val_loader):
+                if hasattr(loader, "reseed_epoch"):
+                    loader.reseed_epoch(epoch)
             if use_gradcache:
                 params, opt_state, train_loss = clip_engine.train_gc(
                     params, opt_state, esm_params, train_loader, tokenizer,

@@ -6,12 +6,24 @@ per-sequence pooled sums come from a flat segment scatter-add
 (``jax.ops.segment_sum``) instead of a one-hot matmul. Embeddings emerge in
 original pair order, so the InfoNCE diagonal is untouched.
 
-Row counts are rounded to a multiple of 16, so compiled shapes repeat
-across batches like the length-group compositions do.
+Wire format is compact: int8 token ids (the 33-token ESM vocab fits) plus a
+small int32 owner permutation per side. Segment ids, within-segment
+positions, and the per-token owner map are all derived ON DEVICE from the
+ids (``expand_packed_batch``): every packed sequence starts with <cls> and
+gaps are <pad>, so segment boundaries are recoverable exactly. ~1 byte per
+token crosses the host->device link instead of the 16 the round-1 format
+shipped (ids+seg+pos+owner as int32).
+
+Row lengths default to the batch's own max sequence (rounded up to a
+multiple of 128, capped at MAX_ROW_LEN=2048) so 2000-residue chains — the
+reference's ingest cap, /root/reference/modules/data_utils_2protein.py:88 —
+pack without truncation. Row counts are rounded to a multiple of 16, so
+compiled shapes repeat across batches like the length-group compositions.
 """
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Callable
 
 import jax
@@ -20,38 +32,97 @@ import numpy as np
 import optax
 
 from ..data.packing import pack_sequences
-from ..data.tokenizer import EsmTokenizer
+from ..data.tokenizer import CLS_ID, EOS_ID, PAD_ID, EsmTokenizer
 from ..models import esm2, heads
 from .clip_engine import EngineConfig, default_loss_fn
 
 Params = dict[str, Any]
 
+# Reference ingest filters chains at <= 2000 residues (data_utils_2protein
+# .py:88) = 2002 tokens with <cls>/<eos>; 2048 covers that with headroom.
+MAX_ROW_LEN = 2048
+
+
+def _row_len_for(max_len: int, explicit: int | None,
+                 cap: int = MAX_ROW_LEN) -> int:
+    if explicit is not None:
+        return explicit
+    return min(cap, max(128, -(-max_len // 128) * 128))
+
 
 def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
-                    recs: list[str], pep_row_len: int = 128,
-                    rec_row_len: int = 512) -> dict[str, jnp.ndarray]:
-    """Pack both sides. Sequences longer than the row length are truncated
-    by the tokenizer's bucket clamp (matching the single-bucket behavior)."""
+                    recs: list[str], pep_row_len: int | None = None,
+                    rec_row_len: int | None = None) -> dict[str, jnp.ndarray]:
+    """Pack both sides into a compact device batch.
+
+    Row lengths derive from each side's longest tokenized sequence (multiple
+    of 128, capped at MAX_ROW_LEN) unless given explicitly. Sequences longer
+    than the row length are truncated with the eos kept — that only happens
+    past the 2048 cap, beyond the reference's own ingest filter — with a
+    loud warning.
+    """
     out: dict[str, jnp.ndarray] = {}
-    for side, seqs, row_len in (("pep", peps, pep_row_len),
-                                ("rec", recs, rec_row_len)):
-        encs = []
-        for s in seqs:
-            e = tokenizer.encode(s)
-            if len(e) > row_len:  # clamp like bucket truncation (keep eos)
-                e = np.concatenate((e[: row_len - 1], [2]))
-            encs.append(e)
+    for side, seqs, explicit in (("pep", peps, pep_row_len),
+                                 ("rec", recs, rec_row_len)):
+        encs = [tokenizer.encode(s) for s in seqs]
+        row_len = _row_len_for(max(len(e) for e in encs), explicit)
+        clamped = 0
+        for j, e in enumerate(encs):
+            if len(e) > row_len:  # keep eos, like the bucket clamp
+                encs[j] = np.concatenate((e[: row_len - 1], [EOS_ID]))
+                clamped += 1
+        if clamped:
+            warnings.warn(
+                f"tokenize_packed: {clamped} {side} sequence(s) longer than "
+                f"row_len={row_len} were truncated (eos kept)", stacklevel=2)
         packed = pack_sequences(encs, row_len, row_multiple=16)
-        n = packed.n_sequences
-        # owner index per token: sequence id, or n for gaps
-        owner = np.full(packed.ids.shape, n, np.int32)
-        for i in range(n):
-            r = packed.owner_row[i]
-            owner[r][packed.segment_ids[r] == packed.owner_seg[i]] = i
-        out[f"{side}_ids"] = jnp.asarray(packed.ids)
-        out[f"{side}_seg"] = jnp.asarray(packed.segment_ids)
-        out[f"{side}_pos"] = jnp.asarray(packed.positions)
-        out[f"{side}_owner"] = jnp.asarray(owner)
+        # owner permutation: original index of each segment in row-major
+        # (row, segment) scan order — everything else derives on device.
+        counts = packed.segment_ids.max(axis=1)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        g = offsets[packed.owner_row] + packed.owner_seg - 1
+        operm = np.zeros(packed.n_sequences, np.int32)
+        operm[g] = np.arange(packed.n_sequences, dtype=np.int32)
+        out[f"{side}_ids"] = jnp.asarray(packed.ids.astype(np.int8))
+        out[f"{side}_operm"] = jnp.asarray(operm)
+    return out
+
+
+def expand_packed_batch(batch: dict[str, jnp.ndarray]
+                        ) -> dict[str, jnp.ndarray]:
+    """Device-side: derive int32 ids + segment/position/owner maps from the
+    compact packed wire format.
+
+    Contract (tokenizer + packer): every sequence starts with <cls>, gaps
+    are trailing <pad> within each row, and segments sit contiguously in
+    ascending segment order. So segment ids are a running <cls> count,
+    positions restart at each <cls>, and the per-token owner is the owner
+    permutation indexed by the global (row-major) segment number.
+    """
+    if "pep_seg" in batch:  # already expanded (or round-1 fat format)
+        return batch
+    out = dict(batch)
+    for side in ("pep", "rec"):
+        ids = batch[f"{side}_ids"].astype(jnp.int32)
+        operm = batch[f"{side}_operm"]
+        n_seqs = operm.shape[0]
+        R, L = ids.shape
+        valid = ids != PAD_ID
+        is_bos = ids == CLS_ID
+        seg = jnp.cumsum(is_bos.astype(jnp.int32), axis=1) * valid
+        ar = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+        starts = jax.lax.cummax(jnp.where(is_bos, ar, 0), axis=1)
+        pos = jnp.where(valid, ar - starts, 0)
+        counts = seg.max(axis=1)
+        offsets = jnp.concatenate(
+            (jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]))
+        g = offsets[:, None] + seg - 1
+        owner = jnp.where(valid, jnp.take(operm, jnp.clip(g, 0, n_seqs - 1)),
+                          n_seqs)
+        out[f"{side}_ids"] = ids
+        out[f"{side}_seg"] = seg
+        out[f"{side}_pos"] = pos
+        out[f"{side}_owner"] = owner
     return out
 
 
@@ -127,10 +198,19 @@ def make_train_step_packed(cfg: EngineConfig,
 
     @jax.jit
     def step(params, opt_state, esm_params, batch, rng):
-        if "pep_seg" not in batch:
+        if "pep_operm" not in batch and "pep_seg" not in batch:
             raise ValueError(
                 "packed step needs tokenize_packed batches (cfg.packed=True "
                 "pairs with the packed tokenizer; got a plain batch)")
+        if "pep_operm" in batch:
+            for side in ("pep", "rec"):
+                got = batch[f"{side}_operm"].shape[0]
+                if got != n_seqs:
+                    raise ValueError(
+                        f"packed batch has {got} {side} sequences but "
+                        f"cfg.global_batch={n_seqs}; segment_sum would "
+                        f"silently drop or misroute embeddings")
+        batch = expand_packed_batch(batch)
         hp = _encode_packed_chunked(esm_params, batch["pep_ids"],
                                     batch["pep_seg"], batch["pep_pos"],
                                     mcfg.esm, rows_per_chunk, cfg.remat)

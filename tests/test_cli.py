@@ -96,6 +96,57 @@ def test_resume_entry(workdir, trained_run):
     assert lines[-1].startswith("3,")
 
 
+def test_eval_cli_respects_activation(workdir, trained_run):
+    """A tanh-trained checkpoint must evaluate with tanh heads through the
+    eval CLIs (round-1 bug: cosine_similarity/topk dropped `activation` from
+    CLIPConfig and silently evaluated tanh checkpoints with relu heads)."""
+    import jax
+
+    from protein_clip_tpu.cli._clip_runner import similarity_fn
+    from protein_clip_tpu.cli.cosine_similarity import main as cs_main
+    from protein_clip_tpu.cli.main_2protein import main as train_main
+    from protein_clip_tpu.cli import common
+    from protein_clip_tpu.data.dataset import PairLoader, generate_datasets
+    from protein_clip_tpu.models import clip, esm2
+    from protein_clip_tpu.train.checkpoint import load_npz
+
+    rc = train_main(TINY + [
+        "--epochs", "1", "--batch-size", "4", "--accumulated-batches", "2",
+        "--num-chunks", "2", "--length-groups", "2", "--activation", "tanh",
+        "--data-dir", "data", "--runs-dir", "runs_tanh",
+    ])
+    assert rc == 0
+    ckpt = sorted(Path("runs_tanh").iterdir())[-1] / "best_model.npz"
+
+    rc = cs_main(TINY + [
+        "--checkpoint", str(ckpt), "--activation", "tanh",
+        "--data-dir", "data", "--batch-size", "4",
+        "--runs-dir", "runs_tanh_eval",
+    ])
+    assert rc == 0
+    eval_run = sorted(Path("runs_tanh_eval").iterdir())[-1]
+    # figure 3 = "Trained ... on Val Set": val loader is shuffle=False, so
+    # its first batch is deterministic and reproducible here.
+    cli_matrix = np.load(eval_run / "figures" / "figure 3.npy")
+
+    esm_cfg = esm2.ESM2Config.tiny(compute_dtype=np.float32)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
+                                  dtype=np.float32)
+    tokenizer = common.make_tokenizer()
+    _, val_ds, _ = generate_datasets("data", "protein1", "protein2", seed=42)
+    loader = PairLoader(val_ds, 4, shuffle=False, drop_last=True, seed=42)
+    peps, recs = next(iter(loader))
+
+    def matrix_for(activation):
+        mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size,
+                               activation=activation, esm=esm_cfg)
+        params = load_npz(ckpt, clip.init_params(jax.random.key(0), mcfg))
+        return similarity_fn(params, esm_params, mcfg, tokenizer)(peps, recs)
+
+    np.testing.assert_allclose(cli_matrix, matrix_for("tanh"), atol=1e-5)
+    assert not np.allclose(cli_matrix, matrix_for("relu"), atol=1e-3)
+
+
 def test_packed_training_entry(workdir, trained_run):
     """--packed path through the real CLI (fresh run dir)."""
     from protein_clip_tpu.cli.main_2protein import main

@@ -105,6 +105,33 @@ def test_loader_drop_last_and_shuffle():
     assert batches != batches2
 
 
+def test_loader_reseed_epoch_is_history_free():
+    """reseed_epoch(k) must yield the same epoch-k stream regardless of how
+    many epochs ran before — this is what makes --resume-dir replay the
+    uninterrupted run's host randomness (shuffle AND member sampling)."""
+    clusters = {f"c{i}": [(f"p{i}a", f"r{i}a"), (f"p{i}b", f"r{i}b")]
+                for i in range(12)}
+
+    def fresh_loader():
+        ds = ClusterPairDataset(clusters, list(clusters), seed=7)
+        return PairLoader(ds, batch_size=4, shuffle=True, drop_last=True,
+                          seed=3)
+
+    straight = fresh_loader()
+    epochs = []
+    for e in range(4):
+        straight.reseed_epoch(e)
+        epochs.append(list(straight))
+
+    resumed = fresh_loader()
+    list(resumed)  # unrelated pre-resume consumption perturbs raw RNG state
+    for e in (2, 3):
+        resumed.reseed_epoch(e)
+        assert list(resumed) == epochs[e]
+    # distinct epochs still differ (not a constant stream)
+    assert epochs[0] != epochs[1]
+
+
 def test_generate_datasets_end_to_end(fixture_dir):
     tr, va, te = generate_datasets(fixture_dir, seed=42)
     assert len(tr) > 0 and len(va) > 0 and len(te) > 0

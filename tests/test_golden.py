@@ -17,9 +17,11 @@ from protein_clip_tpu.train import clip_engine, loop
 # pinned from the seeded run (CPU f32, jax 0.9.0); loose tolerance guards
 # against accidental semantic drift while allowing fp reassociation noise.
 # NOTE: the values depend on DEFAULT_BUCKETS (dropout mask shape follows the
-# pad bucket) — regenerate when the bucket set changes.
-GOLDEN_TRAIN = [2.10983, 2.108755, 2.043514]
-GOLDEN_VAL = [1.397388, 1.408772, 1.402213]
+# pad bucket) and on the per-epoch loader reseed (loop.fit calls
+# reseed_epoch so resumed runs replay the host stream) — regenerate when
+# either changes.
+GOLDEN_TRAIN = [2.17442, 2.176959, 2.114042]
+GOLDEN_VAL = [1.483385, 1.266369, 1.381684]
 
 
 def test_seeded_run_reproduces_golden_losses(tmp_path):

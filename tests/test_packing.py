@@ -94,6 +94,81 @@ def test_row_len_overflow_raises(rng):
         pack_sequences(encs, row_len=64)
 
 
+def test_expand_packed_batch_derives_exact_maps(rng):
+    """Device-side derivation (compact int8 wire) == host packer maps."""
+    from protein_clip_tpu.train.packed_engine import (expand_packed_batch,
+                                                      tokenize_packed)
+
+    tok = EsmTokenizer()
+    peps = _sequences(rng, 12, lo=5, hi=15)
+    recs = _sequences(rng, 12, lo=10, hi=50)
+    batch = tokenize_packed(tok, peps, recs)
+    assert batch["pep_ids"].dtype == jnp.int8  # compact on the wire
+    expanded = jax.jit(expand_packed_batch)(batch)
+
+    for side, seqs in (("pep", peps), ("rec", recs)):
+        encs = [tok.encode(s) for s in seqs]
+        row_len = expanded[f"{side}_ids"].shape[1]
+        packed = pack_sequences(encs, row_len, row_multiple=16)
+        n = packed.n_sequences
+        owner = np.full(packed.ids.shape, n, np.int32)
+        for i in range(n):
+            r = packed.owner_row[i]
+            owner[r][packed.segment_ids[r] == packed.owner_seg[i]] = i
+        np.testing.assert_array_equal(expanded[f"{side}_ids"], packed.ids)
+        np.testing.assert_array_equal(expanded[f"{side}_seg"],
+                                      packed.segment_ids)
+        np.testing.assert_array_equal(expanded[f"{side}_pos"],
+                                      packed.positions)
+        np.testing.assert_array_equal(expanded[f"{side}_owner"], owner)
+
+
+def test_packed_long_sequences_not_truncated(rng):
+    """2000-residue chains (the reference's ingest cap) must pack losslessly:
+    round 1 hardcoded rec_row_len=512 and silently clamped them."""
+    from protein_clip_tpu.train.packed_engine import (expand_packed_batch,
+                                                      tokenize_packed)
+
+    tok = EsmTokenizer()
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    peps = _sequences(rng, 4, lo=5, hi=15)
+    recs = ["".join(rng.choice(aas, L)) for L in (2000, 1500, 300, 100)]
+    batch = expand_packed_batch(tokenize_packed(tok, peps, recs))
+    assert batch["rec_ids"].shape[1] == 2048  # 2002 tokens -> 2048 bucket
+    # every receptor's tokens are intact somewhere in the packed rows
+    seg, ids, owner = (np.asarray(batch["rec_seg"]),
+                       np.asarray(batch["rec_ids"]),
+                       np.asarray(batch["rec_owner"]))
+    for i, s in enumerate(recs):
+        at = owner == i
+        np.testing.assert_array_equal(ids[at], tok.encode(s))
+
+
+def test_packed_step_rejects_wrong_batch_size(rng):
+    import optax
+    from protein_clip_tpu.models import clip
+    from protein_clip_tpu.train import clip_engine
+    from protein_clip_tpu.train.packed_engine import (
+        make_train_step_packed, tokenize_packed)
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                           h1=2, h2=2, dropout=0.0, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    params = clip.init_params(jax.random.key(1), mcfg)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2,
+                                   remat=False)
+    optimizer = optax.adam(1e-3)
+    opt0 = optimizer.init(params)
+    step = make_train_step_packed(cfg, optimizer, rows_per_chunk=1)
+    tok = EsmTokenizer()
+    bad = tokenize_packed(tok, _sequences(rng, 6), _sequences(rng, 6))
+    import pytest
+    with pytest.raises(ValueError, match="global_batch"):
+        step(params, opt0, esm_params, bad, jax.random.key(2))
+
+
 def test_packed_train_step_matches_plain(rng):
     """Packed step loss == plain step loss on the same pairs (dropout off)."""
     import optax
