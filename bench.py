@@ -61,7 +61,10 @@ def main():
     from protein_clip_tpu.train import clip_engine, optimizer as opt_mod
 
     dev = jax.devices()[0]
-    esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16)
+    import os
+    attn_impl = os.environ.get("PCT_ATTN_IMPL", "fused")
+    esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16,
+                                       attention_impl=attn_impl)
     mcfg = clip.CLIPConfig(esm=esm_cfg)
     esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
                                   dtype=jnp.bfloat16)

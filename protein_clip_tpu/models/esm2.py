@@ -47,12 +47,16 @@ class ESM2Config:
     # dtype the bulk matmuls run in; f32 accumulation is always used.
     compute_dtype: Any = jnp.float32
     # Attention implementation:
-    # - "eager": einsum + masked softmax (XLA-fused), works everywhere;
-    # - "fused": ops/attention_pallas.py — single-shot VMEM softmax per
-    #   (batch, head), shaped for ESM's head_dim=32 (TPU only, T <= 1024);
+    # - "fused" (default): ops/attention_pallas.py — VMEM-resident scores
+    #   per (row, 4-head group), segment-aware, shaped for ESM's
+    #   head_dim=32 (TPU only, 128 <= T <= 1024). 651 vs eager's 467
+    #   pairs/s on the packed bench (docs/PERF.md);
+    # - "eager": einsum + masked softmax — XLA round-trips the f32 score
+    #   tensor through HBM at T>=512; used off-TPU and outside the fused
+    #   window;
     # - "flash": stock pallas flash kernel (pads dh to 128 — measured
     #   slower for ESM; kept for long-T fallback).
-    attention_impl: str = "eager"
+    attention_impl: str = "fused"
     fused_min_seq_len: int = 128   # eager wins for tiny T
     fused_max_seq_len: int = 1024  # (T,T) f32 tile must fit VMEM
     # Back-compat alias for "flash"
@@ -194,7 +198,10 @@ def _rotate_half(x):
 
 def _apply_rope(x, cos, sin):
     # x: (B, T, heads, dh); cos/sin: (T, dh) shared positions, or
-    # (B, T, dh) per-token positions (packed rows, data/packing.py)
+    # (B, T, dh) per-token positions (packed rows, data/packing.py).
+    # This layout keeps heads*dh as the (large) trailing lane span, so XLA
+    # fuses RoPE into neighbouring ops; a head-major layout measured
+    # 175 GB/s here (dh=32 minor dim = quarter VPU lanes + transposes).
     if cos.ndim == 2:
         return (x * cos[None, :, None, :]
                 + _rotate_half(x) * sin[None, :, None, :])
@@ -206,8 +213,12 @@ def _use_flash(cfg: ESM2Config, seq_len: int) -> bool:
             and jax.default_backend() == "tpu")
 
 
-def _attention_block(x, p, mask_bias, attention_mask, cos, sin,
-                     cfg: ESM2Config, force_eager: bool = False):
+def _attention_block(x, p, mask_bias, segments, cos, sin, cfg: ESM2Config):
+    """Pre-LN attention residual block in the native (B, T, heads, dh)
+    layout. ``segments`` is (B, T) int32 — a plain 0/1 mask for padded
+    batches, packed segment ids otherwise; ``mask_bias`` is its precomputed
+    additive form for the eager path.
+    """
     B, T, H = x.shape
     nh, dh = cfg.num_heads, cfg.head_dim
     h = _layer_norm(x, p["ln"]["w"], p["ln"]["b"], cfg.layer_norm_eps)
@@ -223,18 +234,17 @@ def _attention_block(x, p, mask_bias, attention_mask, cos, sin,
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
-    if (not force_eager and cfg.attention_impl == "fused"
+    if (cfg.attention_impl == "fused"
             and cfg.fused_min_seq_len <= T <= cfg.fused_max_seq_len
             and jax.default_backend() == "tpu"):
         from ..ops.attention_pallas import fused_attention
-        ctx = fused_attention(q, k, v, attention_mask).astype(x.dtype)
-    elif not force_eager and (
-            _use_flash(cfg, T) or (cfg.attention_impl == "flash"
-                                   and T >= cfg.flash_min_seq_len
-                                   and jax.default_backend() == "tpu")):
+        ctx = fused_attention(q, k, v, segments).astype(x.dtype)
+    elif (_use_flash(cfg, T) or (cfg.attention_impl == "flash"
+                                 and T >= cfg.flash_min_seq_len
+                                 and jax.default_backend() == "tpu")):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             SegmentIds, flash_attention)
-        seg = attention_mask.astype(jnp.int32)
+        seg = segments.astype(jnp.int32)
         ctx = flash_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3),
@@ -243,7 +253,7 @@ def _attention_block(x, p, mask_bias, attention_mask, cos, sin,
     else:
         scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
                             preferred_element_type=jnp.float32)
-        scores = scores + mask_bias  # (B,1,1,T) additive
+        scores = scores + mask_bias  # (B,1,1,T) / (B,1,T,T) additive
         probs = jax.nn.softmax(scores.astype(jnp.float32),
                                axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v,
@@ -318,11 +328,13 @@ def forward(
         cos = jnp.take(cos, positions, axis=0)  # (B, T, dh)
         sin = jnp.take(sin, positions, axis=0)
 
-    force_eager = segment_ids is not None  # fused/flash lack segment bias
+    # unified masking: a plain 0/1 mask IS single-segment segment ids
+    segments = (segment_ids if segment_ids is not None
+                else attention_mask.astype(jnp.int32))
 
     def layer(x, lp):
-        x = _attention_block(x, lp["attn"], mask_bias, attention_mask, cos,
-                             sin, cfg, force_eager=force_eager)
+        x = _attention_block(x, lp["attn"], mask_bias, segments, cos, sin,
+                             cfg)
         x = _ffn_block(x, lp["ffn"], cfg)
         return x, None
 

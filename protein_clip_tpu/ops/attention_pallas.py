@@ -1,14 +1,35 @@
-"""Fused bidirectional masked attention for ESM-2's head_dim=32.
+"""Fused segment-aware attention for ESM-2's head_dim=32.
 
-The stock pallas flash kernel pads head_dim to 128 (4x MXU waste at dh=32,
-measured slower than eager). This kernel is shaped for the ESM-2 regime
-instead: T <= ~1024 fits a whole (T, T) f32 score tile in VMEM, so each
-(batch, head) program computes scores -> masked softmax -> context in one
-shot with zero HBM round-trips for the score tensor, and the probs @ v
-contraction runs at full MXU utilisation (K = T, not K = 32).
+Why this exists (trace-verified, docs/PERF.md): XLA's eager attention at
+T=512 materialises the (rows, heads, T, T) f32 score tensor in HBM — the
+profiler shows the two attention fusions running at 11-12 TF/s and
+~800 GB/s, i.e. pinned to the HBM roofline, and together they are ~54% of
+the packed train step. This kernel keeps each (T, T) f32 score tile
+resident in VMEM, so scores never touch HBM.
 
-Exactness: same mask-bias + f32 softmax as the eager path
-(models/esm2._attention_block), so outputs match to f32 rounding.
+Hard-won layout rules (round-1 kernel lost 434-478; a head-major rewrite
+lost 343-469 — both trace-diagnosed):
+
+- MXU matmuls take bf16 operands directly with f32 accumulation
+  (``preferred_element_type``). Upcasting q/k to f32 first puts the
+  matmuls at the slow f32 MXU rate — worse than the memory-bound path
+  being replaced.
+- Arrays stay in the model's native (B, T, heads*dh) layout end to end.
+  A head-major (B, heads, T, dh) layout makes dh=32 the minor dim, which
+  runs every surrounding elementwise op (RoPE, scaling) at a quarter of
+  the VPU lanes and inserts transposes: measured 175 GB/s RoPE + 57
+  ms/step of pure copies. Here the grid is (batch, head_group) where a
+  head group is 128 lanes = 4 heads; programs slice per-head (T, 32)
+  operands out of their (T, 128) block internally.
+- Masking is segment-based: ``segments`` is (B, T) int32 where 0 marks
+  pads/gaps and tokens attend iff their nonzero ids match. A plain 0/1
+  attention mask IS the one-segment special case, so the same kernel
+  serves the padded and the packed (data/packing.py) paths — packing
+  previously forced the eager path.
+
+Exactness: same bf16-operand/f32-accumulate matmuls and f32 softmax as the
+eager path (models/esm2._attention_block), so outputs match it to f32
+rounding (tests/test_pallas_attention.py).
 
 Backward: the training hot path never differentiates the backbone (frozen,
 stop_gradient — train/gradcache.py), so the custom VJP recomputes the eager
@@ -17,6 +38,8 @@ attention under jax.vjp. Correct everywhere, fast where it matters.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -24,76 +47,93 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = float(jnp.finfo(jnp.float32).min)
 
-
-def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref):
-    q = q_ref[0, 0]                             # (T, dh)
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    mask = m_ref[0].astype(jnp.float32)         # (1, T)
-
-    s = jax.lax.dot_general(
-        q.astype(jnp.float32), k.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)     # (T, T)
-    s = s + (mask - 1.0) * (-_NEG)              # additive key mask
-    m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=1, keepdims=True)
-    ctx = jnp.dot(p.astype(v.dtype), v,
-                  preferred_element_type=jnp.float32)
-    o_ref[0, 0] = ctx.astype(o_ref.dtype)
+# One program handles this many lanes of heads (4 heads at dh=32): the
+# natural TPU lane width, so q/k/v blocks tile cleanly.
+_GROUP_LANES = 128
 
 
-def _attention_call(q, k, v, mask):
-    # (B, T, NH, DH) -> (B, NH, T, DH): block last-two dims (T, DH) then
-    # equal the array's last-two dims, satisfying Mosaic's tiling rule.
+def _kernel(s_ref, q_ref, k_ref, v_ref, o_ref, *, dh: int, q_block: int):
+    seg = s_ref[0]                               # (1, T) int32
+    T = q_ref.shape[1]
+    lanes = q_ref.shape[2]
+    seg_row = seg.reshape(1, T)
+    key_ok = seg_row > 0
+
+    for h in range(lanes // dh):
+        lo = h * dh
+        kh = k_ref[0, :, lo:lo + dh]             # (T, dh)
+        vh = v_ref[0, :, lo:lo + dh]
+        for q0 in range(0, T, q_block):
+            qh = q_ref[0, q0:q0 + q_block, lo:lo + dh]   # (QB, dh)
+            s = jax.lax.dot_general(                     # bf16 in, f32 out
+                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (QB, T) VMEM
+            allowed = (seg.reshape(T, 1)[q0:q0 + q_block] == seg_row) \
+                & key_ok
+            s = jnp.where(allowed, s, _NEG)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(vh.dtype)
+            ctx = jnp.dot(p, vh, preferred_element_type=jnp.float32)
+            o_ref[0, q0:q0 + q_block, lo:lo + dh] = ctx.astype(o_ref.dtype)
+
+
+def _attention_call(q, k, v, segments):
     B, T, NH, DH = q.shape
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-    grid = (B, NH)
-    qkv_spec = pl.BlockSpec((1, 1, T, DH), lambda b, h: (b, h, 0, 0),
+    lanes = NH * DH
+    group = _GROUP_LANES if lanes % _GROUP_LANES == 0 else lanes
+    n_groups = lanes // group
+    q_block = min(T, 512)  # cap the VMEM score tile at (512, T)
+
+    q3 = q.reshape(B, T, lanes)   # free: trailing dims are adjacent
+    k3 = k.reshape(B, T, lanes)
+    v3 = v.reshape(B, T, lanes)
+    qkv_spec = pl.BlockSpec((1, T, group), lambda b, g: (b, 0, g),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _kernel,
-        grid=grid,
-        in_specs=[qkv_spec, qkv_spec, qkv_spec,
-                  pl.BlockSpec((1, 1, T), lambda b, h: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        functools.partial(_kernel, dh=DH, q_block=q_block),
+        grid=(B, n_groups),
+        in_specs=[pl.BlockSpec((1, 1, T), lambda b, g: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  qkv_spec, qkv_spec, qkv_spec],
         out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
         interpret=jax.default_backend() != "tpu",
-    )(qt, kt, vt, mask[:, None, :].astype(jnp.int32))
-    return out.transpose(0, 2, 1, 3)
+    )(segments[:, None, :].astype(jnp.int32), q3, k3, v3)
+    return out.reshape(B, T, NH, DH)
 
 
-def _eager_reference(q, k, v, mask):
+def _eager_reference(q, k, v, segments):
     scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
                         preferred_element_type=jnp.float32)
-    bias = (1.0 - mask[:, None, None, :].astype(jnp.float32)) * _NEG
-    probs = jax.nn.softmax(scores + bias, axis=-1).astype(q.dtype)
+    seg = segments.astype(jnp.int32)
+    allowed = (seg[:, None, :, None] == seg[:, None, None, :]) & (
+        seg[:, None, None, :] > 0)
+    probs = jax.nn.softmax(jnp.where(allowed, scores, _NEG),
+                           axis=-1).astype(q.dtype)
     return jnp.einsum("bnqk,bknd->bqnd", probs, v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
 @jax.custom_vjp
-def fused_attention(q, k, v, mask):
-    """Masked bidirectional attention, (B, T, NH, DH) -> same shape.
+def fused_attention(q, k, v, segments):
+    """Segment-masked bidirectional attention, (B, T, NH, DH) -> same.
 
-    q must already carry its scaling (ESM applies dh^-0.5 pre-RoPE); mask is
-    (B, T) key validity.
+    q must already carry its scaling (ESM applies dh^-0.5 pre-RoPE).
+    segments: (B, T) int32 — 0 is pad/gap, tokens attend within equal
+    nonzero ids. Pass a plain 0/1 attention mask for unpacked batches.
     """
-    return _attention_call(q, k, v, mask)
+    return _attention_call(q, k, v, segments)
 
 
-def _fwd(q, k, v, mask):
-    return _attention_call(q, k, v, mask), (q, k, v, mask)
+def _fwd(q, k, v, segments):
+    return _attention_call(q, k, v, segments), (q, k, v, segments)
 
 
 def _bwd(res, g):
-    q, k, v, mask = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _eager_reference(q_, k_, v_, mask),
-                     q, k, v)
+    q, k, v, segments = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _eager_reference(q_, k_, v_, segments), q, k, v)
     dq, dk, dv = vjp(g.astype(q.dtype))
     return dq, dk, dv, None
 

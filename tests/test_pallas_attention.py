@@ -1,4 +1,4 @@
-"""Fused dh=32 attention kernel vs the eager reference (interpret on CPU)."""
+"""Fused dh=32 segment-aware attention vs eager (interpret on CPU)."""
 
 import dataclasses
 
@@ -28,6 +28,35 @@ def test_fused_matches_eager(rng):
     ref = np.asarray(_eager_reference(q, k, v, mask))
     m = np.asarray(mask).astype(bool)
     np.testing.assert_allclose(got[m], ref[m], atol=1e-5)
+
+
+def test_fused_q_blocking_matches_eager(rng):
+    """T larger than the 512 q-block: block loop must tile exactly."""
+    q, k, v, mask = _qkvm(rng, B=1, T=1024, NH=2)
+    got = np.asarray(fused_attention(q, k, v, mask))
+    ref = np.asarray(_eager_reference(q, k, v, mask))
+    m = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(got[m], ref[m], atol=1e-5)
+
+
+def test_fused_segment_mask_blocks_cross_attention(rng):
+    """Packed rows: tokens must only attend within their own segment —
+    the kernel's result per segment equals running that segment alone."""
+    B, T, NH, DH = 1, 64, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, T, NH, DH)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(B, T, NH, DH)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(B, T, NH, DH)).astype(np.float32))
+    seg = np.zeros((B, T), np.int32)
+    seg[0, :20] = 1
+    seg[0, 20:45] = 2  # 45:64 stays 0 = gap
+    seg = jnp.asarray(seg)
+
+    packed = np.asarray(fused_attention(q, k, v, seg))
+    for lo, hi in ((0, 20), (20, 45)):
+        solo = np.asarray(fused_attention(
+            q[:, lo:hi], k[:, lo:hi], v[:, lo:hi],
+            jnp.ones((B, hi - lo), jnp.int32)))
+        np.testing.assert_allclose(packed[:, lo:hi], solo, atol=1e-5)
 
 
 def test_fused_grads_match_eager(rng):
