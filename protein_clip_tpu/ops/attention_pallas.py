@@ -31,6 +31,13 @@ Exactness: same bf16-operand/f32-accumulate matmuls and f32 softmax as the
 eager path (models/esm2._attention_block), so outputs match it to f32
 rounding (tests/test_pallas_attention.py).
 
+A segment-sparse variant (q-blocks with dynamic kv-block spans via
+scalar-prefetched bounds + online softmax) was built and measured SLOWER:
+284 pairs/s at 128-wide tiles, 453 at 256, vs 652 dense — the per-tile
+dynamic-slice reads and online-softmax rescales cost more than the ~30%
+of cross-segment tiles they skip at the Propedia length profile
+(~1.7 segments/row). Removed; see docs/PERF.md and git history.
+
 Backward: the training hot path never differentiates the backbone (frozen,
 stop_gradient — train/gradcache.py), so the custom VJP recomputes the eager
 attention under jax.vjp. Correct everywhere, fast where it matters.

@@ -130,6 +130,8 @@ def _encode_packed_chunked(esm_params, ids, seg, pos, cfg: esm2.ESM2Config,
                            rows_per_chunk: int, remat: bool):
     R, L = ids.shape
     n_chunks = max(1, R // rows_per_chunk)
+    while R % n_chunks:  # largest chunk count that divides the row count
+        n_chunks -= 1
     ids_c = ids.reshape(n_chunks, R // n_chunks, L)
     seg_c = seg.reshape(n_chunks, R // n_chunks, L)
     pos_c = pos.reshape(n_chunks, R // n_chunks, L)
