@@ -49,19 +49,16 @@ class ESM2Config:
     # Attention implementation:
     # - "fused" (default): ops/attention_pallas.py — VMEM-resident scores
     #   per (row, 4-head group), segment-aware, shaped for ESM's
-    #   head_dim=32 (TPU only, 128 <= T <= 1024). 651 vs eager's 467
-    #   pairs/s on the packed bench (docs/PERF.md);
+    #   head_dim=32 (TPU only, 128 <= T <= 2048). 651 vs eager's 467
+    #   pairs/s on the packed bench; beats eager at every T in range
+    #   (docs/PERF.md);
     # - "eager": einsum + masked softmax — XLA round-trips the f32 score
     #   tensor through HBM at T>=512; used off-TPU and outside the fused
-    #   window;
-    # - "flash": stock pallas flash kernel (pads dh to 128 — measured
-    #   slower for ESM; kept for long-T fallback).
+    #   window. (A stock-flash path existed in round 1; it padded dh
+    #   32->128 and lost to both — deleted.)
     attention_impl: str = "fused"
     fused_min_seq_len: int = 128   # eager wins for tiny T
-    fused_max_seq_len: int = 1024  # (T,T) f32 tile must fit VMEM
-    # Back-compat alias for "flash"
-    use_flash_attention: bool = False
-    flash_min_seq_len: int = 256
+    fused_max_seq_len: int = 2048  # q-blocked score tile must fit VMEM
 
     @property
     def head_dim(self) -> int:
@@ -208,11 +205,6 @@ def _apply_rope(x, cos, sin):
     return x * cos[:, :, None, :] + _rotate_half(x) * sin[:, :, None, :]
 
 
-def _use_flash(cfg: ESM2Config, seq_len: int) -> bool:
-    return (cfg.use_flash_attention and seq_len >= cfg.flash_min_seq_len
-            and jax.default_backend() == "tpu")
-
-
 def _attention_block(x, p, mask_bias, segments, cos, sin, cfg: ESM2Config):
     """Pre-LN attention residual block in the native (B, T, heads, dh)
     layout. ``segments`` is (B, T) int32 — a plain 0/1 mask for padded
@@ -239,17 +231,6 @@ def _attention_block(x, p, mask_bias, segments, cos, sin, cfg: ESM2Config):
             and jax.default_backend() == "tpu"):
         from ..ops.attention_pallas import fused_attention
         ctx = fused_attention(q, k, v, segments).astype(x.dtype)
-    elif (_use_flash(cfg, T) or (cfg.attention_impl == "flash"
-                                 and T >= cfg.flash_min_seq_len
-                                 and jax.default_backend() == "tpu")):
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            SegmentIds, flash_attention)
-        seg = segments.astype(jnp.int32)
-        ctx = flash_attention(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3),
-            segment_ids=SegmentIds(q=seg, kv=seg), sm_scale=1.0)
-        ctx = ctx.transpose(0, 2, 1, 3).astype(x.dtype)
     else:
         scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
                             preferred_element_type=jnp.float32)

@@ -59,30 +59,46 @@ _NEG = float(jnp.finfo(jnp.float32).min)
 _GROUP_LANES = 128
 
 
-def _kernel(s_ref, q_ref, k_ref, v_ref, o_ref, *, dh: int, q_block: int):
-    seg = s_ref[0]                               # (1, T) int32
+def _kernel(s_ref, sc_ref, q_ref, k_ref, v_ref, o_ref, *, dh: int,
+            q_block: int):
+    # s_ref: (1, 1, T) segments row-oriented; sc_ref: (1, T, 1) the same
+    # column-oriented (refs are sliceable where values are not on TPU).
+    seg_row = s_ref[0]                           # (1, T) int32
     T = q_ref.shape[1]
     lanes = q_ref.shape[2]
-    seg_row = seg.reshape(1, T)
     key_ok = seg_row > 0
 
     for h in range(lanes // dh):
         lo = h * dh
         kh = k_ref[0, :, lo:lo + dh]             # (T, dh)
         vh = v_ref[0, :, lo:lo + dh]
-        for q0 in range(0, T, q_block):
-            qh = q_ref[0, q0:q0 + q_block, lo:lo + dh]   # (QB, dh)
-            s = jax.lax.dot_general(                     # bf16 in, f32 out
+
+        def qloop(qi, _):
+            q0 = pl.multiple_of(qi * q_block, q_block)
+            qh = q_ref[0, pl.ds(q0, q_block), lo:lo + dh]   # (QB, dh)
+            s = jax.lax.dot_general(                        # bf16 in, f32 out
                 qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (QB, T) VMEM
-            allowed = (seg.reshape(T, 1)[q0:q0 + q_block] == seg_row) \
-                & key_ok
-            s = jnp.where(allowed, s, _NEG)
+                preferred_element_type=jnp.float32)         # (QB, T) VMEM
+            seg_q = sc_ref[0, pl.ds(q0, q_block), :]        # (QB, 1)
+            s = jnp.where((seg_q == seg_row) & key_ok, s, _NEG)
             m = jnp.max(s, axis=1, keepdims=True)
             e = jnp.exp(s - m)
             p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(vh.dtype)
             ctx = jnp.dot(p, vh, preferred_element_type=jnp.float32)
-            o_ref[0, q0:q0 + q_block, lo:lo + dh] = ctx.astype(o_ref.dtype)
+            o_ref[0, pl.ds(q0, q_block), lo:lo + dh] = ctx.astype(
+                o_ref.dtype)
+            return 0
+
+        # Many q blocks (long T): fori_loop so Mosaic allocates ONE score
+        # tile per program, not one per unrolled iteration — unrolled,
+        # T=2048 overflowed the 16 MB VMEM scope. Few blocks: unroll (the
+        # loop carried no measurable VMEM cost and avoids trip overhead).
+        n_q = T // q_block
+        if n_q <= 2:
+            for qi in range(n_q):
+                qloop(qi, 0)
+        else:
+            jax.lax.fori_loop(0, n_q, qloop, 0)
 
 
 def _attention_call(q, k, v, segments):
@@ -90,23 +106,29 @@ def _attention_call(q, k, v, segments):
     lanes = NH * DH
     group = _GROUP_LANES if lanes % _GROUP_LANES == 0 else lanes
     n_groups = lanes // group
-    q_block = min(T, 512)  # cap the VMEM score tile at (512, T)
+    # cap the (q_block, T) f32 score tile at ~2 MB so the whole working
+    # set (scores + exp + four (T, group) bf16 blocks, double-buffered)
+    # stays under the 16 MB VMEM scope even at T=2048
+    q_block = min(T, max(128, (1 << 19) // T))
 
     q3 = q.reshape(B, T, lanes)   # free: trailing dims are adjacent
     k3 = k.reshape(B, T, lanes)
     v3 = v.reshape(B, T, lanes)
     qkv_spec = pl.BlockSpec((1, T, group), lambda b, g: (b, 0, g),
                             memory_space=pltpu.VMEM)
+    seg32 = segments.astype(jnp.int32)
     out = pl.pallas_call(
         functools.partial(_kernel, dh=DH, q_block=q_block),
         grid=(B, n_groups),
         in_specs=[pl.BlockSpec((1, 1, T), lambda b, g: (b, 0, 0),
                                memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, T, 1), lambda b, g: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
                   qkv_spec, qkv_spec, qkv_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
         interpret=jax.default_backend() != "tpu",
-    )(segments[:, None, :].astype(jnp.int32), q3, k3, v3)
+    )(seg32[:, None, :], seg32[:, :, None], q3, k3, v3)
     return out.reshape(B, T, NH, DH)
 
 
