@@ -25,6 +25,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     common.add_common_args(p)
     p.set_defaults(batch_size=10)                 # main_2protein_filip.py:33
+    # At the reference's bs 10 neither backbone chunking nor length groups
+    # pay off; when scaling --batch-size into the hundreds, raise both
+    # (e.g. --batch-size 128 --num-chunks 8 --length-groups 4).
+    p.set_defaults(num_chunks=1, length_groups=1)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--max-sequence-length", type=int, default=2000)
     p.add_argument("--use-dcl", action="store_true",
@@ -86,7 +90,8 @@ def main(argv=None) -> int:
 
     cfg = clip_engine.EngineConfig(
         model=mcfg, batch_size=args.batch_size, accumulated_batches=1,
-        learning_rate=args.lr, num_chunks=1, filip_use_dcl=args.use_dcl)
+        learning_rate=args.lr, num_chunks=args.num_chunks,
+        length_groups=args.length_groups, filip_use_dcl=args.use_dcl)
 
     def epoch_hook(epoch, best_params):
         if not args.epoch_figures:

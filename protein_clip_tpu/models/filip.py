@@ -108,26 +108,52 @@ def mean_average_similarity(ha, hb, mask_a, mask_b, temperature):
                       preferred_element_type=jnp.float32) / temperature
 
 
-def forward(params: Params, esm_params: Params, batch: dict[str, jax.Array],
-            cfg: FILIPConfig, *, train: bool = False,
-            rng: jax.Array | None = None, remat: bool = False,
-            similarity_fn=filip_similarity) -> tuple[jax.Array, jax.Array]:
-    """Full FILIP forward -> (sim_a, sim_b), each (B, B).
+def encode_batch_tokens(params: Params, esm_params: Params,
+                        batch: dict[str, jax.Array], cfg: FILIPConfig, *,
+                        train: bool = False, rng: jax.Array | None = None,
+                        remat: bool = False, num_chunks: int = 1
+                        ) -> tuple[jax.Array, jax.Array]:
+    """Both sides' normalised per-token embeddings (ha, hb).
 
-    similarity_fn is pluggable so the Pallas fused kernel can slot in.
-    """
+    num_chunks > 1 scans the frozen backbone over microbatches
+    (train/gradcache.encode_hidden_chunked) so FILIP batches scale far past
+    the reference's memory wall of 10 (main_2protein_filip.py:33)."""
+    from ..train.gradcache import encode_hidden_chunked
+
     rp = rr = None
     if rng is not None:
         rp, rr = jax.random.split(rng)
-    hp = jax.lax.stop_gradient(
-        esm2.forward(esm_params, batch["pep_ids"], batch["pep_mask"],
-                     cfg.esm, remat=remat))
-    hr = jax.lax.stop_gradient(
-        esm2.forward(esm_params, batch["rec_ids"], batch["rec_mask"],
-                     cfg.esm, remat=remat))
+    if num_chunks > 1:
+        hp = encode_hidden_chunked(esm_params, batch["pep_ids"],
+                                   batch["pep_mask"], cfg.esm, num_chunks,
+                                   remat)
+        hr = encode_hidden_chunked(esm_params, batch["rec_ids"],
+                                   batch["rec_mask"], cfg.esm, num_chunks,
+                                   remat)
+    else:
+        hp = jax.lax.stop_gradient(
+            esm2.forward(esm_params, batch["pep_ids"], batch["pep_mask"],
+                         cfg.esm, remat=remat))
+        hr = jax.lax.stop_gradient(
+            esm2.forward(esm_params, batch["rec_ids"], batch["rec_mask"],
+                         cfg.esm, remat=remat))
     ha = encode_side_tokens(params, "pep", hp.astype(jnp.float32), cfg,
                             train=train, rng=rp)
     hb = encode_side_tokens(params, "rec", hr.astype(jnp.float32), cfg,
                             train=train, rng=rr)
+    return ha, hb
+
+
+def forward(params: Params, esm_params: Params, batch: dict[str, jax.Array],
+            cfg: FILIPConfig, *, train: bool = False,
+            rng: jax.Array | None = None, remat: bool = False,
+            similarity_fn=filip_similarity,
+            num_chunks: int = 1) -> tuple[jax.Array, jax.Array]:
+    """Full FILIP forward -> (sim_a, sim_b), each (B, B).
+
+    similarity_fn is pluggable so the Pallas fused kernel can slot in.
+    """
+    ha, hb = encode_batch_tokens(params, esm_params, batch, cfg, train=train,
+                                 rng=rng, remat=remat, num_chunks=num_chunks)
     return similarity_fn(ha, hb, batch["pep_mask"], batch["rec_mask"],
                          params["temperature"])

@@ -72,14 +72,24 @@ def _maxsim_kernel(ha_ref, hb_ref, ma_ref, mb_ref, oa_ref, ob_ref,
     ob_ref[0, 0, j] = acc_b / cnt_b
 
 
+def _tb_chunk_for(TB: int) -> int:
+    """Largest streaming chunk <= 512 that divides TB (pad buckets are
+    multiples of 64, so 64 always divides)."""
+    for c in (512, 448, 384, 320, 256, 192, 128, 64, 32):
+        if TB % c == 0:
+            return c
+    return TB
+
+
 def _maxsim_call(ha, hb, mask_a, mask_b, interpret):
-    B, TA, D = ha.shape
-    _, TB, _ = hb.shape
-    tb_chunk = min(TB, 512)
-    if TB % tb_chunk:
-        raise ValueError(f"TB={TB} must be a multiple of {tb_chunk}")
+    # Rectangular (Ba, Bb) grids are allowed: length-grouped FILIP
+    # assembles the (B, B) similarity from per-group blocks whose side
+    # batches and token buckets differ.
+    Ba, TA, D = ha.shape
+    Bb, TB, _ = hb.shape
+    tb_chunk = _tb_chunk_for(TB)
     kernel = functools.partial(_maxsim_kernel, tb_chunk=tb_chunk)
-    grid = (B, B)
+    grid = (Ba, Bb)
     oa, ob = pl.pallas_call(
         kernel,
         grid=grid,
@@ -96,33 +106,35 @@ def _maxsim_call(ha, hb, mask_a, mask_b, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            # (B,1,B) rows in SMEM: block last-two dims == array last-two
+            # (Ba,1,Bb) rows in SMEM: block last-two dims == array last-two
             # dims; each program writes one scalar at its j.
-            pl.BlockSpec((1, 1, B), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, Bb), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, B), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, Bb), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, 1, B), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((Ba, 1, Bb), jnp.float32),
+            jax.ShapeDtypeStruct((Ba, 1, Bb), jnp.float32),
         ),
         interpret=interpret,
     )(ha, hb, mask_a[:, None, :], mask_b[:, None, :])
-    return oa.reshape(B, B), ob.reshape(B, B)
+    return oa.reshape(Ba, Bb), ob.reshape(Ba, Bb)
 
 
 def _raw_maxsim_bwd(ha, hb, mask_a, mask_b, ga, gb, j_block: int = 8):
     """Recompute-based backward: even tie-splitting max grad, j-blocked."""
-    B, TA, D = ha.shape
-    _, TB, _ = hb.shape
-    ma = mask_a.astype(jnp.float32)                       # (B, TA)
-    mb = mask_b.astype(jnp.float32)                       # (B, TB)
-    cnt_a = jnp.maximum(ma.sum(-1), 1e-6)                 # (B,)
+    Ba, TA, D = ha.shape
+    Bb, TB, _ = hb.shape
+    ma = mask_a.astype(jnp.float32)                       # (Ba, TA)
+    mb = mask_b.astype(jnp.float32)                       # (Bb, TB)
+    cnt_a = jnp.maximum(ma.sum(-1), 1e-6)                 # (Ba,)
     cnt_b = jnp.maximum(mb.sum(-1), 1e-6)
 
-    n_blocks = max(1, B // j_block)
-    jb = B // n_blocks
+    n_blocks = max(1, Bb // j_block)
+    while Bb % n_blocks:
+        n_blocks -= 1
+    jb = Bb // n_blocks
 
     def block(carry, blk):
         dha, dhb = carry

@@ -301,12 +301,21 @@ def train_gc(params, opt_state, esm_params, loader, tokenizer, step_fn,
 
 
 def train_plain(params, opt_state, esm_params, loader, tokenizer, step_fn,
-                rng) -> tuple[Params, Any, float]:
-    """Per-sub-batch training (reference train(), training_utils.py:7-28)."""
+                rng, cfg: EngineConfig | None = None
+                ) -> tuple[Params, Any, float]:
+    """Per-sub-batch training (reference train(), training_utils.py:7-28).
+
+    With cfg.length_groups > 1 each batch tokenizes length-grouped (the
+    FILIP path's padding-waste cut — the step must come from a grouped
+    make_train_step)."""
+    groups = cfg.length_groups if cfg is not None else 1
     total, n = 0.0, 0
     for peps, recs in loader:
         rng, sub = jax.random.split(rng)
-        batch = tokenize_pair_batch(tokenizer, peps, recs)
+        if groups > 1:
+            batch = tokenize_grouped(tokenizer, peps, recs, groups)
+        else:
+            batch = tokenize_pair_batch(tokenizer, peps, recs)
         params, opt_state, loss = step_fn(params, opt_state, esm_params,
                                           batch, sub)
         total += float(loss)

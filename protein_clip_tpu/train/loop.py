@@ -138,7 +138,7 @@ def fit(
             else:
                 params, opt_state, train_loss = clip_engine.train_plain(
                     params, opt_state, esm_params, train_loader, tokenizer,
-                    train_step, erng)
+                    train_step, erng, cfg)
             val_loss = clip_engine.evaluate(params, esm_params, val_loader,
                                             tokenizer, eval_step)
             train_losses.append(train_loss)

@@ -115,3 +115,67 @@ def test_mean_average_similarity_matches_oracle(rng):
     pb = (hb * mb[..., None]).mean(1)
     ref = pa @ pb.T / 2.0
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_filip_grouped_step_matches_plain(rng):
+    """Length-grouped FILIP step (block-assembled similarity) == plain step
+    on the same pairs: negatives span groups, diagonal stays aligned."""
+    import optax
+
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import esm2
+    from protein_clip_tpu.train import clip_engine, filip_engine
+
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    seqs = lambda n, lo, hi: ["".join(rng.choice(aas, int(L)))
+                              for L in rng.integers(lo, hi, n)]
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = filip.FILIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                             h1=2, h2=2, dropout=0.0, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    params = filip.init_params(jax.random.key(1), mcfg)
+    optimizer = optax.adam(1e-3)
+    opt0 = optimizer.init(params)
+    tok = EsmTokenizer()
+    peps, recs = seqs(8, 5, 20), seqs(8, 10, 60)
+
+    plain_cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                         accumulated_batches=1, num_chunks=2,
+                                         remat=False)
+    plain = filip_engine.make_train_step(plain_cfg, optimizer)
+    b = clip_engine.tokenize_pair_batch(tok, peps, recs)
+    p1, _, l1 = plain(params, opt0, esm_params, b, jax.random.key(2))
+
+    grp_cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                       accumulated_batches=1, num_chunks=2,
+                                       length_groups=2, remat=False)
+    grouped = filip_engine.make_train_step(grp_cfg, optimizer)
+    gb = clip_engine.tokenize_grouped(tok, peps, recs, 2)
+    p2, _, l2 = grouped(params, opt0, esm_params, gb, jax.random.key(2))
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_filip_fused_kernel_rectangular(rng):
+    """Ba != Bb (grouped cross blocks): fused kernel == lax oracle."""
+    from protein_clip_tpu.ops.filip_pallas import filip_similarity_fused
+
+    Ba, Bb, TA, TB, D = 3, 5, 12, 40, 16
+    ha = rng.normal(size=(Ba, TA, D)).astype(np.float32)
+    hb = rng.normal(size=(Bb, TB, D)).astype(np.float32)
+    ha /= np.linalg.norm(ha, axis=-1, keepdims=True)
+    hb /= np.linalg.norm(hb, axis=-1, keepdims=True)
+    ma = np.ones((Ba, TA), np.int32); ma[0, 7:] = 0
+    mb = np.ones((Bb, TB), np.int32); mb[2, 25:] = 0
+    t = jnp.asarray(0.7)
+    got_a, got_b = filip_similarity_fused(
+        jnp.asarray(ha), jnp.asarray(hb), jnp.asarray(ma), jnp.asarray(mb), t)
+    ref_a, ref_b = filip.filip_similarity(
+        jnp.asarray(ha), jnp.asarray(hb), jnp.asarray(ma), jnp.asarray(mb), t)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(ref_a),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
+                               atol=2e-5)
