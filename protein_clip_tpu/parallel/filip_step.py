@@ -49,8 +49,9 @@ def make_sharded_filip_train_step(cfg, optimizer: optax.GradientTransformation,
     replicated (TP over 'model' via GSPMD as in parallel/step.py)."""
     from ..models import esm2 as esm2_mod
     from ..train.clip_engine import expand_batch
+    from .step import tp_safe_model_config
 
-    mcfg = cfg.model
+    mcfg = tp_safe_model_config(cfg.model, mesh)
     n_data = mesh.shape[DATA_AXIS]
 
     def local_step(params, opt_state, esm_params, batch, rng):

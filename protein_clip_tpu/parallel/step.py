@@ -20,7 +20,25 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..models import clip
 from ..ops.infonce import clip_infonce
 from ..train.gradcache import encode_hidden_chunked
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+def tp_safe_model_config(mcfg, mesh):
+    """Force eager attention when the 'model' axis is real.
+
+    The fused attention kernel is a Pallas custom call; GSPMD cannot
+    partition a custom call over the auto 'model' axis (it would have to
+    all-gather the head-sharded activations around it, or refuse). Under
+    TP the eager einsum path lets XLA shard attention over heads as usual;
+    the kernel stays the single-chip / pure-DP default.
+    """
+    import dataclasses
+
+    if (dict(mesh.shape).get(MODEL_AXIS, 1) > 1
+            and mcfg.esm.attention_impl == "fused"):
+        return dataclasses.replace(
+            mcfg, esm=dataclasses.replace(mcfg.esm, attention_impl="eager"))
+    return mcfg
 
 
 def make_sharded_train_step(cfg, optimizer: optax.GradientTransformation,
@@ -30,7 +48,7 @@ def make_sharded_train_step(cfg, optimizer: optax.GradientTransformation,
     are sharded over 'data'; params/opt_state replicated over 'data'
     (TP over 'model' is an auto axis handled by GSPMD from the params'
     own shardings)."""
-    mcfg = cfg.model
+    mcfg = tp_safe_model_config(cfg.model, mesh)
     n_data = mesh.shape[DATA_AXIS]
     if cfg.global_batch % n_data:
         raise ValueError(f"global batch {cfg.global_batch} not divisible by "
@@ -83,7 +101,7 @@ def make_sharded_train_step(cfg, optimizer: optax.GradientTransformation,
 
 def make_sharded_eval_step(cfg, mesh, loss_fn=clip_infonce):
     """Sharded eval: same gather pattern, no grads/dropout."""
-    mcfg = cfg.model
+    mcfg = tp_safe_model_config(cfg.model, mesh)
 
     def local_step(params, esm_params, batch):
         from ..train.clip_engine import expand_batch

@@ -168,3 +168,25 @@ def test_sharded_filip_step_matches_single_device(tiny, rng):
     for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=1e-5, rtol=1e-3)
+
+
+def test_tp_safe_model_config_switches_fused_to_eager():
+    """GSPMD can't partition a Pallas custom call over the auto 'model'
+    axis; sharded steps must drop to eager attention exactly when TP is
+    real."""
+    import dataclasses
+
+    from protein_clip_tpu.models import clip, esm2
+    from protein_clip_tpu.parallel import mesh as mesh_mod
+    from protein_clip_tpu.parallel.step import tp_safe_model_config
+
+    esm_cfg = esm2.ESM2Config.tiny(attention_impl="fused")
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
+
+    tp_mesh = mesh_mod.make_mesh(data=4, model=2)
+    assert tp_safe_model_config(mcfg, tp_mesh).esm.attention_impl == "eager"
+
+    dp_mesh = mesh_mod.make_mesh(data=8, model=1)
+    assert tp_safe_model_config(mcfg, dp_mesh).esm.attention_impl == "fused"
+    # untouched config object for the pure-DP case
+    assert tp_safe_model_config(mcfg, dp_mesh) is mcfg
