@@ -83,6 +83,10 @@ def _kernel(s_ref, sc_ref, q_ref, k_ref, v_ref, o_ref, *, dh: int,
             s = jnp.where((seg_q == seg_row) & key_ok, s, _NEG)
             m = jnp.max(s, axis=1, keepdims=True)
             e = jnp.exp(s - m)
+            # NOTE: folding the 1/sum into the (QB, dh) epilogue instead
+            # of dividing the (QB, T) probs measured ~3% SLOWER end to end
+            # (616-628 vs 640-652 pairs/s) — the narrow f32 divide stalls
+            # the pipeline more than the wide VPU pass costs.
             p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(vh.dtype)
             ctx = jnp.dot(p, vh, preferred_element_type=jnp.float32)
             o_ref[0, pl.ds(q0, q_block), lo:lo + dh] = ctx.astype(
