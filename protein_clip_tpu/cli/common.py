@@ -44,7 +44,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="npz from tools/convert_esm_weights.py, or an HF "
                         "model dir; omit for random init (smoke runs)")
     p.add_argument("--esm-dtype", default="bfloat16",
-                   choices=["bfloat16", "float32"])
+                   choices=["bfloat16", "float32", "int8"],
+                   help="int8 = post-training w8a8 quantised backbone "
+                        "(bf16 activations/attention; ~int8-rounding "
+                        "drift vs the bf16 parity path)")
     p.add_argument("--synthetic-fixture", action="store_true",
                    help="generate a synthetic corpus into --data-dir when "
                         "the FASTAs are missing (no-network environments)")
@@ -65,7 +68,8 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
 
 
 def esm_config(name: str, dtype_name: str) -> esm2.ESM2Config:
-    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    # int8 quantises the weights (load_esm); activations stay bf16
+    dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
     return {
         "t30_150M": esm2.ESM2Config.t30_150M,
         "t6_8M": esm2.ESM2Config.t6_8M,
@@ -77,11 +81,19 @@ def esm_config(name: str, dtype_name: str) -> esm2.ESM2Config:
 
 
 def load_esm(args, cfg: esm2.ESM2Config):
-    """ESM params: from converted npz, HF dir, or random init."""
+    """ESM params: from converted npz, HF dir, or random init.
+    --esm-dtype int8 quantises the loaded weights post hoc."""
     dtype = cfg.compute_dtype
+
+    def finish(params):
+        if args.esm_dtype == "int8":
+            print("[esm] int8 w8a8 backbone (post-training quantisation)")
+            return esm2.quantize_params(params)
+        return params
+
     if args.esm_weights is None:
         print("[esm] random init (pass --esm-weights for pretrained)")
-        return esm2.init_params(jax.random.key(0), cfg, dtype=dtype)
+        return finish(esm2.init_params(jax.random.key(0), cfg, dtype=dtype))
     path = Path(args.esm_weights)
     if path.suffix == ".npz":
         from ..train.checkpoint import load_npz
@@ -89,14 +101,14 @@ def load_esm(args, cfg: esm2.ESM2Config):
             lambda: esm2.init_params(jax.random.key(0), cfg, dtype=dtype))
         like = jax.tree.map(
             lambda s: jnp.zeros(s.shape, s.dtype), like)
-        return load_npz(path, like)
+        return finish(load_npz(path, like))
     # HF checkpoint directory (torch) — convert on the fly
     import torch
     from transformers import EsmModel
     model = EsmModel.from_pretrained(str(path), add_pooling_layer=False)
     sd = {k: v.numpy() for k, v in model.state_dict().items()}
     params = esm2.convert_hf_state_dict(sd, cfg)
-    return esm2.cast_params(params, dtype)
+    return finish(esm2.cast_params(params, dtype))
 
 
 def ensure_data(args, prefix_a: str, prefix_b: str) -> Path:

@@ -205,6 +205,28 @@ def _apply_rope(x, cos, sin):
     return x * cos[:, :, None, :] + _rotate_half(x) * sin[:, :, None, :]
 
 
+def _dense(x, lp):
+    """(B, T, in) @ layer params -> (B, T, out).
+
+    Dispatches on the params: ``{"w", "b"}`` is the bf16/f32 MXU path;
+    ``{"w_q", "w_s", "b"}`` (from ``quantize_params``) is w8a8 — dynamic
+    per-token symmetric activation int8, per-output-channel weight int8,
+    s8xs8->s32 on the MXU at twice the bf16 rate, dequantised in f32.
+    """
+    if "w_q" in lp:
+        x32 = x.astype(jnp.float32)
+        xs = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
+                         1e-6) * (1.0 / 127.0)
+        xq = jnp.round(x32 / xs).astype(jnp.int8)
+        y = jnp.einsum("bti,io->bto", xq, lp["w_q"],
+                       preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * xs * lp["w_s"]).astype(x.dtype) \
+            + lp["b"]
+    return (jnp.einsum("bth,hd->btd", x, lp["w"],
+                       preferred_element_type=jnp.float32)
+            .astype(x.dtype) + lp["b"])
+
+
 def _attention_block(x, p, mask_bias, segments, cos, sin, cfg: ESM2Config):
     """Pre-LN attention residual block in the native (B, T, heads, dh)
     layout. ``segments`` is (B, T) int32 — a plain 0/1 mask for padded
@@ -216,9 +238,7 @@ def _attention_block(x, p, mask_bias, segments, cos, sin, cfg: ESM2Config):
     h = _layer_norm(x, p["ln"]["w"], p["ln"]["b"], cfg.layer_norm_eps)
 
     def proj(h, lp):
-        return (jnp.einsum("bth,hd->btd", h, lp["w"],
-                           preferred_element_type=jnp.float32)
-                .astype(h.dtype) + lp["b"]).reshape(B, T, nh, dh)
+        return _dense(h, lp).reshape(B, T, nh, dh)
 
     q = proj(h, p["q"]) * (dh ** -0.5)   # ESM scales q before RoPE
     k = proj(h, p["k"])
@@ -240,22 +260,13 @@ def _attention_block(x, p, mask_bias, segments, cos, sin, cfg: ESM2Config):
         ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
     ctx = ctx.reshape(B, T, H)
-    out = (jnp.einsum("bth,hd->btd", ctx, p["o"]["w"],
-                      preferred_element_type=jnp.float32)
-           .astype(x.dtype) + p["o"]["b"])
-    return x + out
+    return x + _dense(ctx, p["o"])
 
 
 def _ffn_block(x, p, cfg: ESM2Config):
     h = _layer_norm(x, p["ln"]["w"], p["ln"]["b"], cfg.layer_norm_eps)
-    h = (jnp.einsum("bth,hi->bti", h, p["wi"]["w"],
-                    preferred_element_type=jnp.float32)
-         .astype(x.dtype) + p["wi"]["b"])
-    h = _gelu_exact(h)
-    h = (jnp.einsum("bti,ih->bth", h, p["wo"]["w"],
-                    preferred_element_type=jnp.float32)
-         .astype(x.dtype) + p["wo"]["b"])
-    return x + h
+    h = _gelu_exact(_dense(h, p["wi"]))
+    return x + _dense(h, p["wo"])
 
 
 def embed(params: Params, input_ids, attention_mask, cfg: ESM2Config):
@@ -406,6 +417,40 @@ def convert_hf_lm_head(state_dict: dict[str, np.ndarray]) -> Params:
         "ln": {"w": jnp.asarray(sd["lm_head.layer_norm.weight"]),
                "b": jnp.asarray(sd["lm_head.layer_norm.bias"])},
         "bias": jnp.asarray(sd["lm_head.bias"]),
+    }
+
+
+def quantize_params(params: Params) -> Params:
+    """Post-training int8 quantisation of the big linear weights (opt-in,
+    ``--esm-dtype int8``): symmetric per-output-channel scales for
+    attn q/k/v/o and ffn wi/wo; embeddings, layer norms, and biases stay
+    in their original dtype. The matching activation quantisation is
+    dynamic per token inside ``_dense``.
+
+    NOT a parity path: hidden states drift by int8 rounding (the parity
+    target stays bf16/f32). Serving/throughput feature — the frozen
+    backbone takes it without retraining. Unsupported together with the
+    tensor-parallel 'model' axis (parallel/sharding.py expects "w" keys).
+    """
+
+    def q(lp):
+        w = lp["w"].astype(jnp.float32)            # (L, in, out)
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=-2), 1e-12) / 127.0
+        wq = jnp.round(w / s[..., None, :]).astype(jnp.int8)
+        return {"w_q": wq, "w_s": s, "b": lp["b"]}
+
+    layers = params["layers"]
+    return {
+        "embed": params["embed"],
+        "layers": {
+            "attn": {k: (q(layers["attn"][k]) if k in ("q", "k", "v", "o")
+                         else layers["attn"][k])
+                     for k in layers["attn"]},
+            "ffn": {k: (q(layers["ffn"][k]) if k in ("wi", "wo")
+                        else layers["ffn"][k])
+                    for k in layers["ffn"]},
+        },
+        "final_ln": params["final_ln"],
     }
 
 
