@@ -32,6 +32,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--prefix-b", default="receptor")
     p.add_argument("--side", default="b", choices=["a", "b", "both"],
                    help="which side's sequences to train on")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel devices (parallel/mlm_step.py): "
+                        "batch shards over the 'data' mesh axis, loss and "
+                        "LM-head grads psum over ICI")
     return p
 
 
@@ -58,20 +62,29 @@ def main(argv=None) -> int:
     optimizer = opt_mod.adam(args.lr)
     opt_state = optimizer.init(lm_head)
 
-    @jax.jit
-    def train_step(lm_head, opt_state, ids, mask, key):
-        masked, labels = mlm.mask_tokens(key, ids, mask, args.mask_prob)
-        loss, grads = jax.value_and_grad(
-            lambda h: mlm.mlm_loss(esm_params, h, masked, mask, labels,
-                                   esm_cfg))(lm_head)
-        updates, opt_state = optimizer.update(grads, opt_state, lm_head)
-        return optax.apply_updates(lm_head, updates), opt_state, loss
+    if args.dp > 1:
+        from ..parallel import mesh as mesh_mod
+        from ..parallel.mlm_step import (make_sharded_mlm_eval_step,
+                                         make_sharded_mlm_train_step)
+        mesh = mesh_mod.make_mesh(data=args.dp, model=1)
+        train_step = make_sharded_mlm_train_step(esm_cfg, optimizer, mesh,
+                                                 args.mask_prob)
+        eval_step = make_sharded_mlm_eval_step(esm_cfg, mesh, args.mask_prob)
+    else:
+        @jax.jit
+        def train_step(lm_head, opt_state, esm_p, ids, mask, key):
+            masked, labels = mlm.mask_tokens(key, ids, mask, args.mask_prob)
+            loss, grads = jax.value_and_grad(
+                lambda h: mlm.mlm_loss(esm_p, h, masked, mask, labels,
+                                       esm_cfg))(lm_head)
+            updates, opt_state = optimizer.update(grads, opt_state, lm_head)
+            return optax.apply_updates(lm_head, updates), opt_state, loss
 
-    @jax.jit
-    def eval_step(lm_head, ids, mask, key):
-        masked, labels = mlm.mask_tokens(key, ids, mask, args.mask_prob)
-        return mlm.mlm_loss(esm_params, lm_head, masked, mask, labels,
-                            esm_cfg)
+        @jax.jit
+        def eval_step(lm_head, esm_p, ids, mask, key):
+            masked, labels = mlm.mask_tokens(key, ids, mask, args.mask_prob)
+            return mlm.mlm_loss(esm_p, lm_head, masked, mask, labels,
+                                esm_cfg)
 
     def seqs_of(batch):
         a, b = batch
@@ -88,14 +101,15 @@ def main(argv=None) -> int:
                 enc = tokenizer(seqs_of(batch))
                 rng, sk = jax.random.split(rng)
                 lm_head, opt_state, loss = train_step(
-                    lm_head, opt_state, jnp.asarray(enc["input_ids"]),
+                    lm_head, opt_state, esm_params,
+                    jnp.asarray(enc["input_ids"]),
                     jnp.asarray(enc["attention_mask"]), sk)
                 tl += float(loss); tn += 1
             vl, vn = 0.0, 0
             for batch in val_loader:
                 enc = tokenizer(seqs_of(batch))
                 rng, sk = jax.random.split(rng)
-                vl += float(eval_step(lm_head,
+                vl += float(eval_step(lm_head, esm_params,
                                       jnp.asarray(enc["input_ids"]),
                                       jnp.asarray(enc["attention_mask"]), sk))
                 vn += 1

@@ -57,6 +57,17 @@ def mask_tokens(key: jax.Array, input_ids: jax.Array,
 def mlm_loss(esm_params, lm_head, masked_ids, attention_mask, labels,
              cfg: esm2.ESM2Config) -> jax.Array:
     """Masked cross-entropy at masked positions only."""
+    s, c = mlm_loss_terms(esm_params, lm_head, masked_ids, attention_mask,
+                          labels, cfg)
+    return s / jnp.maximum(c, 1.0)
+
+
+def mlm_loss_terms(esm_params, lm_head, masked_ids, attention_mask, labels,
+                   cfg: esm2.ESM2Config) -> tuple[jax.Array, jax.Array]:
+    """(sum of masked-position CE, masked count) — the shard-local terms a
+    data-parallel step psums before dividing (parallel/mlm_step.py), so the
+    global loss is the true mean over ALL masked positions regardless of
+    how many landed on each shard."""
     hidden = esm2.forward(esm_params, masked_ids, attention_mask, cfg)
     logits = esm2.lm_logits(esm_params, lm_head, hidden, cfg)
     logits = logits.astype(jnp.float32)
@@ -64,4 +75,4 @@ def mlm_loss(esm_params, lm_head, masked_ids, attention_mask, labels,
     tgt = jnp.clip(labels, 0, cfg.vocab_size - 1)
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
     is_masked = (labels != -100).astype(jnp.float32)
-    return jnp.sum(nll * is_masked) / jnp.maximum(jnp.sum(is_masked), 1.0)
+    return jnp.sum(nll * is_masked), jnp.sum(is_masked)

@@ -1,0 +1,81 @@
+"""Data-parallel MLM training step.
+
+The reference's MLM exploration is a notebook (MLM_Testing.ipynb, N1 in
+SURVEY.md) with no training loop at all; the mlm_train CLI gives it one,
+and this module scales it over the 'data' mesh axis the TPU way:
+
+- the (B, T) batch shards over 'data'; each chip masks its shard with a
+  fold_in-derived key (distinct masks per shard, deterministic in the
+  global key);
+- the loss is the TRUE global mean over masked positions: shard-local
+  (sum, count) terms are psum'd over ICI before the divide, so shards
+  with more masked tokens weigh proportionally (a naive mean-of-means
+  would not);
+- LM-head grads psum over 'data' (the backbone stays frozen here, as in
+  cli/mlm_train.py; unfreezing would shard the same way).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models import esm2, mlm
+from .mesh import DATA_AXIS
+
+
+def make_sharded_mlm_train_step(esm_cfg: esm2.ESM2Config,
+                                optimizer: optax.GradientTransformation,
+                                mesh, mask_prob: float):
+    def local_step(lm_head, opt_state, esm_params, ids, mask, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        masked, labels = mlm.mask_tokens(key, ids, mask, mask_prob)
+
+        def loss_fn(h):
+            s, c = mlm.mlm_loss_terms(esm_params, h, masked, mask, labels,
+                                      esm_cfg)
+            s = jax.lax.psum(s, DATA_AXIS)
+            c = jax.lax.psum(c, DATA_AXIS)
+            return s / jnp.maximum(c, 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(lm_head)
+        grads = jax.lax.psum(grads, DATA_AXIS)  # shard-local contributions
+        updates, opt_state = optimizer.update(grads, opt_state, lm_head)
+        return optax.apply_updates(lm_head, updates), opt_state, loss
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        axis_names={DATA_AXIS},
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_mlm_eval_step(esm_cfg: esm2.ESM2Config, mesh,
+                               mask_prob: float):
+    def local_step(lm_head, esm_params, ids, mask, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        masked, labels = mlm.mask_tokens(key, ids, mask, mask_prob)
+        s, c = mlm.mlm_loss_terms(esm_params, lm_head, masked, mask, labels,
+                                  esm_cfg)
+        s = jax.lax.psum(s, DATA_AXIS)
+        c = jax.lax.psum(c, DATA_AXIS)
+        return s / jnp.maximum(c, 1.0)
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=P(),
+        axis_names={DATA_AXIS},
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def shard_arrays(mesh, *arrays):
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return tuple(jax.device_put(a, sharding) for a in arrays)

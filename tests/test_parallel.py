@@ -190,3 +190,68 @@ def test_tp_safe_model_config_switches_fused_to_eager():
     assert tp_safe_model_config(mcfg, dp_mesh).esm.attention_impl == "fused"
     # untouched config object for the pure-DP case
     assert tp_safe_model_config(mcfg, dp_mesh) is mcfg
+
+
+def test_sharded_mlm_step_matches_manual_global_mean(rng):
+    """DP MLM: psum'd (sum, count) loss == manually reconstructed global
+    mean over all shards' masked positions, and one optimizer step on the
+    LM head matches the equivalent single-device computation."""
+    import optax
+
+    from protein_clip_tpu.models import esm2, mlm
+    from protein_clip_tpu.parallel import mesh as mesh_mod
+    from protein_clip_tpu.parallel.mlm_step import (
+        make_sharded_mlm_train_step)
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    lm_head = esm2.init_lm_head(jax.random.key(1), esm_cfg)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(lm_head)
+
+    n_dp, B, T = 4, 8, 16
+    mesh = mesh_mod.make_mesh(data=n_dp, model=1)
+    ids = jnp.asarray(np.random.default_rng(0).integers(4, 24, (B, T)),
+                      jnp.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+    key = jax.random.key(7)
+
+    step = make_sharded_mlm_train_step(esm_cfg, optimizer, mesh,
+                                       mask_prob=0.3)
+    new_head, _, loss = step(lm_head, opt_state, esm_params, ids, mask, key)
+
+    # reconstruct: each shard masks with fold_in(key, shard_index)
+    shard = B // n_dp
+    total_s, total_c = 0.0, 0.0
+    grads_sum = None
+    for i in range(n_dp):
+        k = jax.random.fold_in(key, i)
+        ids_i = ids[i * shard:(i + 1) * shard]
+        mask_i = mask[i * shard:(i + 1) * shard]
+        masked, labels = mlm.mask_tokens(k, ids_i, mask_i, 0.3)
+        s, c = mlm.mlm_loss_terms(esm_params, lm_head, masked, mask_i,
+                                  labels, esm_cfg)
+        total_s += float(s)
+        total_c += float(c)
+    expect_loss = total_s / max(total_c, 1.0)
+    np.testing.assert_allclose(float(loss), expect_loss, rtol=1e-5)
+
+    # grads: d(global mean)/d(head) accumulated across shards
+    def global_loss(h):
+        s_all, c_all = 0.0, 0.0
+        for i in range(n_dp):
+            k = jax.random.fold_in(key, i)
+            ids_i = ids[i * shard:(i + 1) * shard]
+            mask_i = mask[i * shard:(i + 1) * shard]
+            masked, labels = mlm.mask_tokens(k, ids_i, mask_i, 0.3)
+            s, c = mlm.mlm_loss_terms(esm_params, h, masked, mask_i,
+                                      labels, esm_cfg)
+            s_all = s_all + s
+            c_all = c_all + c
+        return s_all / jnp.maximum(c_all, 1.0)
+
+    grads = jax.grad(global_loss)(lm_head)
+    updates, _ = optimizer.update(grads, optimizer.init(lm_head), lm_head)
+    expect_head = optax.apply_updates(lm_head, updates)
+    for a, b in zip(jax.tree.leaves(new_head), jax.tree.leaves(expect_head)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
