@@ -36,6 +36,14 @@ from .gradcache import encode_hidden_chunked
 _FUSED_INFONCE_VMEM_BUDGET = 8 * 1024 * 1024
 
 
+def fused_infonce_fits(b: int, d: int) -> bool:
+    """True when the single-shot fused InfoNCE kernel's working set
+    (x, y, logits, probs in f32) fits the VMEM budget with d sublane-
+    aligned. Global batch 512 at d=128 still fits; 1024 falls back."""
+    vmem_bytes = 4 * (2 * b * d + 2 * b * b)
+    return vmem_bytes <= _FUSED_INFONCE_VMEM_BUDGET and d % 8 == 0
+
+
 def default_loss_fn() -> Callable:
     """Fused Pallas InfoNCE on TPU (ops/infonce_pallas.py), lax elsewhere.
     Values agree to f32 rounding (tests/test_pallas_infonce.py). Shapes the
@@ -46,8 +54,7 @@ def default_loss_fn() -> Callable:
 
         def loss(x, y):
             b, d = x.shape
-            vmem_bytes = 4 * (2 * b * d + 2 * b * b)  # x, y, logits, probs
-            if vmem_bytes > _FUSED_INFONCE_VMEM_BUDGET or d % 8:
+            if not fused_infonce_fits(b, d):
                 return clip_infonce(x, y)
             return fused_infonce(x, y)
 

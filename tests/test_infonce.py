@@ -87,3 +87,14 @@ def test_filip_loss_symmetric_average(rng):
     ref = 0.5 * (float(filip_direction_loss(jnp.asarray(a)))
                  + float(filip_direction_loss(jnp.asarray(b))))
     np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_fused_infonce_vmem_guard_thresholds():
+    """Negative-pool scaling: the reference batch (256x128) and 4x it fit
+    the single-shot kernel; huge pools and odd dims fall back to lax."""
+    from protein_clip_tpu.train.clip_engine import fused_infonce_fits
+
+    assert fused_infonce_fits(256, 128)      # reference global batch
+    assert fused_infonce_fits(512, 128)      # 2x negative pool
+    assert not fused_infonce_fits(1024, 128)  # 9.4 MB working set -> lax
+    assert not fused_infonce_fits(256, 100)   # off sublane alignment
