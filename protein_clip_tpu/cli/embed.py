@@ -1,7 +1,13 @@
-"""Embedding/serving entry: embed a FASTA through a trained checkpoint.
+"""Bulk sequence embedding: FASTA in, embeddings out (serving path).
 
-Writes <out>.npz with {'ids', 'embeddings'}; optionally answers top-k
-nearest-partner queries against a second embedded FASTA.
+The reference has no offline-embedding story — every eval re-runs the
+model end to end (topk.py re-encodes 256 candidates per query). This
+entry encodes a FASTA once with a trained CLIP head and writes an npz of
+{ids, embeddings} for downstream retrieval/indexing, batched at a static
+bucket per length group so XLA compiles a handful of shapes.
+
+    python -m protein_clip_tpu.cli.embed --checkpoint runs/<ts>/best_model.npz \
+        --fasta data/protein1.fasta --side pep --out embeddings.npz
 """
 
 from __future__ import annotations
@@ -13,28 +19,61 @@ import jax
 
 from . import common
 from ..data.fasta import parse_fasta
-from ..eval.embed import Embedder, nearest_partners
 from ..models import clip
 from ..train.checkpoint import load_npz
+from ..utils import prng
 
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     common.add_common_args(p)
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", required=True,
+                   help="best_model.npz from a training run")
     p.add_argument("--fasta", required=True)
-    p.add_argument("--side", default="rec", choices=["pep", "rec"])
-    p.add_argument("--out", required=True, help="output npz path")
-    p.add_argument("--query-fasta", default=None,
-                   help="embed with the other side and print top-k partners")
-    p.add_argument("--top-k", type=int, default=5)
+    p.add_argument("--side", default="pep", choices=["pep", "rec"],
+                   help="which trained encoder head to apply")
+    p.add_argument("--out", required=True, help="output .npz path")
+    p.add_argument("--raw-cosine", action="store_true",
+                   help="strip the exp(t/2) scale so dot products are raw "
+                        "cosines (visualizations.py:38-52 de-scaling)")
     return p
+
+
+def embed_sequences(params, esm_params, seqs, side, mcfg, tokenizer,
+                    batch_size: int = 64):
+    """Encode sequences -> (N, D) float32, length-sorted internally so each
+    jit shape is a (batch, bucket) pair; results return in input order."""
+    import jax.numpy as jnp
+
+    from ..data.tokenizer import PAD_ID
+    from ..models import esm2 as esm2_mod
+
+    order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
+    out = np.zeros((len(seqs), mcfg.embedding_dim), np.float32)
+
+    @jax.jit
+    def encode(params, esm_params, ids):
+        ids = ids.astype(jnp.int32)
+        mask = (ids != PAD_ID).astype(jnp.int32)
+        hidden = esm2_mod.forward(esm_params, ids, mask, mcfg.esm)
+        return clip.encode_side(params, side, hidden.astype(jnp.float32),
+                                mask, mcfg, train=False)
+
+    for start in range(0, len(order), batch_size):
+        idx = order[start:start + batch_size]
+        enc = tokenizer([seqs[i] for i in idx])
+        ids = jnp.asarray(enc["input_ids"].astype(np.int8))
+        emb = np.asarray(encode(params, esm_params, ids), np.float32)
+        out[idx] = emb[: len(idx)]
+    return out
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    prng.set_seed(args.seed)
     esm_cfg = common.esm_config(args.esm_config, args.esm_dtype)
     esm_params = common.load_esm(args, esm_cfg)
+    tokenizer = common.make_tokenizer()
     mcfg = clip.CLIPConfig(
         input_dim=esm_cfg.hidden_size, embedding_dim=args.embedding_dim,
         h1=args.h1, h2=args.h2, dropout=args.dropout,
@@ -43,25 +82,14 @@ def main(argv=None) -> int:
                       clip.init_params(jax.random.key(0), mcfg))
 
     records = parse_fasta(args.fasta)
-    ids = [r for r, _ in records]
-    seqs = [s for _, s in records]
-    embedder = Embedder(params, esm_params, mcfg, side=args.side,
-                        batch_size=min(args.batch_size * 4, 64))
-    emb = embedder(seqs)
-    np.savez(args.out, ids=np.array(ids), embeddings=emb)
-    print(f"embedded {len(seqs)} sequences -> {args.out}")
-
-    if args.query_fasta:
-        qrecords = parse_fasta(args.query_fasta)
-        other = "pep" if args.side == "rec" else "rec"
-        qembedder = Embedder(params, esm_params, mcfg, side=other,
-                             batch_size=min(args.batch_size * 4, 64))
-        qemb = qembedder([s for _, s in qrecords])
-        idx, scores = nearest_partners(qemb, emb, k=args.top_k)
-        for qi, (qid, _) in enumerate(qrecords):
-            hits = ", ".join(f"{ids[j]}:{scores[qi, n]:.3f}"
-                             for n, j in enumerate(idx[qi]))
-            print(f"{qid} -> {hits}")
+    ids = [r[0] for r in records]
+    seqs = [r[1] for r in records]
+    emb = embed_sequences(params, esm_params, seqs, args.side, mcfg,
+                          tokenizer, batch_size=args.batch_size)
+    if args.raw_cosine:
+        emb = emb / np.exp(float(params["temperature"]) / 2.0)
+    np.savez(args.out, ids=np.asarray(ids), embeddings=emb)
+    print(f"wrote {len(ids)} x {emb.shape[1]} embeddings to {args.out}")
     return 0
 
 

@@ -147,6 +147,48 @@ def test_eval_cli_respects_activation(workdir, trained_run):
     assert not np.allclose(cli_matrix, matrix_for("relu"), atol=1e-3)
 
 
+def test_embed_entry(workdir, trained_run):
+    """Bulk-embedding CLI: npz out, values match the training-time encoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from protein_clip_tpu.cli import common
+    from protein_clip_tpu.cli.embed import main as embed_main
+    from protein_clip_tpu.data.fasta import parse_fasta
+    from protein_clip_tpu.models import clip, esm2
+    from protein_clip_tpu.data.tokenizer import PAD_ID
+    from protein_clip_tpu.train.checkpoint import load_npz
+
+    rc = embed_main(TINY + [
+        "--checkpoint", str(trained_run / "best_model.npz"),
+        "--fasta", "data/protein1.fasta", "--side", "pep",
+        "--out", "emb.npz", "--batch-size", "8",
+    ])
+    assert rc == 0
+    out = np.load("emb.npz")
+    records = parse_fasta("data/protein1.fasta")
+    assert out["embeddings"].shape == (len(records), 128)
+    assert list(out["ids"]) == [r[0] for r in records]
+
+    # spot-check value parity against the in-process encoder
+    esm_cfg = esm2.ESM2Config.tiny(compute_dtype=np.float32)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
+                                  dtype=np.float32)
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
+    params = load_npz(trained_run / "best_model.npz",
+                      clip.init_params(jax.random.key(0), mcfg))
+    tok = common.make_tokenizer()
+    seqs = [records[i][1] for i in (0, 3)]
+    enc = tok(seqs)
+    ids = jnp.asarray(enc["input_ids"], jnp.int32)
+    mask = (ids != PAD_ID).astype(jnp.int32)
+    hidden = esm2.forward(esm_params, ids, mask, esm_cfg)
+    want = np.asarray(clip.encode_side(
+        params, "pep", hidden.astype(jnp.float32), mask, mcfg,
+        train=False))
+    np.testing.assert_allclose(out["embeddings"][[0, 3]], want, atol=1e-5)
+
+
 def test_packed_training_entry(workdir, trained_run):
     """--packed path through the real CLI (fresh run dir)."""
     from protein_clip_tpu.cli.main_2protein import main
