@@ -14,13 +14,19 @@ lost 343-469 — both trace-diagnosed):
   (``preferred_element_type``). Upcasting q/k to f32 first puts the
   matmuls at the slow f32 MXU rate — worse than the memory-bound path
   being replaced.
-- Arrays stay in the model's native (B, T, heads*dh) layout end to end.
-  A head-major (B, heads, T, dh) layout makes dh=32 the minor dim, which
-  runs every surrounding elementwise op (RoPE, scaling) at a quarter of
-  the VPU lanes and inserts transposes: measured 175 GB/s RoPE + 57
-  ms/step of pure copies. Here the grid is (batch, head_group) where a
-  head group is 128 lanes = 4 heads; programs slice per-head (T, 32)
-  operands out of their (T, 128) block internally.
+- Arrays stay in the model's native (B, T, heads*dh) layout through the
+  model; the kernel takes a logically transposed (B, heads*dh, T) view.
+  Two failure modes bracket this choice: a head-major (B, heads, T, dh)
+  model layout makes dh=32 the minor dim and runs every surrounding
+  elementwise op at a quarter of the VPU lanes (175 GB/s RoPE + 57
+  ms/step of copies — 343 pairs/s end to end); a row-major (B, T, lanes)
+  kernel boundary fights the T-minor layout XLA prefers for activations
+  inside the layer scan and pays 6x 11.7 ms/step of layout-flip copies
+  around the custom call (648 vs 770 pairs/s). The swapaxes view makes
+  the custom call's forced default layout coincide with the producers'
+  preference, so no copy materialises. Grid is (batch, head_group) where
+  a head group is 128 lanes = 4 heads; programs slice per-head (dh, T)
+  operands out of their (128, T) block internally.
 - Masking is segment-based: ``segments`` is (B, T) int32 where 0 marks
   pads/gaps and tokens attend iff their nonzero ids match. A plain 0/1
   attention mask IS the one-segment special case, so the same kernel
@@ -61,42 +67,39 @@ _GROUP_LANES = 128
 
 def _kernel(s_ref, sc_ref, q_ref, k_ref, v_ref, o_ref, *, dh: int,
             q_block: int):
-    # s_ref: (1, 1, T) segments row-oriented; sc_ref: (1, T, 1) the same
-    # column-oriented (refs are sliceable where values are not on TPU).
+    """q/k/v arrive (1, lanes, T): T-minor matches the layout XLA prefers
+    for activations inside the layer scan, so the custom call needs NO
+    layout-flip copies on its operands or result — the row-major variant
+    measured 6x 11.7 ms/step of pure copies around the call (648 vs 770
+    pairs/s end to end)."""
     seg_row = s_ref[0]                           # (1, T) int32
-    T = q_ref.shape[1]
-    lanes = q_ref.shape[2]
+    lanes = q_ref.shape[1]
+    T = q_ref.shape[2]
     key_ok = seg_row > 0
 
     for h in range(lanes // dh):
         lo = h * dh
-        kh = k_ref[0, :, lo:lo + dh]             # (T, dh)
-        vh = v_ref[0, :, lo:lo + dh]
+        kh = k_ref[0, lo:lo + dh, :]             # (dh, T)
+        vh = v_ref[0, lo:lo + dh, :]
 
         def qloop(qi, _):
             q0 = pl.multiple_of(qi * q_block, q_block)
-            qh = q_ref[0, pl.ds(q0, q_block), lo:lo + dh]   # (QB, dh)
-            s = jax.lax.dot_general(                        # bf16 in, f32 out
-                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)         # (QB, T) VMEM
+            qh = q_ref[0, lo:lo + dh, pl.ds(q0, q_block)]   # (dh, QB)
+            s = jax.lax.dot_general(                        # contract dh
+                qh, kh, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (QB, T)
             seg_q = sc_ref[0, pl.ds(q0, q_block), :]        # (QB, 1)
             s = jnp.where((seg_q == seg_row) & key_ok, s, _NEG)
             m = jnp.max(s, axis=1, keepdims=True)
             e = jnp.exp(s - m)
-            # NOTE: folding the 1/sum into the (QB, dh) epilogue instead
-            # of dividing the (QB, T) probs measured ~3% SLOWER end to end
-            # (616-628 vs 640-652 pairs/s) — the narrow f32 divide stalls
-            # the pipeline more than the wide VPU pass costs.
             p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(vh.dtype)
-            ctx = jnp.dot(p, vh, preferred_element_type=jnp.float32)
-            o_ref[0, pl.ds(q0, q_block), lo:lo + dh] = ctx.astype(
+            ctx = jax.lax.dot_general(                      # (dh, QB)
+                vh, p, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, lo:lo + dh, pl.ds(q0, q_block)] = ctx.astype(
                 o_ref.dtype)
             return 0
 
-        # Many q blocks (long T): fori_loop so Mosaic allocates ONE score
-        # tile per program, not one per unrolled iteration — unrolled,
-        # T=2048 overflowed the 16 MB VMEM scope. Few blocks: unroll (the
-        # loop carried no measurable VMEM cost and avoids trip overhead).
         n_q = T // q_block
         if n_q <= 2:
             for qi in range(n_q):
@@ -110,15 +113,12 @@ def _attention_call(q, k, v, segments):
     lanes = NH * DH
     group = _GROUP_LANES if lanes % _GROUP_LANES == 0 else lanes
     n_groups = lanes // group
-    # cap the (q_block, T) f32 score tile at ~2 MB so the whole working
-    # set (scores + exp + four (T, group) bf16 blocks, double-buffered)
-    # stays under the 16 MB VMEM scope even at T=2048
     q_block = min(T, max(128, (1 << 19) // T))
 
-    q3 = q.reshape(B, T, lanes)   # free: trailing dims are adjacent
-    k3 = k.reshape(B, T, lanes)
-    v3 = v.reshape(B, T, lanes)
-    qkv_spec = pl.BlockSpec((1, T, group), lambda b, g: (b, 0, g),
+    q3 = q.reshape(B, T, lanes).swapaxes(1, 2)  # (B, lanes, T)
+    k3 = k.reshape(B, T, lanes).swapaxes(1, 2)
+    v3 = v.reshape(B, T, lanes).swapaxes(1, 2)
+    qkv_spec = pl.BlockSpec((1, group, T), lambda b, g: (b, g, 0),
                             memory_space=pltpu.VMEM)
     seg32 = segments.astype(jnp.int32)
     out = pl.pallas_call(
@@ -133,7 +133,7 @@ def _attention_call(q, k, v, segments):
         out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
         interpret=jax.default_backend() != "tpu",
     )(seg32[:, None, :], seg32[:, :, None], q3, k3, v3)
-    return out.reshape(B, T, NH, DH)
+    return out.swapaxes(1, 2).reshape(B, T, NH, DH)
 
 
 def _eager_reference(q, k, v, segments):
