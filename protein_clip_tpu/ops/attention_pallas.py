@@ -77,25 +77,36 @@ def _kernel(s_ref, sc_ref, q_ref, k_ref, v_ref, o_ref, *, dh: int,
     T = q_ref.shape[2]
     key_ok = seg_row > 0
 
+    def softmax_pv(qh, kh, vh, seg_q):
+        s = jax.lax.dot_general(                        # contract dh
+            qh, kh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (QB, T)
+        s = jnp.where((seg_q == seg_row) & key_ok, s, _NEG)
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(vh.dtype)
+        return jax.lax.dot_general(                     # (dh, QB)
+            vh, p, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
     for h in range(lanes // dh):
         lo = h * dh
         kh = k_ref[0, lo:lo + dh, :]             # (dh, T)
         vh = v_ref[0, lo:lo + dh, :]
 
+        if q_block == T:
+            # single block: static full-width slices — T on the LANE dim
+            # only tolerates dynamic slicing at 128-multiples, so buckets
+            # like 192/320/448 must avoid pl.ds here
+            ctx = softmax_pv(q_ref[0, lo:lo + dh, :], kh, vh, sc_ref[0])
+            o_ref[0, lo:lo + dh, :] = ctx.astype(o_ref.dtype)
+            continue
+
         def qloop(qi, _):
-            q0 = pl.multiple_of(qi * q_block, q_block)
+            q0 = pl.multiple_of(qi * q_block, q_block)  # q_block is x128
             qh = q_ref[0, lo:lo + dh, pl.ds(q0, q_block)]   # (dh, QB)
-            s = jax.lax.dot_general(                        # contract dh
-                qh, kh, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # (QB, T)
             seg_q = sc_ref[0, pl.ds(q0, q_block), :]        # (QB, 1)
-            s = jnp.where((seg_q == seg_row) & key_ok, s, _NEG)
-            m = jnp.max(s, axis=1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(vh.dtype)
-            ctx = jax.lax.dot_general(                      # (dh, QB)
-                vh, p, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            ctx = softmax_pv(qh, kh, vh, seg_q)
             o_ref[0, lo:lo + dh, pl.ds(q0, q_block)] = ctx.astype(
                 o_ref.dtype)
             return 0
@@ -108,12 +119,26 @@ def _kernel(s_ref, sc_ref, q_ref, k_ref, v_ref, o_ref, *, dh: int,
             jax.lax.fori_loop(0, n_q, qloop, 0)
 
 
+def _choose_q_block(T: int) -> int:
+    """One block when the (T, T) f32 score tile is small enough (~2 MB);
+    otherwise the largest 128-multiple divisor of T under the cap, so
+    dynamic LANE slices stay 128-aligned (Mosaic rejects other offsets —
+    the 192/320/448 pad buckets broke a plain min(T, cap) choice) AND tile
+    T exactly. T without such a divisor runs single-block (bounded by
+    ESM2Config.fused_max_seq_len)."""
+    limit = max(128, (1 << 19) // T)
+    if T <= limit:
+        return T
+    return max((c for c in range(128, limit + 1, 128) if T % c == 0),
+               default=T)
+
+
 def _attention_call(q, k, v, segments):
     B, T, NH, DH = q.shape
     lanes = NH * DH
     group = _GROUP_LANES if lanes % _GROUP_LANES == 0 else lanes
     n_groups = lanes // group
-    q_block = min(T, max(128, (1 << 19) // T))
+    q_block = _choose_q_block(T)
 
     q3 = q.reshape(B, T, lanes).swapaxes(1, 2)  # (B, lanes, T)
     k3 = k.reshape(B, T, lanes).swapaxes(1, 2)

@@ -86,3 +86,29 @@ def test_esm_forward_fused_matches_eager(rng):
     a = esm2.forward(params, ids, mask, cfg_e)
     b = esm2.forward(params, ids, mask, cfg_f)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_choose_q_block_alignment():
+    """Every pad bucket must get a q block that is either the full T
+    (static slices) or a 128-multiple divisor of T (dynamic lane slices) —
+    Mosaic rejects other lane offsets (192/320/448 broke round 2's first
+    chooser on the TPU)."""
+    from protein_clip_tpu.data.tokenizer import DEFAULT_BUCKETS
+    from protein_clip_tpu.ops.attention_pallas import _choose_q_block
+
+    for T in tuple(DEFAULT_BUCKETS) + (2048,):
+        qb = _choose_q_block(T)
+        assert qb == T or (qb % 128 == 0 and T % qb == 0), (T, qb)
+        # VMEM bound: the f32 score tile stays ~<=2 MB for multi-block Ts
+        if qb != T:
+            assert qb * T * 4 <= (1 << 21), (T, qb)
+
+
+def test_fused_matches_eager_at_odd_buckets(rng):
+    """192/320/448-token buckets through the kernel dispatch path."""
+    for T in (192, 320, 448):
+        q, k, v, mask = _qkvm(rng, B=1, T=T, NH=2)
+        got = np.asarray(fused_attention(q, k, v, mask))
+        ref = np.asarray(_eager_reference(q, k, v, mask))
+        m = np.asarray(mask).astype(bool)
+        np.testing.assert_allclose(got[m], ref[m], atol=1e-5)
