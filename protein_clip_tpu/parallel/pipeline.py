@@ -1,23 +1,35 @@
-"""Pipeline parallelism — design stub (SURVEY.md §2.3: "not needed at 150M;
-not planned beyond a stub").
+"""Pipeline parallelism over a 'stage' mesh axis — GPipe-style lockstep.
 
-At the reference's scale the frozen ESM-2 t30 (150M) fits one v5e chip with
-room for the 256-pair global batch, so the profitable axes are data and
-tensor parallelism (parallel/step.py, parallel/sharding.py). Pipeline
-parallelism becomes relevant only for esm2_t48_15B-class backbones; the
-design reserved here is:
+The reference has no distributed code at all (SURVEY.md §2.3), so this axis
+is designed TPU-first rather than ported. At the flagship 150M scale DP/TP
+(parallel/step.py, parallel/sharding.py) are the profitable axes; PP becomes
+the memory play for esm2_t48_15B-class backbones whose stacked weights
+outgrow one chip even in bf16. The schedule:
 
-- stage boundary at the stacked-layer axis: split ``params['layers']``
-  (leading dim L) into S contiguous stage slices, one mesh 'stage' axis;
-- the frozen-backbone case is embarrassingly pipelinable: microbatches
-  already stream through ``lax.scan`` (train/gradcache.py), so GPipe-style
-  fill/drain costs 1/num_chunks bubble with no recompute;
-- collectives: point-to-point ``ppermute`` of (chunk, T, H) activations
-  between neighbouring stages over ICI.
+- Stage s owns layers [s*L/S, (s+1)*L/S): the stacked layer pytree reshapes
+  (L, ...) -> (S, L/S, ...) and shards its leading dim over 'stage'
+  (``stage_esm_params``), so each chip holds 1/S of the backbone weights.
+  Embedding + final LayerNorm are tiny and stay replicated.
+- The batch splits into M microbatches; all stages run in lockstep for
+  M + S - 1 ticks inside one ``lax.scan``. At tick t stage s processes
+  microbatch t - s: stage 0 embeds a fresh microbatch, every other stage
+  consumes the activation its neighbour sent last tick via ring
+  ``lax.ppermute`` over ICI. Bubble fraction = (S-1)/(M+S-1) (the GPipe
+  bound); carried state is ONE microbatch activation per stage.
+- The last stage applies the final LayerNorm; outputs broadcast to all
+  stages with a masked ``psum`` so the trainable heads + InfoNCE run
+  replicated (they are <1% of the FLOPs; in a production topology 'stage'
+  composes with a 'data' axis for the heads).
 
-``split_layer_stages`` implements the parameter split so checkpoints and
-shardings are already stage-aware; the scheduler lands when a backbone that
-needs it does.
+The frozen-backbone regime (train/gradcache.py) makes this forward-only
+pipeline a complete training schedule: gradients stop at the backbone
+boundary (``stop_gradient``), so no backward pipeline / 1F1B interleaving is
+needed — the replicated heads get exact gradients of the global loss
+(tests/test_pipeline.py proves step-for-step equality with the single-device
+engine). An unfrozen backbone would differentiate through the tick scan —
+JAX reverses the ppermutes automatically — at the cost of storing per-tick
+activations; that regime is out of scope while every model family here
+freezes the backbone (reference main.py:22-24).
 """
 
 from __future__ import annotations
@@ -25,13 +37,29 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import clip, esm2
+from ..ops.infonce import clip_infonce
+
+STAGE_AXIS = "stage"
+
+Params = dict[str, Any]
+
+# shard_map spec prefix for stage_esm_params output: layer stacks are
+# sharded over 'stage' on their leading (stage) dim, the rest replicated.
+STAGED_SPEC = {"embed": P(), "layers": P(STAGE_AXIS), "final_ln": P()}
 
 
-def split_layer_stages(esm_params: dict[str, Any], num_stages: int
-                       ) -> list[dict[str, Any]]:
-    """Split the stacked-layer pytree into contiguous stage slices.
+def split_layer_stages(esm_params: Params, num_stages: int) -> list[Params]:
+    """Split the stacked-layer pytree into contiguous per-stage slices.
 
     Embedding joins stage 0; the final LayerNorm joins the last stage.
+    (Checkpoint/export view of the split; the runtime schedule uses the
+    stacked ``stage_esm_params`` form.)
     """
     layers = esm_params["layers"]
     n_layers = jax.tree.leaves(layers)[0].shape[0]
@@ -41,7 +69,7 @@ def split_layer_stages(esm_params: dict[str, Any], num_stages: int
     per = n_layers // num_stages
     stages = []
     for s in range(num_stages):
-        stage: dict[str, Any] = {
+        stage: Params = {
             "layers": jax.tree.map(lambda x: x[s * per:(s + 1) * per], layers)
         }
         if s == 0:
@@ -50,3 +78,173 @@ def split_layer_stages(esm_params: dict[str, Any], num_stages: int
             stage["final_ln"] = esm_params["final_ln"]
         stages.append(stage)
     return stages
+
+
+def make_pp_mesh(num_stages: int, devices=None) -> Mesh:
+    """1-D ('stage',) mesh over the first num_stages devices."""
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < num_stages:
+        raise ValueError(f"need {num_stages} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:num_stages]), (STAGE_AXIS,))
+
+
+def stage_esm_params(esm_params: Params, num_stages: int) -> Params:
+    """Reshape stacked layer leaves (L, ...) -> (S, L/S, ...) for sharding
+    their leading dim over 'stage'. Quantized leaves (w_q/w_s) stage too."""
+    layers = esm_params["layers"]
+    n_layers = jax.tree.leaves(layers)[0].shape[0]
+    if n_layers % num_stages:
+        raise ValueError(f"{n_layers} layers not divisible by "
+                         f"{num_stages} stages")
+    per = n_layers // num_stages
+    staged = jax.tree.map(
+        lambda x: x.reshape(num_stages, per, *x.shape[1:]), layers)
+    return {"embed": esm_params["embed"], "layers": staged,
+            "final_ln": esm_params["final_ln"]}
+
+
+def shard_staged_params(mesh: Mesh, staged: Params) -> Params:
+    """Place staged params: each chip holds only its own layer slice."""
+    def put(spec):
+        return lambda x: jax.device_put(x, NamedSharding(mesh, spec))
+
+    return {
+        "embed": jax.tree.map(put(P()), staged["embed"]),
+        "layers": jax.tree.map(put(P(STAGE_AXIS)), staged["layers"]),
+        "final_ln": jax.tree.map(put(P()), staged["final_ln"]),
+    }
+
+
+def _pp_hidden_local(staged, ids_mb, mask_mb, cfg: esm2.ESM2Config,
+                     n_stages: int, n_micro: int):
+    """Per-device body (inside shard_map over 'stage').
+
+    ids_mb/mask_mb: (M, mb, T), replicated. Staged layer leaves arrive
+    (1, L/S, ...). Returns (M, mb, T, H) last_hidden_state, replicated
+    (masked-psum broadcast from the last stage).
+    """
+    s = jax.lax.axis_index(STAGE_AXIS)
+    layers = jax.tree.map(lambda x: x[0], staged["layers"])
+    M, mb, T = ids_mb.shape
+    neg = jnp.finfo(jnp.float32).min
+    cos, sin = esm2._rope_tables(T, cfg.head_dim, cfg.compute_dtype)
+
+    def run_stage(x, mask):
+        mask_bias = (1.0 - mask[:, None, None, :].astype(jnp.float32)) * neg
+        segments = mask.astype(jnp.int32)
+
+        def layer(x, lp):
+            x = esm2._attention_block(x, lp["attn"], mask_bias, segments,
+                                      cos, sin, cfg)
+            x = esm2._ffn_block(x, lp["ffn"], cfg)
+            return x, None
+
+        x, _ = jax.lax.scan(layer, x, layers)
+        return x
+
+    perm = [(j, (j + 1) % n_stages) for j in range(n_stages)]
+
+    def tick(buf, t):
+        # stage s works on microbatch t - s this tick (clipped: out-of-range
+        # ticks compute fill/drain garbage that is never read)
+        i = jnp.clip(t - s, 0, n_micro - 1)
+        ids = jax.lax.dynamic_index_in_dim(ids_mb, i, 0, keepdims=False)
+        mask = jax.lax.dynamic_index_in_dim(mask_mb, i, 0, keepdims=False)
+        emb = esm2.embed(staged, ids, mask, cfg)
+        x_in = jnp.where(s == 0, emb, buf)
+        y = run_stage(x_in, mask)
+        buf_next = jax.lax.ppermute(y, STAGE_AXIS, perm)
+        return buf_next, y
+
+    # the carry is device-varying (each stage holds a different activation):
+    # cast the replicated zeros so scan's carry typing agrees
+    buf0 = jax.lax.pcast(jnp.zeros((mb, T, cfg.hidden_size),
+                                   cfg.compute_dtype),
+                         (STAGE_AXIS,), to="varying")
+    _, ys = jax.lax.scan(tick, buf0, jnp.arange(M + n_stages - 1))
+    # microbatch m leaves the last stage at tick m + S - 1
+    out = ys[n_stages - 1:]
+    out = esm2._layer_norm(out, staged["final_ln"]["w"],
+                           staged["final_ln"]["b"], cfg.layer_norm_eps)
+    return jax.lax.psum(
+        jnp.where(s == n_stages - 1, out, jnp.zeros_like(out)), STAGE_AXIS)
+
+
+def _microbatched(ids, n_micro: int):
+    B = ids.shape[0]
+    if B % n_micro:
+        raise ValueError(f"batch {B} not divisible by num_microbatches"
+                         f"={n_micro}")
+    return ids.reshape(n_micro, B // n_micro, *ids.shape[1:])
+
+
+def make_pp_encode(cfg: esm2.ESM2Config, mesh: Mesh, num_microbatches: int):
+    """jit(shard_map) backbone forward with the layer stack pipelined over
+    'stage': (staged_params, ids (B,T), mask (B,T)) -> (B, T, H), numerically
+    identical to ``esm2.forward`` (same per-token op sequence)."""
+    n_stages = mesh.shape[STAGE_AXIS]
+
+    def encode(staged, ids, mask):
+        h = _pp_hidden_local(staged, _microbatched(ids, num_microbatches),
+                             _microbatched(mask, num_microbatches), cfg,
+                             n_stages, num_microbatches)
+        return h.reshape(ids.shape[0], ids.shape[1], -1)
+
+    sharded = jax.shard_map(
+        encode, mesh=mesh,
+        in_specs=(STAGED_SPEC, P(), P()),
+        out_specs=P(),
+        axis_names={STAGE_AXIS},
+    )
+    return jax.jit(sharded)
+
+
+def make_pp_train_step(cfg, optimizer: optax.GradientTransformation,
+                       mesh: Mesh, num_microbatches: int | None = None,
+                       loss_fn=clip_infonce):
+    """CLIP train step with the frozen backbone pipelined over 'stage'.
+
+    (params, opt_state, staged_esm_params, batch, rng) ->
+    (params, opt_state, loss); batch leaves replicated (B_global, T).
+    Heads + loss + optimizer run replicated on every stage — exact
+    step-for-step parity with the single-device engine
+    (tests/test_pipeline.py).
+    """
+    mcfg = cfg.model
+    n_stages = mesh.shape[STAGE_AXIS]
+    n_micro = num_microbatches or max(2 * n_stages, cfg.num_chunks)
+
+    def local_step(params, opt_state, staged, batch, rng):
+        from ..train.clip_engine import expand_batch
+        batch = expand_batch(batch)
+
+        def enc(ids, mask):
+            h = _pp_hidden_local(staged, _microbatched(ids, n_micro),
+                                 _microbatched(mask, n_micro), mcfg.esm,
+                                 n_stages, n_micro)
+            h = h.reshape(ids.shape[0], ids.shape[1], -1)
+            return jax.lax.stop_gradient(h.astype(jnp.float32))
+
+        hp = enc(batch["pep_ids"], batch["pep_mask"])
+        hr = enc(batch["rec_ids"], batch["rec_mask"])
+
+        def head_loss(p):
+            rp, rr = jax.random.split(rng)
+            pep = clip.encode_side(p, "pep", hp, batch["pep_mask"], mcfg,
+                                   train=True, rng=rp)
+            rec = clip.encode_side(p, "rec", hr, batch["rec_mask"], mcfg,
+                                   train=True, rng=rr)
+            return loss_fn(pep, rec)
+
+        loss, grads = jax.value_and_grad(head_loss)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), STAGED_SPEC, P(), P()),
+        out_specs=(P(), P(), P()),
+        axis_names={STAGE_AXIS},
+    )
+    return jax.jit(sharded)

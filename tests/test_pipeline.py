@@ -1,0 +1,117 @@
+"""Pipeline parallelism (parallel/pipeline.py) on the fake-device CPU mesh.
+
+Invariants: the GPipe lockstep schedule computes the SAME per-token op
+sequence as ``esm2.forward`` (layer scan merely split into per-stage scans),
+so the pipelined backbone matches the single-device forward exactly, and the
+pipelined train step matches the single-device engine step-for-step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from protein_clip_tpu.models import clip, esm2
+from protein_clip_tpu.ops.infonce import clip_infonce
+from protein_clip_tpu.parallel import pipeline as pp
+from protein_clip_tpu.train import clip_engine, optimizer as opt_mod
+
+
+def _tiny4_cfg():
+    return esm2.ESM2Config(hidden_size=64, num_layers=4, num_heads=4,
+                           intermediate_size=128)
+
+
+@pytest.fixture(scope="module")
+def tiny4():
+    """4-layer tiny backbone: divides into 2 or 4 stages."""
+    esm_cfg = _tiny4_cfg()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                           h1=2, h2=2, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(1), esm_cfg)
+    params = clip.init_params(jax.random.key(2), mcfg)
+    return mcfg, esm_params, params
+
+
+def _ids(rng, B, T):
+    mask = np.ones((B, T), np.int32)
+    mask[::3, T - 3:] = 0
+    ids = rng.integers(4, 24, (B, T)).astype(np.int32)
+    ids[mask == 0] = 1  # pad token
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+def test_stage_params_shapes(tiny4):
+    _, esm_params, _ = tiny4
+    staged = pp.stage_esm_params(esm_params, 4)
+    qw = staged["layers"]["attn"]["q"]["w"]
+    assert qw.shape[:2] == (4, 1)
+    with pytest.raises(ValueError):
+        pp.stage_esm_params(esm_params, 3)
+
+
+@pytest.mark.parametrize("n_stages,n_micro", [(2, 4), (4, 2), (4, 7)])
+def test_pp_encode_matches_forward(tiny4, rng, n_stages, n_micro):
+    _, esm_params, _ = tiny4
+    cfg = _tiny4_cfg()
+    B, T = n_micro * 2, 12
+    ids, mask = _ids(rng, B, T)
+
+    ref = esm2.forward(esm_params, ids, mask, cfg)
+
+    mesh = pp.make_pp_mesh(n_stages)
+    staged = pp.shard_staged_params(mesh, pp.stage_esm_params(esm_params,
+                                                              n_stages))
+    got = pp.make_pp_encode(cfg, mesh, n_micro)(staged, ids, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pp_train_step_matches_single_device(tiny4, rng):
+    mcfg, esm_params, params = tiny4
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=1)
+    optimizer = opt_mod.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+
+    mesh = pp.make_pp_mesh(4)
+    staged = pp.shard_staged_params(mesh, pp.stage_esm_params(esm_params, 4))
+    pp_step = pp.make_pp_train_step(cfg, optimizer, mesh, num_microbatches=4)
+    single = clip_engine.make_train_step(cfg, optimizer,
+                                         loss_fn=clip_infonce)
+
+    ids_p, mask_p = _ids(rng, 8, 12)
+    ids_r, mask_r = _ids(rng, 8, 12)
+    batch = {"pep_ids": ids_p, "pep_mask": mask_p,
+             "rec_ids": ids_r, "rec_mask": mask_r}
+
+    p_pp, o_pp, p_sd, o_sd = params, opt_state, params, opt_state
+    for i in range(2):
+        key = jax.random.key(7 + i)
+        p_pp, o_pp, loss_pp = pp_step(p_pp, o_pp, staged, batch, key)
+        p_sd, o_sd, loss_sd = single(p_sd, o_sd, esm_params, batch, key)
+        np.testing.assert_allclose(float(loss_pp), float(loss_sd),
+                                   rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_pp), jax.tree.leaves(p_sd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pp_weights_actually_sharded(tiny4):
+    """Each stage device must hold only its 1/S slice of the layer stack."""
+    _, esm_params, _ = tiny4
+    mesh = pp.make_pp_mesh(4)
+    staged = pp.shard_staged_params(mesh, pp.stage_esm_params(esm_params, 4))
+    qw = staged["layers"]["attn"]["q"]["w"]  # (4, 1, H, H)
+    shard_shapes = {s.data.shape for s in qw.addressable_shards}
+    assert shard_shapes == {(1, 1) + qw.shape[2:]}
+
+
+def test_microbatch_divisibility_error(tiny4):
+    mcfg, esm_params, params = tiny4
+    mesh = pp.make_pp_mesh(2)
+    staged = pp.shard_staged_params(mesh, pp.stage_esm_params(esm_params, 2))
+    enc = pp.make_pp_encode(_tiny4_cfg(), mesh, 3)
+    ids = jnp.ones((8, 12), jnp.int32)
+    with pytest.raises(ValueError, match="not divisible"):
+        enc(staged, ids, jnp.ones_like(ids))
