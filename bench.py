@@ -59,14 +59,17 @@ def bench_filip():
     from protein_clip_tpu.train import optimizer as opt_mod
     from protein_clip_tpu.train.clip_engine import tokenize_grouped
 
+    import os
+
     esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16)
     mcfg = filip.FILIPConfig(esm=esm_cfg)
     esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
                                   dtype=jnp.bfloat16)
     params = filip.init_params(jax.random.key(1), mcfg)
+    packed = os.environ.get("PCT_FILIP_PACKED", "1") != "0"
     cfg = clip_engine.EngineConfig(
         model=mcfg, batch_size=128, accumulated_batches=1, num_chunks=8,
-        length_groups=4, remat=True)
+        length_groups=1 if packed else 4, packed=packed, remat=True)
     optimizer = opt_mod.adam(cfg.learning_rate)
     opt_state = optimizer.init(params)
     step = filip_engine.make_train_step(cfg, optimizer)
@@ -81,8 +84,12 @@ def bench_filip():
                 for _ in range(cfg.batch_size)]
         recs = ["".join(rng.choice(aas, rng.integers(100, 500)))
                 for _ in range(cfg.batch_size)]
-        batches.append(tokenize_grouped(tokenizer, peps, recs,
-                                        cfg.length_groups))
+        if packed:
+            from protein_clip_tpu.train.filip_packed import tokenize_packed
+            batches.append(tokenize_packed(tokenizer, peps, recs))
+        else:
+            batches.append(tokenize_grouped(tokenizer, peps, recs,
+                                            cfg.length_groups))
     batches = [jax.device_put(b) for b in batches]
     for b in batches:
         for leaf in jax.tree.leaves(b):
@@ -94,13 +101,16 @@ def bench_filip():
         params, opt_state, loss = step(params, opt_state, esm_params, b, sub)
         float(loss)
 
+    losses = []
     t0 = time.perf_counter()
     for i in range(n_steps):
         key, sub = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, esm_params,
                                        batches[i + 1], sub)
-        float(loss)
+        losses.append(loss)
+    vals = [float(l) for l in losses]
     dt = time.perf_counter() - t0
+    assert all(np.isfinite(v) for v in vals), vals
     print(json.dumps({
         "metric": "filip_pairs_per_sec_per_chip",
         "value": round(n_steps * cfg.batch_size / dt, 2),
@@ -171,15 +181,22 @@ def main():
         params, opt_state, loss = step(params, opt_state, esm_params, b, sub)
         float(loss)
 
+    # Pipelined dispatch, exactly like the shipped epoch loop (train_gc):
+    # losses stay on device until the end; the final float() of EVERY loss
+    # syncs all sequentially-dependent steps (each consumes the previous
+    # step's params), so the wall clock is honest. Per-step float(loss)
+    # leaves the device idle during each dispatch gap — measured 750 vs
+    # 818 pairs/s (docs/PERF.md round 3).
+    losses = []
     t0 = time.perf_counter()
     for i in range(n_steps):
         key, sub = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, esm_params,
                                        batches[i + 1], sub)
-        # float() forces device->host sync; the axon tunnel's
-        # block_until_ready returns before execution finishes.
-        float(loss)
+        losses.append(loss)
+    vals = [float(l) for l in losses]
     dt = time.perf_counter() - t0
+    assert all(np.isfinite(v) for v in vals), vals
 
     pairs_per_sec = n_steps * cfg.global_batch / dt
 

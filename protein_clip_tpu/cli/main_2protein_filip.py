@@ -91,7 +91,8 @@ def main(argv=None) -> int:
     cfg = clip_engine.EngineConfig(
         model=mcfg, batch_size=args.batch_size, accumulated_batches=1,
         learning_rate=args.lr, num_chunks=args.num_chunks,
-        length_groups=args.length_groups, filip_use_dcl=args.use_dcl)
+        length_groups=args.length_groups, packed=args.packed,
+        filip_use_dcl=args.use_dcl)
 
     def epoch_hook(epoch, best_params):
         if not args.epoch_figures:

@@ -244,6 +244,58 @@ def make_train_step_grouped(cfg: EngineConfig,
     return step
 
 
+def stack_batches(batches: list) -> Any:
+    """Stack same-shaped batches on a new leading axis for
+    ``make_train_step_many``. All batches must share one tree structure and
+    per-leaf shape (same bucket/packing composition — the packed tokenizer's
+    row rounding and the grouped tokenizer's fixed group count make this the
+    common case on a homogeneous length distribution)."""
+    structs = {jax.tree.structure(b) for b in batches}
+    if len(structs) > 1:
+        raise ValueError(f"cannot stack batches with differing structures "
+                         f"(bucket compositions): {structs}")
+    shapes = {tuple(x.shape for x in jax.tree.leaves(b)) for b in batches}
+    if len(shapes) > 1:
+        raise ValueError(f"cannot stack batches with differing leaf shapes "
+                         f"(row/bucket compositions): {shapes}")
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def make_train_step_many(cfg: EngineConfig,
+                         optimizer: optax.GradientTransformation,
+                         loss_fn: Callable | None = None):
+    """Device-side multi-step training: one dispatch runs K steps.
+
+    (params, opt_state, esm_params, stacked_batches, rng) ->
+    (params, opt_state, losses (K,)). ``stacked_batches`` comes from
+    ``stack_batches``; per-step rng keys split from ``rng``.
+
+    Why: each dispatch over the axon tunnel costs ~46 ms of host/RPC time
+    the device spends idle (trace analysis, docs/PERF.md — while-loop/scan
+    device self-time is ~0 there). ``lax.scan`` over pre-staged batches
+    amortises that to once per K steps. Numerics are the single-step path's
+    exactly — the scan body IS the single-step function
+    (tests/test_train.py::test_many_step_matches_sequential).
+    """
+    step = make_train_step(cfg, optimizer, loss_fn)
+
+    @jax.jit
+    def many(params, opt_state, esm_params, batches, rng):
+        n = jax.tree.leaves(batches)[0].shape[0]
+        keys = jax.random.split(rng, n)
+
+        def body(carry, xs):
+            batch, key = xs
+            p, o, loss = step(carry[0], carry[1], esm_params, batch, key)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (batches, keys))
+        return params, opt_state, losses
+
+    return many
+
+
 def make_eval_step(cfg: EngineConfig, loss_fn: Callable | None = None):
     loss_fn = loss_fn or default_loss_fn()
     mcfg = cfg.model
@@ -283,7 +335,6 @@ def train_gc(params, opt_state, esm_params, loader, tokenizer, step_fn,
     """
     from ..data.prefetch import prefetch_to_device
 
-    total, n_big = 0.0, 0
     if cfg.packed:
         from .packed_engine import tokenize_packed
         prepare = lambda pr: tokenize_packed(tokenizer, pr[0], pr[1])
@@ -294,17 +345,21 @@ def train_gc(params, opt_state, esm_params, loader, tokenizer, step_fn,
         prepare = lambda pr: tokenize_pair_batch(tokenizer, pr[0], pr[1])
     batches = prefetch_to_device(
         _accumulate(loader, cfg.accumulated_batches), prepare)
+    # Keep per-step losses as device arrays and fetch once at epoch end:
+    # a per-step float(loss) forces a host sync whose dispatch gap the
+    # device spends idle — measured ~9% of step time over the axon tunnel
+    # (sync 750 vs pipelined 818 pairs/s, docs/PERF.md round 3).
+    losses = []
     for batch in batches:
         rng, sub = jax.random.split(rng)
         params, opt_state, loss = step_fn(params, opt_state, esm_params,
                                           batch, sub)
-        total += float(loss)
-        n_big += 1
-    if n_big == 0:
+        losses.append(loss)
+    if not losses:
         raise ValueError(
             f"loader yielded fewer than accumulated_batches="
             f"{cfg.accumulated_batches} sub-batches; no training step ran")
-    return params, opt_state, total / n_big
+    return params, opt_state, float(np.mean([float(l) for l in losses]))
 
 
 def train_plain(params, opt_state, esm_params, loader, tokenizer, step_fn,
@@ -312,22 +367,27 @@ def train_plain(params, opt_state, esm_params, loader, tokenizer, step_fn,
                 ) -> tuple[Params, Any, float]:
     """Per-sub-batch training (reference train(), training_utils.py:7-28).
 
-    With cfg.length_groups > 1 each batch tokenizes length-grouped (the
-    FILIP path's padding-waste cut — the step must come from a grouped
-    make_train_step)."""
+    With cfg.length_groups > 1 each batch tokenizes length-grouped, with
+    cfg.packed sequence-packed (FILIP padding-waste cuts — the step must
+    come from the matching make_train_step). Losses stay on device until
+    the epoch ends (see train_gc)."""
     groups = cfg.length_groups if cfg is not None else 1
-    total, n = 0.0, 0
+    packed = cfg.packed if cfg is not None else False
+    losses = []
     for peps, recs in loader:
         rng, sub = jax.random.split(rng)
-        if groups > 1:
+        if packed:
+            from .packed_engine import tokenize_packed
+            batch = tokenize_packed(tokenizer, peps, recs)
+        elif groups > 1:
             batch = tokenize_grouped(tokenizer, peps, recs, groups)
         else:
             batch = tokenize_pair_batch(tokenizer, peps, recs)
         params, opt_state, loss = step_fn(params, opt_state, esm_params,
                                           batch, sub)
-        total += float(loss)
-        n += 1
-    return params, opt_state, total / max(n, 1)
+        losses.append(loss)
+    mean = float(np.mean([float(l) for l in losses])) if losses else 0.0
+    return params, opt_state, mean
 
 
 def evaluate(params, esm_params, loader, tokenizer, eval_step) -> float:

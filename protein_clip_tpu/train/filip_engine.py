@@ -49,6 +49,10 @@ def make_train_step(cfg: EngineConfig,
                     optimizer: optax.GradientTransformation,
                     similarity_fn: Callable | None = None,
                     use_dcl: bool | None = None):
+    if cfg.packed:
+        from .filip_packed import make_train_step_packed_filip
+        return make_train_step_packed_filip(cfg, optimizer, similarity_fn,
+                                            use_dcl)
     if cfg.length_groups > 1:
         return make_train_step_grouped(cfg, optimizer, similarity_fn,
                                        use_dcl)

@@ -1,0 +1,133 @@
+"""Packed-row FILIP training: the backbone runs at ~95% token fill.
+
+The FILIP step is ~95% frozen-backbone work (docs/PERF.md trace), so padding
+waste in the backbone IS the FILIP throughput problem. This path reuses the
+CLIP packed machinery (train/packed_engine.py: compact int8 wire, on-device
+segment/position/owner maps, segment-masked attention with per-segment RoPE
+restart) and adds the one FILIP-specific step: after the per-token head runs
+on packed rows, tokens scatter back into per-sequence (B, T, D) tensors for
+the fused max-similarity kernel (ops/filip_pallas.py), which needs aligned
+token axes per pair. T is the packed row length — the batch max sequence
+length rounded to 128 (train/packed_engine._row_len_for), i.e. exactly the
+tight bucket.
+
+Token embeddings are L2-normalised BEFORE the scatter so empty slots stay
+exact zeros (normalising after would divide 0/0); zero vectors are masked
+out of the similarity by the kernel's pad mask.
+
+Reference: main_2protein_filip.py runs batch 10 unpacked (models.py:332
+materialises the (B,B,TA,TB) tensor); this path trains batch 128+ packed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import filip, heads
+from ..ops.infonce import filip_loss
+from .clip_engine import EngineConfig
+from .filip_engine import default_similarity_fn
+from .packed_engine import (_encode_packed_chunked, expand_packed_batch,
+                            tokenize_packed)
+
+Params = dict[str, Any]
+
+__all__ = ["tokenize_packed", "make_train_step_packed_filip",
+           "filip_sim_packed"]
+
+
+def _scatter_tokens(x, seg, pos, owner, n_seqs: int):
+    """Packed rows (R, L, D) -> per-sequence (n_seqs, L, D) + (n_seqs, L)
+    mask. Gap/pad tokens route to a dump row (owner == n_seqs, the
+    expand_packed_batch sentinel) that is sliced off."""
+    R, L, D = x.shape
+    flat = x.reshape(R * L, D)
+    valid = seg.reshape(R * L) > 0
+    # pos counts from <cls>=0, matching the unpacked layout exactly: the
+    # reference's FILIP mask keeps <cls>/<eos> tokens in the similarity
+    # (models.py:333-335 uses the attention mask), so packed must too.
+    o = jnp.where(valid, owner.reshape(R * L), n_seqs)
+    p = jnp.where(valid, pos.reshape(R * L), 0)
+    out = jnp.zeros((n_seqs + 1, L, D), x.dtype).at[o, p].set(flat)
+    mask = jnp.zeros((n_seqs + 1, L), jnp.int32).at[o, p].set(
+        valid.astype(jnp.int32))
+    return out[:n_seqs], mask[:n_seqs]
+
+
+def _encode_side_packed(head_params, hidden, seg, pos, owner, n_seqs: int,
+                        cfg: filip.FILIPConfig, *, train, rng):
+    """Per-token head on packed rows -> normalised per-sequence tokens."""
+    x = heads.encode_tokens(head_params, hidden, dropout_rate=cfg.dropout,
+                            train=train, rng=rng, activation=cfg.activation)
+    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                            keepdims=True) + jnp.finfo(jnp.float32).tiny)
+    x = (x.astype(jnp.float32) / norm).astype(x.dtype)
+    return _scatter_tokens(x, seg, pos, owner, n_seqs)
+
+
+def filip_sim_packed(params: Params, esm_params: Params, batch,
+                     cfg: filip.FILIPConfig, n_seqs: int, *,
+                     rows_per_chunk: int = 16, remat: bool = True,
+                     train: bool = False, rng=None, similarity_fn=None):
+    """(sim_a, sim_b) from an expanded packed batch."""
+    sim_fn = similarity_fn or default_similarity_fn()
+    rp = rr = None
+    if rng is not None:
+        rp, rr = jax.random.split(rng)
+    sides = {}
+    for side, r in (("pep", rp), ("rec", rr)):
+        h = _encode_packed_chunked(esm_params, batch[f"{side}_ids"],
+                                   batch[f"{side}_seg"],
+                                   batch[f"{side}_pos"], cfg.esm,
+                                   rows_per_chunk, remat)
+        sides[side] = _encode_side_packed(
+            params[side], h.astype(jnp.float32), batch[f"{side}_seg"],
+            batch[f"{side}_pos"], batch[f"{side}_owner"], n_seqs, cfg,
+            train=train, rng=r)
+    (ha, mask_a), (hb, mask_b) = sides["pep"], sides["rec"]
+    return sim_fn(ha, hb, mask_a, mask_b, params["temperature"])
+
+
+def make_train_step_packed_filip(cfg: EngineConfig,
+                                 optimizer: optax.GradientTransformation,
+                                 similarity_fn: Callable | None = None,
+                                 use_dcl: bool | None = None,
+                                 rows_per_chunk: int = 16):
+    """jit'd FILIP train step over tokenize_packed batches. Note FILIP has
+    no grad accumulation (reference main_2protein_filip.py:63), so the
+    packed sequence count is cfg.batch_size, not global_batch."""
+    mcfg = cfg.model
+    use_dcl = cfg.filip_use_dcl if use_dcl is None else use_dcl
+    n_seqs = cfg.batch_size
+
+    def loss_fn(params, esm_params, batch, rng):
+        sim_a, sim_b = filip_sim_packed(
+            params, esm_params, batch, mcfg, n_seqs,
+            rows_per_chunk=rows_per_chunk, remat=cfg.remat, train=True,
+            rng=rng, similarity_fn=similarity_fn)
+        return filip_loss(sim_a, sim_b, use_dcl)
+
+    @jax.jit
+    def step(params, opt_state, esm_params, batch, rng):
+        if "pep_operm" not in batch and "pep_seg" not in batch:
+            raise ValueError(
+                "packed FILIP step needs tokenize_packed batches")
+        if "pep_operm" in batch:
+            for side in ("pep", "rec"):
+                got = batch[f"{side}_operm"].shape[0]
+                if got != n_seqs:
+                    raise ValueError(
+                        f"packed batch has {got} {side} sequences but "
+                        f"batch_size={n_seqs}")
+        batch = expand_packed_batch(batch)
+        loss, grads = jax.value_and_grad(loss_fn)(params, esm_params, batch,
+                                                  rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

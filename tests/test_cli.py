@@ -203,3 +203,19 @@ def test_packed_training_entry(workdir, trained_run):
     assert len(csv) == 2 and csv[1].startswith("1,")
     _, tr, va = csv[1].split(",")
     assert np.isfinite(float(tr)) and np.isfinite(float(va))
+
+
+def test_filip_training_entry_packed(workdir, trained_run):
+    """FILIP CLI end-to-end with --packed (packed backbone + token
+    scatter-back; train/filip_packed.py)."""
+    from protein_clip_tpu.cli.main_2protein_filip import main
+    rc = main(TINY + [
+        "--epochs", "1", "--batch-size", "4", "--num-chunks", "2",
+        "--packed", "--data-dir", "data", "--runs-dir", "runs_filip",
+    ])
+    assert rc == 0
+    run = sorted(Path("runs_filip").iterdir())[-1]
+    csv = (run / "losses_per_epoch.txt").read_text().strip().split("\n")
+    assert len(csv) == 2 and csv[1].startswith("1,")
+    _, tr, va = csv[1].split(",")
+    assert np.isfinite(float(tr)) and np.isfinite(float(va))

@@ -206,3 +206,49 @@ def test_grouped_step_matches_ungrouped_loss(tiny, rng):
                                jax.random.key(0))
     np.testing.assert_allclose(float(l_plain), float(l_grouped), rtol=1e-5)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(p2))
+
+
+def test_many_step_matches_sequential(tiny, rng):
+    """K scanned steps in one dispatch == K sequential single-step calls."""
+    mcfg, esm_params, params = tiny
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=4,
+                                   accumulated_batches=1, num_chunks=1)
+    optimizer = optax.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+    step = clip_engine.make_train_step(cfg, optimizer, loss_fn=clip_infonce)
+    many = clip_engine.make_train_step_many(cfg, optimizer,
+                                            loss_fn=clip_infonce)
+
+    batches = [clip_engine.tokenize_pair_batch(
+        EsmTokenizer(), ["LAGVSERT"] * 4, ["IDPKQNFYMHWC"[i:] * 3
+                                           for i in range(4)])
+        for _ in range(3)]
+    # distinct data per step
+    batches = [jax.tree.map(lambda x, s=s: jnp.roll(x, s, axis=0), b)
+               for s, b in enumerate(batches)]
+    stacked = clip_engine.stack_batches(batches)
+
+    keys = jax.random.split(jax.random.key(9), 3)
+    p_seq, o_seq = params, opt_state
+    seq_losses = []
+    for b, k in zip(batches, keys):
+        p_seq, o_seq, loss = step(p_seq, o_seq, esm_params, b, k)
+        seq_losses.append(float(loss))
+
+    p_many, o_many, losses = many(params, opt_state, esm_params, stacked,
+                                  jax.random.key(9))
+    # same key fan-out: jax.random.split(key, n) == the keys used above
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(seq_losses),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_many), jax.tree.leaves(p_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_stack_batches_rejects_mismatch(rng):
+    tok = EsmTokenizer()
+    b1 = clip_engine.tokenize_pair_batch(tok, ["LAGV"] * 2, ["SERT"] * 2)
+    b2 = clip_engine.tokenize_pair_batch(tok, ["LAGV" * 40] * 2,
+                                         ["SERT"] * 2)
+    with pytest.raises(ValueError, match="differing leaf shapes"):
+        clip_engine.stack_batches([b1, b2])
