@@ -64,20 +64,44 @@ _NEG = float(jnp.finfo(jnp.float32).min)
 # natural TPU lane width, so q/k/v blocks tile cleanly.
 _GROUP_LANES = 128
 
+# Rows per program: amortises per-program setup over more MXU work.
+# Measured on the packed bench (T=512 rows): 1 -> 832, 2 -> 848, 4 -> 860,
+# 8 -> 867 pairs/s; 16 overflows VMEM (q/k/v/o blocks are R*128*T bf16
+# each, double-buffered across the grid). The chooser keeps R*T at the
+# empirical 8*512 ceiling. PCT_ATTN_ROWS_PER_PROGRAM overrides for
+# experiments.
+import os as _os
+
+_ROWS_ENV = _os.environ.get("PCT_ATTN_ROWS_PER_PROGRAM")
+# bytes-per-lane of q rows one program may hold: the empirical ceiling is
+# R=8 at T=512 bf16 (R=16 overflows); f32 operands halve the row budget.
+_ROWS_BYTE_BUDGET = 8 * 512 * 2
+
+
+def _choose_rows_per_program(batch: int, T: int, itemsize: int) -> int:
+    if _ROWS_ENV:
+        want = int(_ROWS_ENV)
+        return want if batch % max(want, 1) == 0 else 1
+    cap = max(1, _ROWS_BYTE_BUDGET // (T * itemsize))
+    best = 1
+    for c in range(1, min(cap, batch) + 1):
+        if batch % c == 0:
+            best = c
+    return best
+
 
 def _kernel(s_ref, sc_ref, q_ref, k_ref, v_ref, o_ref, *, dh: int,
             q_block: int):
-    """q/k/v arrive (1, lanes, T): T-minor matches the layout XLA prefers
+    """q/k/v arrive (R, lanes, T): T-minor matches the layout XLA prefers
     for activations inside the layer scan, so the custom call needs NO
     layout-flip copies on its operands or result — the row-major variant
     measured 6x 11.7 ms/step of pure copies around the call (648 vs 770
-    pairs/s end to end)."""
-    seg_row = s_ref[0]                           # (1, T) int32
+    pairs/s end to end). R rows per program (_ROWS_PER_PROGRAM) amortise
+    per-program setup over more MXU work."""
     lanes = q_ref.shape[1]
     T = q_ref.shape[2]
-    key_ok = seg_row > 0
 
-    def softmax_pv(qh, kh, vh, seg_q):
+    def softmax_pv(qh, kh, vh, seg_q, seg_row, key_ok):
         s = jax.lax.dot_general(                        # contract dh
             qh, kh, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)         # (QB, T)
@@ -89,34 +113,39 @@ def _kernel(s_ref, sc_ref, q_ref, k_ref, v_ref, o_ref, *, dh: int,
             vh, p, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    for h in range(lanes // dh):
-        lo = h * dh
-        kh = k_ref[0, lo:lo + dh, :]             # (dh, T)
-        vh = v_ref[0, lo:lo + dh, :]
+    for r in range(q_ref.shape[0]):
+        seg_row = s_ref[r]                       # (1, T) int32
+        key_ok = seg_row > 0
+        for h in range(lanes // dh):
+            lo = h * dh
+            kh = k_ref[r, lo:lo + dh, :]         # (dh, T)
+            vh = v_ref[r, lo:lo + dh, :]
 
-        if q_block == T:
-            # single block: static full-width slices — T on the LANE dim
-            # only tolerates dynamic slicing at 128-multiples, so buckets
-            # like 192/320/448 must avoid pl.ds here
-            ctx = softmax_pv(q_ref[0, lo:lo + dh, :], kh, vh, sc_ref[0])
-            o_ref[0, lo:lo + dh, :] = ctx.astype(o_ref.dtype)
-            continue
+            if q_block == T:
+                # single block: static full-width slices — T on the LANE
+                # dim only tolerates dynamic slicing at 128-multiples, so
+                # buckets like 192/320/448 must avoid pl.ds here
+                ctx = softmax_pv(q_ref[r, lo:lo + dh, :], kh, vh,
+                                 sc_ref[r], seg_row, key_ok)
+                o_ref[r, lo:lo + dh, :] = ctx.astype(o_ref.dtype)
+                continue
 
-        def qloop(qi, _):
-            q0 = pl.multiple_of(qi * q_block, q_block)  # q_block is x128
-            qh = q_ref[0, lo:lo + dh, pl.ds(q0, q_block)]   # (dh, QB)
-            seg_q = sc_ref[0, pl.ds(q0, q_block), :]        # (QB, 1)
-            ctx = softmax_pv(qh, kh, vh, seg_q)
-            o_ref[0, lo:lo + dh, pl.ds(q0, q_block)] = ctx.astype(
-                o_ref.dtype)
-            return 0
+            def qloop(qi, _, r=r, lo=lo, kh=kh, vh=vh, seg_row=seg_row,
+                      key_ok=key_ok):
+                q0 = pl.multiple_of(qi * q_block, q_block)  # q_block x128
+                qh = q_ref[r, lo:lo + dh, pl.ds(q0, q_block)]   # (dh, QB)
+                seg_q = sc_ref[r, pl.ds(q0, q_block), :]        # (QB, 1)
+                ctx = softmax_pv(qh, kh, vh, seg_q, seg_row, key_ok)
+                o_ref[r, lo:lo + dh, pl.ds(q0, q_block)] = ctx.astype(
+                    o_ref.dtype)
+                return 0
 
-        n_q = T // q_block
-        if n_q <= 2:
-            for qi in range(n_q):
-                qloop(qi, 0)
-        else:
-            jax.lax.fori_loop(0, n_q, qloop, 0)
+            n_q = T // q_block
+            if n_q <= 2:
+                for qi in range(n_q):
+                    qloop(qi, 0)
+            else:
+                jax.lax.fori_loop(0, n_q, qloop, 0)
 
 
 def _choose_q_block(T: int) -> int:
@@ -140,18 +169,19 @@ def _attention_call(q, k, v, segments):
     n_groups = lanes // group
     q_block = _choose_q_block(T)
 
+    rpp = _choose_rows_per_program(B, T, q.dtype.itemsize)
     q3 = q.reshape(B, T, lanes).swapaxes(1, 2)  # (B, lanes, T)
     k3 = k.reshape(B, T, lanes).swapaxes(1, 2)
     v3 = v.reshape(B, T, lanes).swapaxes(1, 2)
-    qkv_spec = pl.BlockSpec((1, group, T), lambda b, g: (b, g, 0),
+    qkv_spec = pl.BlockSpec((rpp, group, T), lambda b, g: (b, g, 0),
                             memory_space=pltpu.VMEM)
     seg32 = segments.astype(jnp.int32)
     out = pl.pallas_call(
         functools.partial(_kernel, dh=DH, q_block=q_block),
-        grid=(B, n_groups),
-        in_specs=[pl.BlockSpec((1, 1, T), lambda b, g: (b, 0, 0),
+        grid=(B // rpp, n_groups),
+        in_specs=[pl.BlockSpec((rpp, 1, T), lambda b, g: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, T, 1), lambda b, g: (b, 0, 0),
+                  pl.BlockSpec((rpp, T, 1), lambda b, g: (b, 0, 0),
                                memory_space=pltpu.VMEM),
                   qkv_spec, qkv_spec, qkv_spec],
         out_specs=qkv_spec,

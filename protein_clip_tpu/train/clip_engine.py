@@ -50,13 +50,18 @@ def default_loss_fn() -> Callable:
     single-shot kernel cannot hold in VMEM (very large negative pools /
     embedding dims) use the lax fallback transparently."""
     if jax.default_backend() == "tpu":
-        from ..ops.infonce_pallas import fused_infonce
+        from ..ops.infonce_pallas import (fused_infonce, fused_infonce_tiled,
+                                          tiled_row_block)
 
         def loss(x, y):
             b, d = x.shape
-            if not fused_infonce_fits(b, d):
-                return clip_infonce(x, y)
-            return fused_infonce(x, y)
+            if fused_infonce_fits(b, d):
+                return fused_infonce(x, y)
+            # pools past the single-shot budget: row-tiled kernel with an
+            # online column logsumexp — VMEM O(B*D + rb*B), not O(B*B)
+            if tiled_row_block(b) is not None and b <= 4096 and d % 8 == 0:
+                return fused_infonce_tiled(x, y)
+            return clip_infonce(x, y)
 
         return loss
     return clip_infonce
@@ -396,11 +401,9 @@ def evaluate(params, esm_params, loader, tokenizer, eval_step) -> float:
     An empty loader (dataset smaller than batch_size with drop_last) returns
     NaN rather than a silent 0.0 — the reference would ZeroDivisionError.
     """
-    total, n = 0.0, 0
-    for peps, recs in loader:
-        batch = tokenize_pair_batch(tokenizer, peps, recs)
-        total += float(eval_step(params, esm_params, batch))
-        n += 1
-    if n == 0:
+    losses = [eval_step(params, esm_params,
+                        tokenize_pair_batch(tokenizer, peps, recs))
+              for peps, recs in loader]
+    if not losses:
         return float("nan")
-    return total / n
+    return float(np.mean([float(l) for l in losses]))

@@ -2,6 +2,7 @@
 the CPU test platform; compiled on TPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -51,3 +52,24 @@ def test_rectangular_embedding_dim(rng):
     x, y = _data(rng, B=256, D=128, scale=1.0)
     np.testing.assert_allclose(float(fused_infonce(x, y)),
                                float(clip_infonce(x, y)), rtol=1e-6)
+
+
+@pytest.mark.parametrize("b,rb", [(384, None), (512, 128)])
+def test_tiled_matches_lax(rng, b, rb):
+    """Row-tiled kernel (online column logsumexp, two-pass backward) ==
+    lax clip_infonce, values and grads."""
+    from protein_clip_tpu.ops.infonce_pallas import fused_infonce_tiled
+
+    x = jnp.asarray(rng.normal(size=(b, 16)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(b, 16)), jnp.float32)
+
+    want, (gx, gy) = jax.value_and_grad(
+        lambda x, y: clip_infonce(x, y), argnums=(0, 1))(x, y)
+    got, (tx, ty) = jax.value_and_grad(
+        lambda x, y: fused_infonce_tiled(x, y, rb), argnums=(0, 1))(x, y)
+
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tx), np.asarray(gx),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ty), np.asarray(gy),
+                               atol=1e-5, rtol=1e-4)

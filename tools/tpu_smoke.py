@@ -51,6 +51,28 @@ def main():
 
     check("fused_infonce odd shapes", infonce_shapes)
 
+    # tiled InfoNCE for big negative pools (compiled grid + scratch
+    # accumulation; interpret-mode tests can't catch Mosaic rejections)
+    def infonce_tiled():
+        from protein_clip_tpu.ops.infonce import clip_infonce
+        from protein_clip_tpu.ops.infonce_pallas import fused_infonce_tiled
+        for B, D in [(1024, 128), (2048, 128)]:
+            x = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+            y = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+            got = float(jax.jit(fused_infonce_tiled)(x, y))
+            ref = float(clip_infonce(x, y))
+            assert abs(got - ref) < 1e-3 * max(abs(ref), 1.0), (B, got, ref)
+            gx, gy = jax.grad(lambda a, b: fused_infonce_tiled(a, b),
+                              argnums=(0, 1))(x, y)
+            rx, ry = jax.grad(lambda a, b: clip_infonce(a, b),
+                              argnums=(0, 1))(x, y)
+            np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                       atol=5e-5, rtol=1e-2)
+            np.testing.assert_allclose(np.asarray(gy), np.asarray(ry),
+                                       atol=5e-5, rtol=1e-2)
+
+    check("fused_infonce_tiled big pools", infonce_tiled)
+
     # FILIP kernel at the reference FILIP batch (10) and mixed buckets
     def filip_shapes():
         from protein_clip_tpu.models.filip import filip_similarity
@@ -79,16 +101,24 @@ def main():
         from protein_clip_tpu.ops.attention_pallas import (
             _eager_reference, fused_attention)
         # realistic scaling: q carries dh^-0.5 (logits ~N(0,1)); unscaled
-        # logits (+-30) amplify near-tie softmax sensitivity in BOTH paths
-        q = jnp.asarray(rng.normal(size=(4, 256, 20, 32)).astype(np.float32)
-                        ) * (32 ** -0.5)
-        k = jnp.asarray(rng.normal(size=(4, 256, 20, 32)).astype(np.float32))
-        v = jnp.asarray(rng.normal(size=(4, 256, 20, 32)).astype(np.float32))
-        m = np.ones((4, 256), np.int32); m[1, 100:] = 0
-        got = jax.jit(fused_attention)(q, k, v, jnp.asarray(m))
-        ref = _eager_reference(q, k, v, jnp.asarray(m))
-        mb = np.asarray(m).astype(bool)
-        assert float(jnp.abs(got - ref)[mb].max()) < 1e-3
+        # logits (+-30) amplify near-tie softmax sensitivity in BOTH paths.
+        # Shapes sweep the rows-per-program chooser: rpp=4/8/16 at small T,
+        # rpp=2 at T=2048, rpp=1 fallback on odd batch counts.
+        for B, T in [(4, 256), (16, 512), (16, 128), (3, 512), (4, 2048),
+                     (8, 448)]:
+            q = jnp.asarray(
+                rng.normal(size=(B, T, 20, 32)).astype(np.float32)
+            ) * (32 ** -0.5)
+            k = jnp.asarray(
+                rng.normal(size=(B, T, 20, 32)).astype(np.float32))
+            v = jnp.asarray(
+                rng.normal(size=(B, T, 20, 32)).astype(np.float32))
+            m = np.ones((B, T), np.int32); m[1 % B, T // 3:] = 0
+            got = jax.jit(fused_attention)(q, k, v, jnp.asarray(m))
+            ref = _eager_reference(q, k, v, jnp.asarray(m))
+            mb = np.asarray(m).astype(bool)
+            d = float(jnp.abs(got - ref)[mb].max())
+            assert d < 1e-3, (B, T, d)
 
     check("fused attention kernel", fused_attention)
 
