@@ -21,6 +21,7 @@ materialises the (B,B,TA,TB) tensor); this path trains batch 128+ packed.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable
 
 import jax
@@ -96,10 +97,12 @@ def make_train_step_packed_filip(cfg: EngineConfig,
                                  optimizer: optax.GradientTransformation,
                                  similarity_fn: Callable | None = None,
                                  use_dcl: bool | None = None,
-                                 rows_per_chunk: int = 16):
+                                 rows_per_chunk: int | None = None):
     """jit'd FILIP train step over tokenize_packed batches. Note FILIP has
     no grad accumulation (reference main_2protein_filip.py:63), so the
     packed sequence count is cfg.batch_size, not global_batch."""
+    if rows_per_chunk is None:
+        rows_per_chunk = int(os.environ.get("PCT_ROWS_PER_CHUNK", "16"))
     mcfg = cfg.model
     use_dcl = cfg.filip_use_dcl if use_dcl is None else use_dcl
     n_seqs = cfg.batch_size

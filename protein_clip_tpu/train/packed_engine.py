@@ -23,6 +23,7 @@ compiled shapes repeat across batches like the length-group compositions.
 
 from __future__ import annotations
 
+import os
 import warnings
 from typing import Any, Callable
 
@@ -181,7 +182,11 @@ def _pool_packed(head_params, hidden, seg, owner, n_seqs: int, temperature,
 def make_train_step_packed(cfg: EngineConfig,
                            optimizer: optax.GradientTransformation,
                            loss_fn: Callable | None = None,
-                           rows_per_chunk: int = 16):
+                           rows_per_chunk: int | None = None):
+    # 16 re-measured best after the multi-row kernel (865 vs 849@8, 776@32
+    # pairs/s); PCT_ROWS_PER_CHUNK is the sweep knob (docs/PERF.md).
+    if rows_per_chunk is None:
+        rows_per_chunk = int(os.environ.get("PCT_ROWS_PER_CHUNK", "16"))
     loss_fn = loss_fn or default_loss_fn()
     mcfg = cfg.model
     n_seqs = cfg.global_batch

@@ -21,6 +21,60 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
+def capture_filip(out_dir: Path, n_steps: int) -> None:
+    """Trace the packed FILIP train step (bench_filip workload: batch 128,
+    both sides 100-500 aa, fused max-sim kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import esm2, filip
+    from protein_clip_tpu.train import clip_engine, filip_engine
+    from protein_clip_tpu.train import optimizer as opt_mod
+    from protein_clip_tpu.train.filip_packed import tokenize_packed
+
+    esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16)
+    mcfg = filip.FILIPConfig(esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
+                                  dtype=jnp.bfloat16)
+    params = filip.init_params(jax.random.key(1), mcfg)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=128,
+                                   accumulated_batches=1, num_chunks=8,
+                                   length_groups=1, packed=True, remat=True)
+    optimizer = opt_mod.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+    step = filip_engine.make_train_step(cfg, optimizer)
+
+    rng = np.random.default_rng(42)
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    tok = EsmTokenizer()
+    batches = []
+    for _ in range(n_steps + 1):
+        peps = ["".join(rng.choice(aas, rng.integers(100, 500)))
+                for _ in range(cfg.batch_size)]
+        recs = ["".join(rng.choice(aas, rng.integers(100, 500)))
+                for _ in range(cfg.batch_size)]
+        batches.append(tokenize_packed(tok, peps, recs))
+    batches = [jax.device_put(b) for b in batches]
+    for b in batches:
+        for leaf in jax.tree.leaves(b):
+            float(jnp.sum(leaf.astype(jnp.int32)))
+
+    key = jax.random.key(0)
+    for b in batches:
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, esm_params, b, sub)
+        float(loss)
+
+    jax.profiler.start_trace(str(out_dir))
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, esm_params,
+                                       batches[i + 1], sub)
+        float(loss)
+    jax.profiler.stop_trace()
+
+
 def capture(out_dir: Path, n_steps: int) -> None:
     import jax
     import jax.numpy as jnp
@@ -137,11 +191,12 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--out", default="docs/trace")
     ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument("--mode", choices=["clip", "filip"], default="clip")
     args = ap.parse_args()
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     if not args.parse_only:
-        capture(out, args.steps)
+        (capture_filip if args.mode == "filip" else capture)(out, args.steps)
     op_breakdown(out)
     return 0
 
