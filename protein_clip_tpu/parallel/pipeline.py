@@ -44,6 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import clip, esm2
 from ..ops.infonce import clip_infonce
+from .mesh import DATA_AXIS
 
 STAGE_AXIS = "stage"
 
@@ -246,5 +247,80 @@ def make_pp_train_step(cfg, optimizer: optax.GradientTransformation,
         in_specs=(P(), P(), STAGED_SPEC, P(), P()),
         out_specs=(P(), P(), P()),
         axis_names={STAGE_AXIS},
+    )
+    return jax.jit(sharded)
+
+
+def make_pp_dp_mesh(data: int, stages: int, devices=None) -> Mesh:
+    """2-D ('data', 'stage') mesh: each data replica pipelines its own batch
+    shard over a stage ring; negatives still span the full global batch via
+    the embedding all-gather over 'data' (the parallel/step.py pattern)."""
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < data * stages:
+        raise ValueError(f"need {data * stages} devices, have {len(devices)}")
+    grid = np.asarray(devices[:data * stages]).reshape(data, stages)
+    return Mesh(grid, (DATA_AXIS, STAGE_AXIS))
+
+
+def make_pp_dp_train_step(cfg, optimizer: optax.GradientTransformation,
+                          mesh: Mesh, num_microbatches: int | None = None,
+                          loss_fn=clip_infonce):
+    """CLIP train step over a ('data', 'stage') mesh: DP x PP composed.
+
+    Batch leaves arrive (B_global, T) and shard over 'data'; each data
+    replica runs the GPipe lockstep schedule over its 'stage' ring on its
+    local shard. Head embeddings all-gather over 'data' so the InfoNCE
+    denominator spans the global batch (exactly parallel/step.py's manual-DP
+    contract), and head grads psum over 'data'. Staged backbone weights are
+    sharded over 'stage' and replicated over 'data'.
+
+    Numerics match the single-device engine at equal global batch
+    (tests/test_pipeline.py::test_pp_dp_train_step_matches_single_device).
+    """
+    mcfg = cfg.model
+    n_stages = mesh.shape[STAGE_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
+    if cfg.global_batch % n_data:
+        raise ValueError(f"global batch {cfg.global_batch} not divisible by "
+                         f"data axis {n_data}")
+    n_micro = num_microbatches or max(2 * n_stages, cfg.num_chunks)
+
+    def local_step(params, opt_state, staged, batch, rng):
+        from ..train.clip_engine import expand_batch
+        batch = expand_batch(batch)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        def enc(ids, mask):
+            h = _pp_hidden_local(staged, _microbatched(ids, n_micro),
+                                 _microbatched(mask, n_micro), mcfg.esm,
+                                 n_stages, n_micro)
+            h = h.reshape(ids.shape[0], ids.shape[1], -1)
+            return jax.lax.stop_gradient(h.astype(jnp.float32))
+
+        hp = enc(batch["pep_ids"], batch["pep_mask"])
+        hr = enc(batch["rec_ids"], batch["rec_mask"])
+
+        def head_loss(p):
+            rp, rr = jax.random.split(rng)
+            pep_l = clip.encode_side(p, "pep", hp, batch["pep_mask"], mcfg,
+                                     train=True, rng=rp)
+            rec_l = clip.encode_side(p, "rec", hr, batch["rec_mask"], mcfg,
+                                     train=True, rng=rr)
+            pep = jax.lax.all_gather(pep_l, DATA_AXIS, axis=0, tiled=True)
+            rec = jax.lax.all_gather(rec_l, DATA_AXIS, axis=0, tiled=True)
+            return loss_fn(pep, rec)
+
+        loss, grads = jax.value_and_grad(head_loss)(params)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), STAGED_SPEC, P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        axis_names={DATA_AXIS, STAGE_AXIS},
+        check_vma=False,
     )
     return jax.jit(sharded)

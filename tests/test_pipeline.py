@@ -97,6 +97,42 @@ def test_pp_train_step_matches_single_device(tiny4, rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_pp_dp_train_step_matches_single_device(tiny4, rng):
+    """DP x PP composed: dp2 x stage4 over 8 fake devices must match the
+    single-device engine at equal global batch, step for step."""
+    mcfg, esm_params, params = tiny4
+    # dropout off for exactness: the DP side folds the data index into the
+    # dropout rng (parallel/step.py contract), the single device does not
+    mcfg = clip.CLIPConfig(**{**mcfg.__dict__, "dropout": 0.0})
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=1)
+    optimizer = opt_mod.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+
+    mesh = pp.make_pp_dp_mesh(2, 4)
+    staged = pp.shard_staged_params(mesh, pp.stage_esm_params(esm_params, 4))
+    dp_pp_step = pp.make_pp_dp_train_step(cfg, optimizer, mesh,
+                                          num_microbatches=2)
+    single = clip_engine.make_train_step(cfg, optimizer,
+                                         loss_fn=clip_infonce)
+
+    ids_p, mask_p = _ids(rng, 8, 12)
+    ids_r, mask_r = _ids(rng, 8, 12)
+    batch = {"pep_ids": ids_p, "pep_mask": mask_p,
+             "rec_ids": ids_r, "rec_mask": mask_r}
+
+    p_pp, o_pp, p_sd, o_sd = params, opt_state, params, opt_state
+    for i in range(2):
+        key = jax.random.key(11 + i)
+        p_pp, o_pp, loss_pp = dp_pp_step(p_pp, o_pp, staged, batch, key)
+        p_sd, o_sd, loss_sd = single(p_sd, o_sd, esm_params, batch, key)
+        np.testing.assert_allclose(float(loss_pp), float(loss_sd),
+                                   rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_pp), jax.tree.leaves(p_sd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_pp_weights_actually_sharded(tiny4):
     """Each stage device must hold only its 1/S slice of the layer stack."""
     _, esm_params, _ = tiny4
