@@ -23,6 +23,20 @@ from pathlib import Path
 import numpy as np
 
 
+def _rec_len(rng):
+    """Receptor length draw. PCT_BENCH_PROFILE=longtail models the 2protein
+    ingest (cap 2000, data_utils_2protein.py:88): mostly 100-400 aa chains
+    with a 10% tail up to ~2000 — the profile where a few long chains force
+    every flat-packed row to 2048 tokens."""
+    import os
+
+    if os.environ.get("PCT_BENCH_PROFILE") == "longtail":
+        if rng.random() < 0.10:
+            return rng.integers(1200, 1999)
+        return rng.integers(100, 400)
+    return rng.integers(100, 500)
+
+
 def make_batches(rng, n, global_batch, tokenizer, length_groups=1):
     from protein_clip_tpu.train.clip_engine import (tokenize_grouped,
                                                     tokenize_pair_batch)
@@ -32,11 +46,15 @@ def make_batches(rng, n, global_batch, tokenizer, length_groups=1):
     for _ in range(n):
         peps = ["".join(rng.choice(aas, rng.integers(8, 30)))
                 for _ in range(global_batch)]
-        recs = ["".join(rng.choice(aas, rng.integers(100, 500)))
+        recs = ["".join(rng.choice(aas, _rec_len(rng)))
                 for _ in range(global_batch)]
         if length_groups == "packed":
+            import os
+
             from protein_clip_tpu.train.packed_engine import tokenize_packed
-            batches.append(tokenize_packed(tokenizer, peps, recs))
+            tiers = int(os.environ.get("PCT_PACK_TIERS", "1"))
+            batches.append(tokenize_packed(tokenizer, peps, recs,
+                                           tiers=tiers))
         elif isinstance(length_groups, int) and length_groups > 1:
             batches.append(tokenize_grouped(tokenizer, peps, recs,
                                             length_groups))
@@ -86,7 +104,9 @@ def bench_filip():
                 for _ in range(cfg.batch_size)]
         if packed:
             from protein_clip_tpu.train.filip_packed import tokenize_packed
-            batches.append(tokenize_packed(tokenizer, peps, recs))
+            tiers = int(os.environ.get("PCT_PACK_TIERS", "1"))
+            batches.append(tokenize_packed(tokenizer, peps, recs,
+                                           tiers=tiers))
         else:
             batches.append(tokenize_grouped(tokenizer, peps, recs,
                                             cfg.length_groups))

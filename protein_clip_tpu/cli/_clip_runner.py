@@ -72,7 +72,8 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
         accumulated_batches=args.accumulated_batches,
         learning_rate=args.lr, num_chunks=args.num_chunks,
         length_groups=args.length_groups if not args.no_gradcache else 1,
-        packed=args.packed and not args.no_gradcache)
+        packed=args.packed and not args.no_gradcache,
+        packed_tiers=getattr(args, "pack_tiers", 1))
 
     def epoch_hook(epoch, best_params):
         if not args.epoch_figures:

@@ -59,6 +59,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--packed", action="store_true",
                    help="sequence-packed encoding (segment-masked rows; "
                         "supersedes --length-groups)")
+    p.add_argument("--pack-tiers", type=int, default=1,
+                   help="with --packed: >1 packs each side into width-"
+                        "tiered row groups (short sequences ride narrower "
+                        "rows, cutting attention cost on long-tailed "
+                        "length distributions)")
     p.add_argument("--length-groups", type=int, default=4,
                    help="length-sorted encode groups per global batch "
                         "(1 = single pad bucket)")

@@ -92,6 +92,7 @@ def main(argv=None) -> int:
         model=mcfg, batch_size=args.batch_size, accumulated_batches=1,
         learning_rate=args.lr, num_chunks=args.num_chunks,
         length_groups=args.length_groups, packed=args.packed,
+        packed_tiers=getattr(args, "pack_tiers", 1),
         filip_use_dcl=args.use_dcl)
 
     def epoch_hook(epoch, best_params):

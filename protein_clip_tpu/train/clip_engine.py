@@ -84,6 +84,12 @@ class EngineConfig:
     # sequence packing (train/packed_engine.py): ~95% token fill via
     # segment-masked rows; supersedes length_groups when True.
     packed: bool = False
+    # >1: width-tiered packing (packed_engine._tier_widths) — short
+    # sequences ride narrower rows, cutting attention work that scales
+    # with row width. Measured SLOWER at the Propedia bench profile
+    # (659 vs 865 pairs/s flat, docs/PERF.md round 4); available for
+    # longer-tailed length distributions.
+    packed_tiers: int = 1
     # FILIP only: diagonal-masked denominator (training_utils_filip.py:4-23)
     filip_use_dcl: bool = False
 
@@ -342,7 +348,8 @@ def train_gc(params, opt_state, esm_params, loader, tokenizer, step_fn,
 
     if cfg.packed:
         from .packed_engine import tokenize_packed
-        prepare = lambda pr: tokenize_packed(tokenizer, pr[0], pr[1])
+        prepare = lambda pr: tokenize_packed(tokenizer, pr[0], pr[1],
+                                             tiers=cfg.packed_tiers)
     elif cfg.length_groups > 1:
         prepare = lambda pr: tokenize_grouped(tokenizer, pr[0], pr[1],
                                               cfg.length_groups)
@@ -383,7 +390,9 @@ def train_plain(params, opt_state, esm_params, loader, tokenizer, step_fn,
         rng, sub = jax.random.split(rng)
         if packed:
             from .packed_engine import tokenize_packed
-            batch = tokenize_packed(tokenizer, peps, recs)
+            batch = tokenize_packed(
+                tokenizer, peps, recs,
+                tiers=cfg.packed_tiers if cfg is not None else 1)
         elif groups > 1:
             batch = tokenize_grouped(tokenizer, peps, recs, groups)
         else:

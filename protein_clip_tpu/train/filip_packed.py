@@ -33,7 +33,7 @@ from ..ops.infonce import filip_loss
 from .clip_engine import EngineConfig
 from .filip_engine import default_similarity_fn
 from .packed_engine import (_encode_packed_chunked, expand_packed_batch,
-                            tokenize_packed)
+                            packed_side_count, tokenize_packed)
 
 Params = dict[str, Any]
 
@@ -41,10 +41,12 @@ __all__ = ["tokenize_packed", "make_train_step_packed_filip",
            "filip_sim_packed"]
 
 
-def _scatter_tokens(x, seg, pos, owner, n_seqs: int):
-    """Packed rows (R, L, D) -> per-sequence (n_seqs, L, D) + (n_seqs, L)
-    mask. Gap/pad tokens route to a dump row (owner == n_seqs, the
-    expand_packed_batch sentinel) that is sliced off."""
+def _scatter_tokens_into(out, mask, x, seg, pos, owner, n_seqs: int):
+    """Scatter one pack's tokens (R, L, D) into the shared per-sequence
+    buffers out (n_seqs+1, T, D) / mask (n_seqs+1, T) with L <= T. Gap/pad
+    tokens route to a dump row (owner == n_seqs, the expand_packed_batch
+    sentinel) that is sliced off; tiers own disjoint sequences, so
+    sequential scatters never collide."""
     R, L, D = x.shape
     flat = x.reshape(R * L, D)
     valid = seg.reshape(R * L) > 0
@@ -53,42 +55,66 @@ def _scatter_tokens(x, seg, pos, owner, n_seqs: int):
     # (models.py:333-335 uses the attention mask), so packed must too.
     o = jnp.where(valid, owner.reshape(R * L), n_seqs)
     p = jnp.where(valid, pos.reshape(R * L), 0)
-    out = jnp.zeros((n_seqs + 1, L, D), x.dtype).at[o, p].set(flat)
-    mask = jnp.zeros((n_seqs + 1, L), jnp.int32).at[o, p].set(
-        valid.astype(jnp.int32))
+    out = out.at[o, p].set(flat)
+    mask = mask.at[o, p].set(valid.astype(jnp.int32))
+    return out, mask
+
+
+def _scatter_tokens(x, seg, pos, owner, n_seqs: int):
+    """Packed rows (R, L, D) -> per-sequence (n_seqs, L, D) + (n_seqs, L)
+    mask (single-pack view of _scatter_tokens_into)."""
+    R, L, D = x.shape
+    out = jnp.zeros((n_seqs + 1, L, D), x.dtype)
+    mask = jnp.zeros((n_seqs + 1, L), jnp.int32)
+    out, mask = _scatter_tokens_into(out, mask, x, seg, pos, owner, n_seqs)
     return out[:n_seqs], mask[:n_seqs]
 
 
-def _encode_side_packed(head_params, hidden, seg, pos, owner, n_seqs: int,
-                        cfg: filip.FILIPConfig, *, train, rng):
-    """Per-token head on packed rows -> normalised per-sequence tokens."""
-    x = heads.encode_tokens(head_params, hidden, dropout_rate=cfg.dropout,
-                            train=train, rng=rng, activation=cfg.activation)
-    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
-                            keepdims=True) + jnp.finfo(jnp.float32).tiny)
-    x = (x.astype(jnp.float32) / norm).astype(x.dtype)
-    return _scatter_tokens(x, seg, pos, owner, n_seqs)
+def _side_packs(batch, side: str) -> list[dict]:
+    if f"{side}_packs" in batch:
+        return list(batch[f"{side}_packs"])
+    return [{k: batch[f"{side}_{k}"] for k in ("ids", "seg", "pos", "owner")}]
 
 
 def filip_sim_packed(params: Params, esm_params: Params, batch,
                      cfg: filip.FILIPConfig, n_seqs: int, *,
                      rows_per_chunk: int = 16, remat: bool = True,
                      train: bool = False, rng=None, similarity_fn=None):
-    """(sim_a, sim_b) from an expanded packed batch."""
+    """(sim_a, sim_b) from an expanded packed batch (flat or width-tiered).
+
+    Tiered sides scatter every tier into one (n_seqs, T_max, D) buffer —
+    tiers own disjoint sequences and T_max is the widest tier, so narrower
+    tiers simply leave trailing zeros that the kernel's pad mask ignores.
+    Token embeddings L2-normalise BEFORE the scatter so empty slots stay
+    exact zeros.
+    """
     sim_fn = similarity_fn or default_similarity_fn()
     rp = rr = None
     if rng is not None:
         rp, rr = jax.random.split(rng)
     sides = {}
     for side, r in (("pep", rp), ("rec", rr)):
-        h = _encode_packed_chunked(esm_params, batch[f"{side}_ids"],
-                                   batch[f"{side}_seg"],
-                                   batch[f"{side}_pos"], cfg.esm,
-                                   rows_per_chunk, remat)
-        sides[side] = _encode_side_packed(
-            params[side], h.astype(jnp.float32), batch[f"{side}_seg"],
-            batch[f"{side}_pos"], batch[f"{side}_owner"], n_seqs, cfg,
-            train=train, rng=r)
+        packs = _side_packs(batch, side)
+        t_out = max(p["ids"].shape[1] for p in packs)
+        out = jnp.zeros((n_seqs + 1, t_out, cfg.embedding_dim), jnp.float32)
+        mask = jnp.zeros((n_seqs + 1, t_out), jnp.int32)
+        for k, pk in enumerate(packs):
+            # constant tokens per chunk across tiers (see packed_engine)
+            h = _encode_packed_chunked(
+                esm_params, pk["ids"], pk["seg"], pk["pos"], cfg.esm,
+                rows_per_chunk * (t_out // pk["ids"].shape[1]), remat)
+            rk = (jax.random.fold_in(r, k)
+                  if r is not None and len(packs) > 1 else r)
+            x = heads.encode_tokens(params[side], h.astype(jnp.float32),
+                                    dropout_rate=cfg.dropout, train=train,
+                                    rng=rk, activation=cfg.activation)
+            norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)),
+                                    axis=-1, keepdims=True)
+                            + jnp.finfo(jnp.float32).tiny)
+            x = (x.astype(jnp.float32) / norm).astype(x.dtype)
+            out, mask = _scatter_tokens_into(out, mask, x, pk["seg"],
+                                             pk["pos"], pk["owner"], n_seqs)
+        sides[side] = (out[:n_seqs], mask[:n_seqs])
     (ha, mask_a), (hb, mask_b) = sides["pep"], sides["rec"]
     return sim_fn(ha, hb, mask_a, mask_b, params["temperature"])
 
@@ -116,12 +142,13 @@ def make_train_step_packed_filip(cfg: EngineConfig,
 
     @jax.jit
     def step(params, opt_state, esm_params, batch, rng):
-        if "pep_operm" not in batch and "pep_seg" not in batch:
+        if not any(k in batch for k in
+                   ("pep_operm", "pep_seg", "pep_packs")):
             raise ValueError(
                 "packed FILIP step needs tokenize_packed batches")
-        if "pep_operm" in batch:
+        if "pep_operm" in batch or "pep_packs" in batch:
             for side in ("pep", "rec"):
-                got = batch[f"{side}_operm"].shape[0]
+                got = packed_side_count(batch, side)
                 if got != n_seqs:
                     raise ValueError(
                         f"packed batch has {got} {side} sequences but "

@@ -51,9 +51,38 @@ def _row_len_for(max_len: int, explicit: int | None,
     return min(cap, max(128, -(-max_len // 128) * 128))
 
 
+def _tier_widths(row_len: int) -> list[int]:
+    """Quarter-points of the row length rounded up to 128-multiples.
+
+    512 -> [128, 256, 384, 512]; 128 -> [128]; 2048 -> [512, 1024, 1536,
+    2048]. Attention cost per token scales with its row width, so short
+    sequences riding narrower rows skip the masked cross-segment work the
+    dense kernel would otherwise burn (docs/PERF.md: ~50% of score work in
+    a 512-wide Propedia receptor row is masked waste).
+    """
+    return sorted({min(row_len, max(128, -(-row_len * q // 4) // 128 * 128))
+                   for q in (1, 2, 3, 4)})
+
+
+def _pack_one(encs: list[np.ndarray], idx: np.ndarray, row_len: int
+              ) -> dict[str, jnp.ndarray]:
+    """Pack one group; operm maps scan-order segments to GLOBAL indices."""
+    packed = pack_sequences(encs, row_len, row_multiple=16)
+    # owner permutation: original (global) index of each segment in
+    # row-major (row, segment) scan order — all else derives on device.
+    counts = packed.segment_ids.max(axis=1)
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    g = offsets[packed.owner_row] + packed.owner_seg - 1
+    operm = np.zeros(packed.n_sequences, np.int32)
+    operm[g] = idx
+    return {"ids": jnp.asarray(packed.ids.astype(np.int8)),
+            "operm": jnp.asarray(operm)}
+
+
 def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
                     recs: list[str], pep_row_len: int | None = None,
-                    rec_row_len: int | None = None) -> dict[str, jnp.ndarray]:
+                    rec_row_len: int | None = None,
+                    tiers: int = 1) -> dict[str, jnp.ndarray]:
     """Pack both sides into a compact device batch.
 
     Row lengths derive from each side's longest tokenized sequence (multiple
@@ -61,6 +90,14 @@ def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
     than the row length are truncated with the eos kept — that only happens
     past the 2048 cap, beyond the reference's own ingest filter — with a
     loud warning.
+
+    tiers > 1 packs each side into width-tiered row groups (_tier_widths):
+    each sequence rides the narrowest tier that fits it, cutting the
+    attention work that scales with row width. The wire then carries
+    ``{side}_packs`` — a tuple of per-tier {ids, operm} dicts with operm
+    holding GLOBAL batch indices — instead of the flat ``{side}_ids`` /
+    ``{side}_operm`` pair (emitted whenever a single tier ends up holding
+    everything).
     """
     out: dict[str, jnp.ndarray] = {}
     for side, seqs, explicit in (("pep", peps, pep_row_len),
@@ -76,23 +113,59 @@ def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
             warnings.warn(
                 f"tokenize_packed: {clamped} {side} sequence(s) longer than "
                 f"row_len={row_len} were truncated (eos kept)", stacklevel=2)
-        packed = pack_sequences(encs, row_len, row_multiple=16)
-        # owner permutation: original index of each segment in row-major
-        # (row, segment) scan order — everything else derives on device.
-        counts = packed.segment_ids.max(axis=1)
-        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        g = offsets[packed.owner_row] + packed.owner_seg - 1
-        operm = np.zeros(packed.n_sequences, np.int32)
-        operm[g] = np.arange(packed.n_sequences, dtype=np.int32)
-        out[f"{side}_ids"] = jnp.asarray(packed.ids.astype(np.int8))
-        out[f"{side}_operm"] = jnp.asarray(operm)
+        widths = _tier_widths(row_len) if tiers > 1 else [row_len]
+        groups: dict[int, list] = {w: [] for w in widths}
+        gidx: dict[int, list] = {w: [] for w in widths}
+        for j, e in enumerate(encs):
+            w = next(w for w in widths if len(e) <= w)
+            groups[w].append(e)
+            gidx[w].append(j)
+        packs = [_pack_one(groups[w], np.asarray(gidx[w], np.int32), w)
+                 for w in widths if groups[w]]
+        if len(packs) == 1:
+            out[f"{side}_ids"] = packs[0]["ids"]
+            out[f"{side}_operm"] = packs[0]["operm"]
+        else:
+            out[f"{side}_packs"] = tuple(packs)
     return out
+
+
+def _expand_pack(ids8: jnp.ndarray, operm: jnp.ndarray,
+                 dump: int) -> dict[str, jnp.ndarray]:
+    """Derive int32 ids + segment/position/owner maps for one pack.
+
+    ``dump`` is the owner sentinel for gap/pad tokens (the global sequence
+    count — segment_sum routes those to a sliced-off extra slot).
+    """
+    ids = ids8.astype(jnp.int32)
+    n_local = operm.shape[0]
+    R, L = ids.shape
+    valid = ids != PAD_ID
+    is_bos = ids == CLS_ID
+    seg = jnp.cumsum(is_bos.astype(jnp.int32), axis=1) * valid
+    ar = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    starts = jax.lax.cummax(jnp.where(is_bos, ar, 0), axis=1)
+    pos = jnp.where(valid, ar - starts, 0)
+    counts = seg.max(axis=1)
+    offsets = jnp.concatenate(
+        (jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]))
+    g = offsets[:, None] + seg - 1
+    owner = jnp.where(valid, jnp.take(operm, jnp.clip(g, 0, n_local - 1)),
+                      dump)
+    return {"ids": ids, "seg": seg, "pos": pos, "owner": owner}
+
+
+def packed_side_count(batch, side: str) -> int:
+    """Number of sequences a packed wire batch carries for one side."""
+    if f"{side}_packs" in batch:
+        return sum(p["operm"].shape[0] for p in batch[f"{side}_packs"])
+    return batch[f"{side}_operm"].shape[0]
 
 
 def expand_packed_batch(batch: dict[str, jnp.ndarray]
                         ) -> dict[str, jnp.ndarray]:
     """Device-side: derive int32 ids + segment/position/owner maps from the
-    compact packed wire format.
+    compact packed wire format (flat or width-tiered).
 
     Contract (tokenizer + packer): every sequence starts with <cls>, gaps
     are trailing <pad> within each row, and segments sit contiguously in
@@ -100,30 +173,25 @@ def expand_packed_batch(batch: dict[str, jnp.ndarray]
     positions restart at each <cls>, and the per-token owner is the owner
     permutation indexed by the global (row-major) segment number.
     """
-    if "pep_seg" in batch:  # already expanded (or round-1 fat format)
-        return batch
+    if "pep_seg" in batch or any(
+            f"{s}_packs" in batch
+            and batch[f"{s}_packs"] and "seg" in batch[f"{s}_packs"][0]
+            for s in ("pep", "rec")):
+        return batch  # already expanded (or round-1 fat format)
     out = dict(batch)
     for side in ("pep", "rec"):
-        ids = batch[f"{side}_ids"].astype(jnp.int32)
-        operm = batch[f"{side}_operm"]
-        n_seqs = operm.shape[0]
-        R, L = ids.shape
-        valid = ids != PAD_ID
-        is_bos = ids == CLS_ID
-        seg = jnp.cumsum(is_bos.astype(jnp.int32), axis=1) * valid
-        ar = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
-        starts = jax.lax.cummax(jnp.where(is_bos, ar, 0), axis=1)
-        pos = jnp.where(valid, ar - starts, 0)
-        counts = seg.max(axis=1)
-        offsets = jnp.concatenate(
-            (jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]))
-        g = offsets[:, None] + seg - 1
-        owner = jnp.where(valid, jnp.take(operm, jnp.clip(g, 0, n_seqs - 1)),
-                          n_seqs)
-        out[f"{side}_ids"] = ids
-        out[f"{side}_seg"] = seg
-        out[f"{side}_pos"] = pos
-        out[f"{side}_owner"] = owner
+        n_seqs = packed_side_count(batch, side)
+        if f"{side}_packs" in batch:
+            out[f"{side}_packs"] = tuple(
+                _expand_pack(p["ids"], p["operm"], n_seqs)
+                for p in batch[f"{side}_packs"])
+        else:
+            e = _expand_pack(batch[f"{side}_ids"], batch[f"{side}_operm"],
+                             n_seqs)
+            out[f"{side}_ids"] = e["ids"]
+            out[f"{side}_seg"] = e["seg"]
+            out[f"{side}_pos"] = e["pos"]
+            out[f"{side}_owner"] = e["owner"]
     return out
 
 
@@ -148,18 +216,15 @@ def _encode_packed_chunked(esm_params, ids, seg, pos, cfg: esm2.ESM2Config,
     return jax.lax.stop_gradient(h.reshape(R, L, -1))
 
 
-def _pool_packed(head_params, hidden, seg, owner, n_seqs: int, temperature,
-                 *, dropout_rate, train, rng, activation):
-    """Per-sequence scaled embeddings from packed hidden states."""
-    r1 = r2 = None
-    if rng is not None:
-        r1, r2 = jax.random.split(rng)
+def _token_sums(head_params, hidden, seg, owner, n_seqs: int, *,
+                dropout_rate, train, rng, activation):
+    """Per-token head on one pack -> per-sequence (sums, counts)."""
     proj = head_params["projection"]
     x = (jnp.einsum("rlh,hd->rld", hidden, proj["w"],
                     preferred_element_type=jnp.float32).astype(hidden.dtype)
          + proj["b"])
     x = heads.apply_ffn(head_params["aa_ffn"], x, dropout_rate=dropout_rate,
-                        train=train, rng=r1, activation=activation)
+                        train=train, rng=rng, activation=activation)
     R, L, D = x.shape
     flat = x.reshape(R * L, D)
     flat_owner = owner.reshape(R * L)
@@ -168,15 +233,61 @@ def _pool_packed(head_params, hidden, seg, owner, n_seqs: int, temperature,
                                num_segments=n_seqs + 1)[:n_seqs]
     cnt = jax.ops.segment_sum(valid[:, 0], flat_owner,
                               num_segments=n_seqs + 1)[:n_seqs]
+    return sums, cnt
+
+
+def _finish_pool(head_params, sums, cnt, temperature, *, dropout_rate,
+                 train, rng, activation):
+    """Masked mean -> pooled FFN -> L2 normalize -> exp(t/2) scale."""
     pooled = sums / jnp.clip(cnt, 1.0, None)[:, None]
     pooled = heads.apply_ffn(head_params["emb_ffn"], pooled,
-                             dropout_rate=dropout_rate, train=train, rng=r2,
+                             dropout_rate=dropout_rate, train=train, rng=rng,
                              activation=activation)
     normed = pooled * jax.lax.rsqrt(
         jnp.sum(jnp.square(pooled.astype(jnp.float32)), axis=-1,
                 keepdims=True).astype(pooled.dtype)
         + jnp.finfo(jnp.float32).tiny)
     return normed * jnp.exp(temperature.astype(normed.dtype) / 2.0)
+
+
+def _pool_packed(head_params, hidden, seg, owner, n_seqs: int, temperature,
+                 *, dropout_rate, train, rng, activation):
+    """Per-sequence scaled embeddings from packed hidden states."""
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    sums, cnt = _token_sums(head_params, hidden, seg, owner, n_seqs,
+                            dropout_rate=dropout_rate, train=train, rng=r1,
+                            activation=activation)
+    return _finish_pool(head_params, sums, cnt, temperature,
+                        dropout_rate=dropout_rate, train=train, rng=r2,
+                        activation=activation)
+
+
+def _pool_packs(head_params, h_list, packs, n_seqs: int, temperature, *,
+                dropout_rate, train, rng, activation):
+    """Tiered pooling: token sums accumulate across packs, then one finish.
+
+    Equivalent to pooling a single flat pack holding the same sequences —
+    the masked mean is over the union of each sequence's tokens, and every
+    sequence lives in exactly one tier.
+    """
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    sums = jnp.zeros((n_seqs, head_params["projection"]["w"].shape[1]),
+                     h_list[0].dtype)
+    cnt = jnp.zeros((n_seqs,), h_list[0].dtype)
+    for k, (h, pk) in enumerate(zip(h_list, packs)):
+        rk = jax.random.fold_in(r1, k) if r1 is not None else None
+        s, c = _token_sums(head_params, h, pk["seg"], pk["owner"], n_seqs,
+                           dropout_rate=dropout_rate, train=train, rng=rk,
+                           activation=activation)
+        sums = sums + s
+        cnt = cnt + c
+    return _finish_pool(head_params, sums, cnt, temperature,
+                        dropout_rate=dropout_rate, train=train, rng=r2,
+                        activation=activation)
 
 
 def make_train_step_packed(cfg: EngineConfig,
@@ -191,42 +302,62 @@ def make_train_step_packed(cfg: EngineConfig,
     mcfg = cfg.model
     n_seqs = cfg.global_batch
 
-    def head_loss(params, hp, hr, batch, rng):
+    def head_loss(params, hp_list, hr_list, packs_p, packs_r, rng):
         rp, rr = jax.random.split(rng)
-        pep = _pool_packed(params["pep"], hp, batch["pep_seg"],
-                           batch["pep_owner"], n_seqs, params["temperature"],
-                           dropout_rate=mcfg.dropout, train=True, rng=rp,
-                           activation=mcfg.activation)
-        rec = _pool_packed(params["rec"], hr, batch["rec_seg"],
-                           batch["rec_owner"], n_seqs, params["temperature"],
-                           dropout_rate=mcfg.dropout, train=True, rng=rr,
-                           activation=mcfg.activation)
-        return loss_fn(pep, rec)
+        sides = []
+        for key, h_list, packs, r in (("pep", hp_list, packs_p, rp),
+                                      ("rec", hr_list, packs_r, rr)):
+            if len(h_list) == 1:
+                emb = _pool_packed(
+                    params[key], h_list[0], packs[0]["seg"],
+                    packs[0]["owner"], n_seqs, params["temperature"],
+                    dropout_rate=mcfg.dropout, train=True, rng=r,
+                    activation=mcfg.activation)
+            else:
+                emb = _pool_packs(
+                    params[key], h_list, packs, n_seqs,
+                    params["temperature"], dropout_rate=mcfg.dropout,
+                    train=True, rng=r, activation=mcfg.activation)
+            sides.append(emb)
+        return loss_fn(*sides)
 
     @jax.jit
     def step(params, opt_state, esm_params, batch, rng):
-        if "pep_operm" not in batch and "pep_seg" not in batch:
+        if not any(k in batch for k in
+                   ("pep_operm", "pep_seg", "pep_packs")):
             raise ValueError(
                 "packed step needs tokenize_packed batches (cfg.packed=True "
                 "pairs with the packed tokenizer; got a plain batch)")
-        if "pep_operm" in batch:
+        if "pep_operm" in batch or "pep_packs" in batch:
             for side in ("pep", "rec"):
-                got = batch[f"{side}_operm"].shape[0]
+                got = packed_side_count(batch, side)
                 if got != n_seqs:
                     raise ValueError(
                         f"packed batch has {got} {side} sequences but "
                         f"cfg.global_batch={n_seqs}; segment_sum would "
                         f"silently drop or misroute embeddings")
         batch = expand_packed_batch(batch)
-        hp = _encode_packed_chunked(esm_params, batch["pep_ids"],
-                                    batch["pep_seg"], batch["pep_pos"],
-                                    mcfg.esm, rows_per_chunk, cfg.remat)
-        hr = _encode_packed_chunked(esm_params, batch["rec_ids"],
-                                    batch["rec_seg"], batch["rec_pos"],
-                                    mcfg.esm, rows_per_chunk, cfg.remat)
+        h_lists, pack_lists = [], []
+        for side in ("pep", "rec"):
+            if f"{side}_packs" in batch:
+                packs = list(batch[f"{side}_packs"])
+            else:
+                packs = [{k: batch[f"{side}_{k}"]
+                          for k in ("ids", "seg", "pos", "owner")}]
+            # constant TOKENS per chunk across tiers: narrower rows take
+            # proportionally more rows per chunk, keeping per-chunk matmul
+            # shapes at the width the rows_per_chunk sweep tuned.
+            l_max = max(p["ids"].shape[1] for p in packs)
+            hs = [_encode_packed_chunked(
+                      esm_params, p["ids"], p["seg"], p["pos"], mcfg.esm,
+                      rows_per_chunk * (l_max // p["ids"].shape[1]),
+                      cfg.remat).astype(jnp.float32)
+                  for p in packs]
+            h_lists.append(hs)
+            pack_lists.append(packs)
         loss, grads = jax.value_and_grad(head_loss)(
-            params, hp.astype(jnp.float32), hr.astype(jnp.float32),
-            batch, rng)
+            params, h_lists[0], h_lists[1], pack_lists[0], pack_lists[1],
+            rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -222,3 +222,47 @@ def test_filip_packed_step_matches_plain(rng):
     for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=2e-5, rtol=1e-3)
+
+
+def test_filip_tiered_packed_step_matches_plain(rng):
+    """Width-tiered packed FILIP step == plain step: tiers scatter into one
+    (B, T_max, D) buffer, so the max-sim kernel sees identical token sets."""
+    import optax
+
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import esm2
+    from protein_clip_tpu.train import clip_engine, filip_engine
+    from protein_clip_tpu.train.filip_packed import (
+        make_train_step_packed_filip, tokenize_packed)
+
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    seqs = lambda n, lo, hi: ["".join(rng.choice(aas, int(L)))
+                              for L in rng.integers(lo, hi, n)]
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = filip.FILIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                             h1=2, h2=2, dropout=0.0, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    params = filip.init_params(jax.random.key(1), mcfg)
+    optimizer = optax.adam(1e-3)
+    opt0 = optimizer.init(params)
+    tok = EsmTokenizer()
+    # rec lengths straddle the 128/256 tier split at rec_row_len=256
+    peps, recs = seqs(8, 5, 20), seqs(8, 10, 250)
+
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2,
+                                   remat=False)
+    plain = filip_engine.make_train_step(cfg, optimizer)
+    b = clip_engine.tokenize_pair_batch(tok, peps, recs)
+    p1, _, l1 = plain(params, opt0, esm_params, b, jax.random.key(2))
+
+    packed_step = make_train_step_packed_filip(cfg, optimizer,
+                                               rows_per_chunk=2)
+    pb = tokenize_packed(tok, peps, recs, rec_row_len=256, tiers=4)
+    assert "rec_packs" in pb
+    p2, _, l2 = packed_step(params, opt0, esm_params, pb, jax.random.key(2))
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=2e-5, rtol=1e-3)

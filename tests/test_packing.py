@@ -169,6 +169,77 @@ def test_packed_step_rejects_wrong_batch_size(rng):
         step(params, opt0, esm_params, bad, jax.random.key(2))
 
 
+def test_tiered_packed_wire_intact(rng):
+    """tiers>1: every sequence's tokens are intact in exactly one tier, and
+    owner maps carry GLOBAL batch indices."""
+    from protein_clip_tpu.train.packed_engine import (expand_packed_batch,
+                                                      tokenize_packed)
+
+    tok = EsmTokenizer()
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    peps = _sequences(rng, 8, lo=5, hi=15)
+    recs = ["".join(rng.choice(aas, int(L)))
+            for L in rng.integers(10, 250, 8)]
+    batch = tokenize_packed(tok, peps, recs, rec_row_len=256, tiers=4)
+    assert "rec_packs" in batch  # lengths straddle the 128/256 tier split
+    widths = {p["ids"].shape[1] for p in batch["rec_packs"]}
+    assert len(widths) > 1
+    expanded = jax.jit(expand_packed_batch)(batch)
+    found = np.zeros(len(recs), bool)
+    for pk in expanded["rec_packs"]:
+        ids, owner = np.asarray(pk["ids"]), np.asarray(pk["owner"])
+        for i, s in enumerate(recs):
+            at = owner == i
+            if at.any():
+                assert not found[i]
+                found[i] = True
+                np.testing.assert_array_equal(ids[at], tok.encode(s))
+    assert found.all()
+
+
+def test_tiered_packed_step_matches_flat(rng):
+    """Tiered packed step == flat packed step == plain step (dropout off)."""
+    import optax
+    from protein_clip_tpu.models import clip
+    from protein_clip_tpu.train import clip_engine
+    from protein_clip_tpu.train.packed_engine import (
+        make_train_step_packed, tokenize_packed)
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                           h1=2, h2=2, dropout=0.0, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    params = clip.init_params(jax.random.key(1), mcfg)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2,
+                                   remat=False)
+    tok = EsmTokenizer()
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    peps = _sequences(rng, 8, lo=5, hi=15)
+    recs = ["".join(rng.choice(aas, int(L)))
+            for L in rng.integers(10, 250, 8)]
+    optimizer = optax.adam(1e-3)
+    opt0 = optimizer.init(params)
+    step = make_train_step_packed(cfg, optimizer, rows_per_chunk=1)
+
+    flat = tokenize_packed(tok, peps, recs, rec_row_len=256)
+    p1, _, l1 = step(params, opt0, esm_params, flat, jax.random.key(2))
+
+    tiered = tokenize_packed(tok, peps, recs, rec_row_len=256, tiers=4)
+    assert "rec_packs" in tiered
+    p2, _, l2 = step(params, opt0, esm_params, tiered, jax.random.key(2))
+
+    plain = clip_engine.make_train_step(cfg, optimizer)
+    b = clip_engine.tokenize_pair_batch(tok, peps, recs)
+    _, _, l3 = plain(params, opt0, esm_params, b, jax.random.key(2))
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    np.testing.assert_allclose(float(l1), float(l3), rtol=1e-4)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=2e-5, rtol=1e-3)
+
+
 def test_packed_train_step_matches_plain(rng):
     """Packed step loss == plain step loss on the same pairs (dropout off)."""
     import optax
