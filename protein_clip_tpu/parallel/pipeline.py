@@ -44,7 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import clip, esm2
 from ..ops.infonce import clip_infonce
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS
 
 STAGE_AXIS = "stage"
 
@@ -104,8 +104,36 @@ def stage_esm_params(esm_params: Params, num_stages: int) -> Params:
             "final_ln": esm_params["final_ln"]}
 
 
+def staged_esm_param_specs() -> Params:
+    """PartitionSpec tree for ``stage_esm_params`` output: leading dim over
+    'stage', Megatron column/row splits over 'model' on the trailing dims
+    (parallel/sharding.py recipe lifted by one stage axis). With a 1-sized
+    or absent 'model' axis this degenerates to the pure-PP placement."""
+    S, M = STAGE_AXIS, MODEL_AXIS
+    lin_col = {"w": P(S, None, None, M), "b": P(S, None, M)}
+    lin_row = {"w": P(S, None, M, None), "b": P(S, None)}
+    ln = {"w": P(S, None), "b": P(S, None)}
+    return {
+        "embed": {"word": P()},
+        "layers": {
+            "attn": {
+                "q": dict(lin_col), "k": dict(lin_col), "v": dict(lin_col),
+                "o": dict(lin_row), "ln": dict(ln),
+            },
+            "ffn": {"wi": dict(lin_col), "wo": dict(lin_row),
+                    "ln": dict(ln)},
+        },
+        "final_ln": {"w": P(), "b": P()},
+    }
+
+
 def shard_staged_params(mesh: Mesh, staged: Params) -> Params:
-    """Place staged params: each chip holds only its own layer slice."""
+    """Place staged params: each chip holds only its own layer slice (and,
+    when the mesh has a real 'model' axis, only its Megatron shard of it)."""
+    if MODEL_AXIS in mesh.shape and mesh.shape[MODEL_AXIS] > 1:
+        from .sharding import shard_params
+        return shard_params(mesh, staged, staged_esm_param_specs())
+
     def put(spec):
         return lambda x: jax.device_put(x, NamedSharding(mesh, spec))
 
@@ -251,14 +279,21 @@ def make_pp_train_step(cfg, optimizer: optax.GradientTransformation,
     return jax.jit(sharded)
 
 
-def make_pp_dp_mesh(data: int, stages: int, devices=None) -> Mesh:
-    """2-D ('data', 'stage') mesh: each data replica pipelines its own batch
-    shard over a stage ring; negatives still span the full global batch via
-    the embedding all-gather over 'data' (the parallel/step.py pattern)."""
+def make_pp_dp_mesh(data: int, stages: int, model: int = 1,
+                    devices=None) -> Mesh:
+    """('data', 'stage'[, 'model']) mesh: each data replica pipelines its own
+    batch shard over a stage ring; negatives still span the full global batch
+    via the embedding all-gather over 'data' (the parallel/step.py pattern).
+    model > 1 adds a trailing GSPMD tensor-parallel axis (Megatron splits on
+    the staged weights, parallel/sharding.py)."""
     devices = devices if devices is not None else jax.devices()
-    if len(devices) < data * stages:
-        raise ValueError(f"need {data * stages} devices, have {len(devices)}")
-    grid = np.asarray(devices[:data * stages]).reshape(data, stages)
+    need = data * stages * model
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    if model > 1:
+        grid = np.asarray(devices[:need]).reshape(data, stages, model)
+        return Mesh(grid, (DATA_AXIS, STAGE_AXIS, MODEL_AXIS))
+    grid = np.asarray(devices[:need]).reshape(data, stages)
     return Mesh(grid, (DATA_AXIS, STAGE_AXIS))
 
 
@@ -274,10 +309,18 @@ def make_pp_dp_train_step(cfg, optimizer: optax.GradientTransformation,
     contract), and head grads psum over 'data'. Staged backbone weights are
     sharded over 'stage' and replicated over 'data'.
 
+    A 3-axis mesh (make_pp_dp_mesh(model=...)) additionally tensor-shards
+    the staged weights over a GSPMD auto 'model' axis — the full
+    DP x PP x TP production composition; attention falls back to the eager
+    einsum there (GSPMD cannot partition the Pallas custom call, same rule
+    as parallel/step.tp_safe_model_config).
+
     Numerics match the single-device engine at equal global batch
     (tests/test_pipeline.py::test_pp_dp_train_step_matches_single_device).
     """
-    mcfg = cfg.model
+    from .step import tp_safe_model_config
+
+    mcfg = tp_safe_model_config(cfg.model, mesh)
     n_stages = mesh.shape[STAGE_AXIS]
     n_data = mesh.shape[DATA_AXIS]
     if cfg.global_batch % n_data:

@@ -133,6 +133,40 @@ def test_pp_dp_train_step_matches_single_device(tiny4, rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_pp_dp_tp_train_step_matches_single_device(tiny4, rng):
+    """Full 3-axis composition: dp2 x stage2 x model2 over 8 fake devices.
+    Staged weights carry Megatron 'model' splits (GSPMD auto axis); the
+    step must still match the single-device engine exactly."""
+    mcfg, esm_params, params = tiny4
+    mcfg = clip.CLIPConfig(**{**mcfg.__dict__, "dropout": 0.0})
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=1)
+    optimizer = opt_mod.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+
+    mesh = pp.make_pp_dp_mesh(2, 2, model=2)
+    staged = pp.shard_staged_params(mesh, pp.stage_esm_params(esm_params, 2))
+    # weights must really be tensor-sharded: (S, L/S, in, out) q kernel
+    # holds 1/(S*model) of the stack per chip
+    qw = staged["layers"]["attn"]["q"]["w"]
+    shard_shapes = {s.data.shape for s in qw.addressable_shards}
+    assert shard_shapes == {(1, qw.shape[1], qw.shape[2], qw.shape[3] // 2)}
+
+    step = pp.make_pp_dp_train_step(cfg, optimizer, mesh,
+                                    num_microbatches=2)
+    single = clip_engine.make_train_step(cfg, optimizer,
+                                         loss_fn=clip_infonce)
+
+    ids_p, mask_p = _ids(rng, 8, 12)
+    ids_r, mask_r = _ids(rng, 8, 12)
+    batch = {"pep_ids": ids_p, "pep_mask": mask_p,
+             "rec_ids": ids_r, "rec_mask": mask_r}
+    key = jax.random.key(21)
+    _, _, loss_pp = step(params, opt_state, staged, batch, key)
+    _, _, loss_sd = single(params, opt_state, esm_params, batch, key)
+    np.testing.assert_allclose(float(loss_pp), float(loss_sd), rtol=2e-5)
+
+
 def test_pp_weights_actually_sharded(tiny4):
     """Each stage device must hold only its 1/S slice of the layer stack."""
     _, esm_params, _ = tiny4
