@@ -39,7 +39,7 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--esm-config", default="t30_150M",
                    choices=["t30_150M", "t6_8M", "t12_35M", "t33_650M",
-                            "t36_3B", "tiny"])
+                            "t36_3B", "t48_15B", "tiny"])
     p.add_argument("--esm-weights", default=None,
                    help="npz from tools/convert_esm_weights.py, or an HF "
                         "model dir; omit for random init (smoke runs)")

@@ -103,6 +103,16 @@ class ESM2Config:
         )
 
     @staticmethod
+    def t48_15B(**over) -> "ESM2Config":
+        """facebook/esm2_t48_15B_UR50D — ~30 GB of bf16 weights, past one
+        v5e chip's HBM: the pipeline-parallel regime (parallel/pipeline.py
+        'stage' axis, composed with TP via make_pp_dp_mesh)."""
+        return ESM2Config(
+            hidden_size=5120, num_layers=48, num_heads=40,
+            intermediate_size=20480, **over,
+        )
+
+    @staticmethod
     def tiny(**over) -> "ESM2Config":
         """Tiny config for tests."""
         return ESM2Config(

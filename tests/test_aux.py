@@ -127,6 +127,7 @@ def test_esm_family_configs():
         "t12_35M": (480, 12, 35e6),
         "t33_650M": (1280, 33, 650e6),
         "t36_3B": (2560, 36, 2.8e9),
+        "t48_15B": (5120, 48, 15e9),
     }.items():
         cfg = getattr(esm2.ESM2Config, name)()
         assert cfg.hidden_size == H and cfg.num_layers == L

@@ -152,6 +152,38 @@ def main():
 
     check("FILIP engine step (bs 10, fused kernel)", filip_engine_step)
 
+    def tiered_packed_step():
+        """Width-tiered packed CLIP step compiles + runs on TPU (the CPU
+        tests cover parity; this covers Mosaic at narrow row widths)."""
+        from protein_clip_tpu.data.tokenizer import EsmTokenizer
+        from protein_clip_tpu.models import clip, esm2
+        from protein_clip_tpu.train import clip_engine, optimizer as opt_mod
+        from protein_clip_tpu.train.packed_engine import (
+            make_train_step_packed, tokenize_packed)
+
+        esm_cfg = esm2.ESM2Config.t6_8M(compute_dtype=jnp.bfloat16)
+        mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
+        esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
+                                      dtype=jnp.bfloat16)
+        params = clip.init_params(jax.random.key(1), mcfg)
+        cfg = clip_engine.EngineConfig(model=mcfg, batch_size=16,
+                                       accumulated_batches=2, num_chunks=2)
+        optimizer = opt_mod.adam(1e-3)
+        step = make_train_step_packed(cfg, optimizer)
+        tok = EsmTokenizer()
+        aas = list("LAGVSERTIDPKQNFYMHWC")
+        peps = ["".join(rng.choice(aas, rng.integers(8, 30)))
+                for _ in range(32)]
+        recs = ["".join(rng.choice(aas, int(L)))
+                for L in rng.integers(100, 500, 32)]
+        batch = tokenize_packed(tok, peps, recs, tiers=4)
+        assert "rec_packs" in batch
+        _, _, l = step(params, optimizer.init(params), esm_params, batch,
+                       jax.random.key(3))
+        assert np.isfinite(float(l))
+
+    check("tiered packed CLIP step (4 width tiers)", tiered_packed_step)
+
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         sys.exit(1)
