@@ -55,7 +55,7 @@ def _scatter_tokens_into(out, mask, x, seg, pos, owner, n_seqs: int):
     # (models.py:333-335 uses the attention mask), so packed must too.
     o = jnp.where(valid, owner.reshape(R * L), n_seqs)
     p = jnp.where(valid, pos.reshape(R * L), 0)
-    out = out.at[o, p].set(flat)
+    out = out.at[o, p].set(flat.astype(out.dtype))
     mask = mask.at[o, p].set(valid.astype(jnp.int32))
     return out, mask
 
@@ -98,6 +98,9 @@ def filip_sim_packed(params: Params, esm_params: Params, batch,
         t_out = max(p["ids"].shape[1] for p in packs)
         out = jnp.zeros((n_seqs + 1, t_out, cfg.embedding_dim), jnp.float32)
         mask = jnp.zeros((n_seqs + 1, t_out), jnp.int32)
+        # bf16 token heads measured a wash (359.4 vs 359.1 pairs/s): the
+        # head pass is bandwidth/scatter-bound, not matmul-bound — keep f32
+        # (docs/PERF.md round 4 negative results).
         for k, pk in enumerate(packs):
             # constant tokens per chunk across tiers (see packed_engine)
             h = _encode_packed_chunked(

@@ -219,3 +219,38 @@ def test_filip_training_entry_packed(workdir, trained_run):
     assert len(csv) == 2 and csv[1].startswith("1,")
     _, tr, va = csv[1].split(",")
     assert np.isfinite(float(tr)) and np.isfinite(float(va))
+
+
+def test_retrieve_entry(workdir, trained_run):
+    """Retrieval CLI: index via cli.embed, query it, check self-retrieval
+    (same side + same sequences => top-1 hit is the query itself) and the
+    TSV contract."""
+    from protein_clip_tpu.cli.embed import main as embed_main
+    from protein_clip_tpu.cli.retrieve import main as retrieve_main
+    from protein_clip_tpu.data.fasta import parse_fasta
+
+    rc = embed_main(TINY + [
+        "--checkpoint", str(trained_run / "best_model.npz"),
+        "--fasta", "data/protein1.fasta", "--side", "pep",
+        "--out", "index.npz", "--batch-size", "8",
+    ])
+    assert rc == 0
+    rc = retrieve_main(TINY + [
+        "--checkpoint", str(trained_run / "best_model.npz"),
+        "--index", "index.npz", "--queries", "data/protein1.fasta",
+        "--side", "pep", "--k", "3", "--out", "hits.tsv",
+        "--batch-size", "8",
+    ])
+    assert rc == 0
+    lines = Path("hits.tsv").read_text().splitlines()
+    assert lines[0] == "query_id\trank\thit_id\tscore"
+    records = parse_fasta("data/protein1.fasta")
+    assert len(lines) == 1 + 3 * len(records)
+    top1 = {}
+    for ln in lines[1:]:
+        qid, rank, hit, score = ln.split("\t")
+        float(score)
+        if rank == "1":
+            top1[qid] = hit
+    hits = sum(top1[r[0]] == r[0] for r in records)
+    assert hits / len(records) > 0.7, top1
