@@ -98,9 +98,9 @@ def bench_filip():
     n_steps = 8
     batches = []
     for _ in range(n_steps + 1):
-        peps = ["".join(rng.choice(aas, rng.integers(100, 500)))
+        peps = ["".join(rng.choice(aas, _rec_len(rng)))
                 for _ in range(cfg.batch_size)]
-        recs = ["".join(rng.choice(aas, rng.integers(100, 500)))
+        recs = ["".join(rng.choice(aas, _rec_len(rng)))
                 for _ in range(cfg.batch_size)]
         if packed:
             from protein_clip_tpu.train.filip_packed import tokenize_packed
@@ -163,11 +163,17 @@ def main():
     dev = jax.devices()[0]
     import os
     attn_impl = os.environ.get("PCT_ATTN_IMPL", "fused")
-    esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16,
-                                       attention_impl=attn_impl)
-    mcfg = clip.CLIPConfig(esm=esm_cfg)
+    # PCT_ESM_CONFIG / PCT_ESM_DTYPE: model-family / precision sweeps
+    # (e.g. PCT_ESM_CONFIG=t33_650M PCT_ESM_DTYPE=int8). Defaults match the
+    # baseline metric (t30_150M bf16).
+    family = os.environ.get("PCT_ESM_CONFIG", "t30_150M")
+    esm_cfg = getattr(esm2.ESM2Config, family)(
+        compute_dtype=jnp.bfloat16, attention_impl=attn_impl)
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
     esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
                                   dtype=jnp.bfloat16)
+    if os.environ.get("PCT_ESM_DTYPE") == "int8":
+        esm_params = esm2.quantize_params(esm_params)
     params = clip.init_params(jax.random.key(1), mcfg)
 
     cfg = clip_engine.EngineConfig(model=mcfg, batch_size=16,
