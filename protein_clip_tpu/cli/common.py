@@ -73,16 +73,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
 
 
 def esm_config(name: str, dtype_name: str) -> esm2.ESM2Config:
-    # int8 quantises the weights (load_esm); activations stay bf16
+    # int8 quantises the weights (load_esm); activations stay bf16.
+    # getattr keeps this in lockstep with the ESM2Config family constructors
+    # (a hand-rolled dict here once missed t48_15B -> KeyError at runtime).
     dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
-    return {
-        "t30_150M": esm2.ESM2Config.t30_150M,
-        "t6_8M": esm2.ESM2Config.t6_8M,
-        "t12_35M": esm2.ESM2Config.t12_35M,
-        "t33_650M": esm2.ESM2Config.t33_650M,
-        "t36_3B": esm2.ESM2Config.t36_3B,
-        "tiny": esm2.ESM2Config.tiny,
-    }[name](compute_dtype=dtype)
+    return getattr(esm2.ESM2Config, name)(compute_dtype=dtype)
 
 
 def load_esm(args, cfg: esm2.ESM2Config):

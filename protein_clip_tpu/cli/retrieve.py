@@ -96,8 +96,8 @@ def main(argv=None) -> int:
     finally:
         if out is not sys.stdout:
             out.close()
-            print(f"wrote top-{k} hits for {len(qids)} queries to "
-                  f"{args.out}")
+    if out is not sys.stdout:
+        print(f"wrote top-{k} hits for {len(qids)} queries to {args.out}")
     return 0
 
 

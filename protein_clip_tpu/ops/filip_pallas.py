@@ -122,8 +122,24 @@ def _maxsim_call(ha, hb, mask_a, mask_b, interpret):
     return oa.reshape(Ba, Bb), ob.reshape(Ba, Bb)
 
 
-def _raw_maxsim_bwd(ha, hb, mask_a, mask_b, ga, gb, j_block: int = 8):
-    """Recompute-based backward: even tie-splitting max grad, j-blocked."""
+def _block_div(n: int, cap: int) -> int:
+    """Largest divisor of n that is <= cap (>= 1)."""
+    c = max(1, min(cap, n))
+    while n % c:
+        c -= 1
+    return c
+
+
+def _raw_maxsim_bwd(ha, hb, mask_a, mask_b, ga, gb,
+                    budget_elems: int = 1 << 26):
+    """Recompute-based backward: even tie-splitting max grad, (i, j)-blocked.
+
+    The recomputed score block is (ib, jb, TA, TB) f32; ib*jb scales down
+    with TA*TB under ``budget_elems`` (default 2^26 elems = 256 MB for the
+    score block, ~1 GB live with the pa/pb/ds intermediates) so batch-128
+    training fits HBM from T=512 (ib=128, jb=8 — the round-2 shape) up to
+    T=2048 (ib*jb <= 16), where a fixed j_block=8 OOM'd at 17 GB/block.
+    """
     Ba, TA, D = ha.shape
     Bb, TB, _ = hb.shape
     ma = mask_a.astype(jnp.float32)                       # (Ba, TA)
@@ -131,23 +147,22 @@ def _raw_maxsim_bwd(ha, hb, mask_a, mask_b, ga, gb, j_block: int = 8):
     cnt_a = jnp.maximum(ma.sum(-1), 1e-6)                 # (Ba,)
     cnt_b = jnp.maximum(mb.sum(-1), 1e-6)
 
-    n_blocks = max(1, Bb // j_block)
-    while Bb % n_blocks:
-        n_blocks -= 1
-    jb = Bb // n_blocks
+    cap = max(1, budget_elems // (TA * TB))
+    jb = _block_div(Bb, min(8, cap))
+    ib = _block_div(Ba, max(1, cap // jb))
 
-    def block(carry, blk):
-        dha, dhb = carry
+    def jblock(carry, blk):
+        dha_i, dhb, ha_i, ma_i, cnta_i, ga_i, gb_i = carry
         j0 = blk * jb
         hb_blk = jax.lax.dynamic_slice_in_dim(hb, j0, jb, 0)      # (jb,TB,D)
         mb_blk = jax.lax.dynamic_slice_in_dim(mb, j0, jb, 0)
-        ga_blk = jax.lax.dynamic_slice_in_dim(ga, j0, jb, 1)      # (B,jb)
-        gb_blk = jax.lax.dynamic_slice_in_dim(gb, j0, jb, 1)
+        ga_blk = jax.lax.dynamic_slice_in_dim(ga_i, j0, jb, 1)    # (ib,jb)
+        gb_blk = jax.lax.dynamic_slice_in_dim(gb_i, j0, jb, 1)
         cntb_blk = jax.lax.dynamic_slice_in_dim(cnt_b, j0, jb, 0)
 
-        s = jnp.einsum("atd,jsd->ajts", ha, hb_blk,
+        s = jnp.einsum("atd,jsd->ajts", ha_i, hb_blk,
                        preferred_element_type=jnp.float32)
-        valid = (ma[:, None, :, None] * mb_blk[None, :, None, :]) > 0
+        valid = (ma_i[:, None, :, None] * mb_blk[None, :, None, :]) > 0
         sm = jnp.where(valid, s, _NEG)
 
         rmax = jnp.max(sm, axis=3, keepdims=True)
@@ -157,25 +172,40 @@ def _raw_maxsim_bwd(ha, hb, mask_a, mask_b, ga, gb, j_block: int = 8):
         pb = (sm == cmax).astype(jnp.float32) * valid
         pb = pb / jnp.maximum(pb.sum(2, keepdims=True), 1.0)
 
-        coef_a = (ga_blk / cnt_a[:, None])[:, :, None, None] \
-            * ma[:, None, :, None]
+        coef_a = (ga_blk / cnta_i[:, None])[:, :, None, None] \
+            * ma_i[:, None, :, None]
         coef_b = (gb_blk / cntb_blk[None, :])[:, :, None, None] \
             * mb_blk[None, :, None, :]
-        ds = coef_a * pa + coef_b * pb                       # (B,jb,TA,TB)
+        ds = coef_a * pa + coef_b * pb                      # (ib,jb,TA,TB)
 
-        dha = dha + jnp.einsum("ajts,jsd->atd", ds, hb_blk,
-                               preferred_element_type=jnp.float32)
-        dhb_blk = jnp.einsum("ajts,atd->jsd", ds, ha,
+        dha_i = dha_i + jnp.einsum("ajts,jsd->atd", ds, hb_blk,
+                                   preferred_element_type=jnp.float32)
+        dhb_blk = jnp.einsum("ajts,atd->jsd", ds, ha_i,
                              preferred_element_type=jnp.float32)
         dhb = jax.lax.dynamic_update_slice_in_dim(
             dhb, jax.lax.dynamic_slice_in_dim(dhb, j0, jb, 0) + dhb_blk,
             j0, 0)
+        return (dha_i, dhb, ha_i, ma_i, cnta_i, ga_i, gb_i), None
+
+    def iblock(carry, blk):
+        dha, dhb = carry
+        i0 = blk * ib
+        ha_i = jax.lax.dynamic_slice_in_dim(ha, i0, ib, 0)        # (ib,TA,D)
+        ma_i = jax.lax.dynamic_slice_in_dim(ma, i0, ib, 0)
+        cnta_i = jax.lax.dynamic_slice_in_dim(cnt_a, i0, ib, 0)
+        ga_i = jax.lax.dynamic_slice_in_dim(ga, i0, ib, 0)        # (ib,Bb)
+        gb_i = jax.lax.dynamic_slice_in_dim(gb, i0, ib, 0)
+        dha_i0 = jnp.zeros((ib, TA, D), jnp.float32)
+        (dha_i, dhb, *_), _ = jax.lax.scan(
+            jblock, (dha_i0, dhb, ha_i, ma_i, cnta_i, ga_i, gb_i),
+            jnp.arange(Bb // jb))
+        dha = jax.lax.dynamic_update_slice_in_dim(dha, dha_i, i0, 0)
         return (dha, dhb), None
 
     dha0 = jnp.zeros_like(ha, jnp.float32)
     dhb0 = jnp.zeros_like(hb, jnp.float32)
-    (dha, dhb), _ = jax.lax.scan(block, (dha0, dhb0),
-                                 jnp.arange(n_blocks))
+    (dha, dhb), _ = jax.lax.scan(iblock, (dha0, dhb0),
+                                 jnp.arange(Ba // ib))
     return dha.astype(ha.dtype), dhb.astype(hb.dtype)
 
 

@@ -60,16 +60,6 @@ def _scatter_tokens_into(out, mask, x, seg, pos, owner, n_seqs: int):
     return out, mask
 
 
-def _scatter_tokens(x, seg, pos, owner, n_seqs: int):
-    """Packed rows (R, L, D) -> per-sequence (n_seqs, L, D) + (n_seqs, L)
-    mask (single-pack view of _scatter_tokens_into)."""
-    R, L, D = x.shape
-    out = jnp.zeros((n_seqs + 1, L, D), x.dtype)
-    mask = jnp.zeros((n_seqs + 1, L), jnp.int32)
-    out, mask = _scatter_tokens_into(out, mask, x, seg, pos, owner, n_seqs)
-    return out[:n_seqs], mask[:n_seqs]
-
-
 def _side_packs(batch, side: str) -> list[dict]:
     if f"{side}_packs" in batch:
         return list(batch[f"{side}_packs"])

@@ -59,9 +59,13 @@ def _tier_widths(row_len: int) -> list[int]:
     sequences riding narrower rows skip the masked cross-segment work the
     dense kernel would otherwise burn (docs/PERF.md: ~50% of score work in
     a 512-wide Propedia receptor row is masked waste).
+
+    row_len itself is always a member (even when an explicit row_len is not
+    a 128-multiple, where the floored quarter-points all fall below it), so
+    every sequence that fits the row fits a tier.
     """
     return sorted({min(row_len, max(128, -(-row_len * q // 4) // 128 * 128))
-                   for q in (1, 2, 3, 4)})
+                   for q in (1, 2, 3, 4)} | {row_len})
 
 
 def _pack_one(encs: list[np.ndarray], idx: np.ndarray, row_len: int
@@ -135,7 +139,10 @@ def _expand_pack(ids8: jnp.ndarray, operm: jnp.ndarray,
     """Derive int32 ids + segment/position/owner maps for one pack.
 
     ``dump`` is the owner sentinel for gap/pad tokens (the global sequence
-    count — segment_sum routes those to a sliced-off extra slot).
+    count — segment_sum routes those to a sliced-off extra slot). operm is
+    kept in the result so an already-expanded pack still answers
+    ``packed_side_count`` (re-feeding expanded batches is supported, like
+    the flat path).
     """
     ids = ids8.astype(jnp.int32)
     n_local = operm.shape[0]
@@ -152,7 +159,8 @@ def _expand_pack(ids8: jnp.ndarray, operm: jnp.ndarray,
     g = offsets[:, None] + seg - 1
     owner = jnp.where(valid, jnp.take(operm, jnp.clip(g, 0, n_local - 1)),
                       dump)
-    return {"ids": ids, "seg": seg, "pos": pos, "owner": owner}
+    return {"ids": ids, "seg": seg, "pos": pos, "owner": owner,
+            "operm": operm}
 
 
 def packed_side_count(batch, side: str) -> int:

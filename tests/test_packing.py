@@ -274,3 +274,70 @@ def test_packed_train_step_matches_plain(rng):
     for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=2e-5, rtol=1e-3)
+
+
+def test_tiered_explicit_odd_row_len(rng):
+    """Explicit row_len that is not a 128-multiple: every sequence fitting
+    the row must fit a tier (row_len itself is always a tier width)."""
+    from protein_clip_tpu.train.packed_engine import (_tier_widths,
+                                                      tokenize_packed)
+
+    assert _tier_widths(300)[-1] == 300
+    tok = EsmTokenizer()
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    peps = _sequences(rng, 4, lo=5, hi=15)
+    recs = ["".join(rng.choice(aas, L)) for L in (280, 120, 60, 30)]
+    batch = tokenize_packed(tok, peps, recs, rec_row_len=300, tiers=4)
+    # the 280-residue chain (282 tokens) rides the 300-wide tier intact
+    from protein_clip_tpu.train.packed_engine import expand_packed_batch
+    expanded = expand_packed_batch(batch)
+    packs = (expanded["rec_packs"] if "rec_packs" in expanded
+             else [{k: expanded[f"rec_{k}"]
+                    for k in ("ids", "owner")}])
+    found = False
+    for pk in packs:
+        at = np.asarray(pk["owner"]) == 0
+        if at.any():
+            np.testing.assert_array_equal(np.asarray(pk["ids"])[at],
+                                          tok.encode(recs[0]))
+            found = True
+    assert found
+
+
+def test_expanded_tiered_batch_refeeds(rng):
+    """expand_packed_batch output (tiered) must pass the packed step's
+    validation and expand idempotently — matching the flat path."""
+    import optax
+    from protein_clip_tpu.models import clip
+    from protein_clip_tpu.train import clip_engine
+    from protein_clip_tpu.train.packed_engine import (
+        expand_packed_batch, make_train_step_packed, packed_side_count,
+        tokenize_packed)
+
+    tok = EsmTokenizer()
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    peps = _sequences(rng, 8, lo=5, hi=15)
+    recs = ["".join(rng.choice(aas, int(L)))
+            for L in rng.integers(10, 250, 8)]
+    batch = tokenize_packed(tok, peps, recs, rec_row_len=256, tiers=4)
+    expanded = expand_packed_batch(batch)
+    assert packed_side_count(expanded, "rec") == 8
+    again = expand_packed_batch(expanded)
+    assert again is expanded or jax.tree.all(
+        jax.tree.map(lambda a, b: bool((a == b).all()), again, expanded))
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                           h1=2, h2=2, dropout=0.0, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    params = clip.init_params(jax.random.key(1), mcfg)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2,
+                                   remat=False)
+    optimizer = optax.adam(1e-3)
+    step = make_train_step_packed(cfg, optimizer, rows_per_chunk=1)
+    _, _, l1 = step(params, optimizer.init(params), esm_params, batch,
+                    jax.random.key(2))
+    _, _, l2 = step(params, optimizer.init(params), esm_params, expanded,
+                    jax.random.key(2))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)

@@ -92,3 +92,21 @@ def test_jit(rng):
     ref = filip_similarity(ha, hb, ma, mb, jnp.asarray(1.0))
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
                                atol=2e-6)
+
+
+def test_blocked_backward_matches_unblocked(rng):
+    """A tiny budget forces real (i, j) blocking (ib < Ba, jb < Bb); the
+    accumulated gradients must equal the single-block computation."""
+    from protein_clip_tpu.ops.filip_pallas import _raw_maxsim_bwd
+
+    ha, hb, ma, mb = _data(rng, B=4, TA=16, TB=32, D=32)
+    ga = jnp.asarray(rng.normal(size=(4, 4)), jnp.float32)
+    gb = jnp.asarray(rng.normal(size=(4, 4)), jnp.float32)
+
+    ref = _raw_maxsim_bwd(ha, hb, ma, mb, ga, gb)          # one block
+    # budget of 2*TA*TB elems -> cap=2 -> jb=2, ib=1: 4 i-blocks x 2 j-blocks
+    got = _raw_maxsim_bwd(ha, hb, ma, mb, ga, gb,
+                          budget_elems=2 * 16 * 32)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
