@@ -72,25 +72,30 @@ def filip_sim_packed(params: Params, esm_params: Params, batch,
                      train: bool = False, rng=None, similarity_fn=None):
     """(sim_a, sim_b) from an expanded packed batch (flat or width-tiered).
 
-    Tiered sides scatter every tier into one (n_seqs, T_max, D) buffer —
-    tiers own disjoint sequences and T_max is the widest tier, so narrower
-    tiers simply leave trailing zeros that the kernel's pad mask ignores.
+    A flat side scatters all tokens into one (n_seqs, T, D) tensor (global
+    owners). A tiered side keeps PER-TIER (B_t, T_t, D) tensors at each
+    tier's own width (local owners) and the (n_seqs, n_seqs) similarity
+    assembles from tier-pair kernel blocks — the max-sim kernel already
+    takes rectangular (Ba, TA) x (Bb, TB) grids, so a 2048-token tail tier
+    never inflates the score work of the 512-token bulk (a scatter into one
+    (n_seqs, T_max, D) buffer measured a wash on the longtail profile: the
+    kernel cost at T_max swamped the backbone savings — docs/PERF.md).
+
     Token embeddings L2-normalise BEFORE the scatter so empty slots stay
-    exact zeros.
+    exact zeros; the kernel's pad mask ignores them.
     """
     sim_fn = similarity_fn or default_similarity_fn()
     rp = rr = None
     if rng is not None:
         rp, rr = jax.random.split(rng)
+    # bf16 token heads measured a wash (359.4 vs 359.1 pairs/s): the head
+    # pass is bandwidth/scatter-bound, not matmul-bound — keep f32
+    # (docs/PERF.md round 4 negative results).
     sides = {}
     for side, r in (("pep", rp), ("rec", rr)):
         packs = _side_packs(batch, side)
         t_out = max(p["ids"].shape[1] for p in packs)
-        out = jnp.zeros((n_seqs + 1, t_out, cfg.embedding_dim), jnp.float32)
-        mask = jnp.zeros((n_seqs + 1, t_out), jnp.int32)
-        # bf16 token heads measured a wash (359.4 vs 359.1 pairs/s): the
-        # head pass is bandwidth/scatter-bound, not matmul-bound — keep f32
-        # (docs/PERF.md round 4 negative results).
+        tiers = []
         for k, pk in enumerate(packs):
             # constant tokens per chunk across tiers (see packed_engine)
             h = _encode_packed_chunked(
@@ -105,11 +110,32 @@ def filip_sim_packed(params: Params, esm_params: Params, batch,
                                     axis=-1, keepdims=True)
                             + jnp.finfo(jnp.float32).tiny)
             x = (x.astype(jnp.float32) / norm).astype(x.dtype)
+            if len(packs) == 1:
+                n_t, owner, ix = n_seqs, pk["owner"], None
+            else:
+                n_t = pk["operm"].shape[0]
+                owner, ix = pk["local_owner"], pk["operm"]
+            L = pk["ids"].shape[1]
+            out = jnp.zeros((n_t + 1, L, cfg.embedding_dim), jnp.float32)
+            mask = jnp.zeros((n_t + 1, L), jnp.int32)
             out, mask = _scatter_tokens_into(out, mask, x, pk["seg"],
-                                             pk["pos"], pk["owner"], n_seqs)
-        sides[side] = (out[:n_seqs], mask[:n_seqs])
-    (ha, mask_a), (hb, mask_b) = sides["pep"], sides["rec"]
-    return sim_fn(ha, hb, mask_a, mask_b, params["temperature"])
+                                             pk["pos"], owner, n_t)
+            tiers.append((out[:n_t], mask[:n_t], ix))
+        sides[side] = tiers
+    t = params["temperature"]
+    if len(sides["pep"]) == 1 and len(sides["rec"]) == 1:
+        (ha, mask_a, _), (hb, mask_b, _) = sides["pep"][0], sides["rec"][0]
+        return sim_fn(ha, hb, mask_a, mask_b, t)
+    sim_a = jnp.zeros((n_seqs, n_seqs), jnp.float32)
+    sim_b = jnp.zeros((n_seqs, n_seqs), jnp.float32)
+    for ha, mask_a, ixa in sides["pep"]:
+        ia = jnp.arange(n_seqs) if ixa is None else ixa
+        for hb, mask_b, ixb in sides["rec"]:
+            ib = jnp.arange(n_seqs) if ixb is None else ixb
+            sa, sb = sim_fn(ha, hb, mask_a, mask_b, t)
+            sim_a = sim_a.at[ia[:, None], ib[None, :]].set(sa)
+            sim_b = sim_b.at[ia[:, None], ib[None, :]].set(sb)
+    return sim_a, sim_b
 
 
 def make_train_step_packed_filip(cfg: EngineConfig,

@@ -159,8 +159,12 @@ def _expand_pack(ids8: jnp.ndarray, operm: jnp.ndarray,
     g = offsets[:, None] + seg - 1
     owner = jnp.where(valid, jnp.take(operm, jnp.clip(g, 0, n_local - 1)),
                       dump)
+    # local_owner: the sequence's rank WITHIN this pack (scan order) —
+    # the tier-local scatter target for block-assembled FILIP similarity
+    # (tier t's operm maps local rank -> global batch index).
+    local = jnp.where(valid, jnp.clip(g, 0, n_local - 1), n_local)
     return {"ids": ids, "seg": seg, "pos": pos, "owner": owner,
-            "operm": operm}
+            "operm": operm, "local_owner": local}
 
 
 def packed_side_count(batch, side: str) -> int:
