@@ -21,6 +21,35 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
+def _trace_steps(out_dir: Path, step, params, opt_state, esm_params,
+                 batches) -> None:
+    """Shared trace scaffold (the hard-won timing rules live HERE only):
+    force batch materialization through the lazy axon device_put, warm one
+    step per batch so no composition compiles mid-trace (mid-loop
+    recompiles corrupt timing — CLAUDE.md), then trace with a float(loss)
+    sync per step."""
+    import jax
+    import jax.numpy as jnp
+
+    batches = [jax.device_put(b) for b in batches]
+    for b in batches:
+        for leaf in jax.tree.leaves(b):
+            float(jnp.sum(leaf.astype(jnp.int32)))
+
+    key = jax.random.key(0)
+    for b in batches:
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, esm_params, b, sub)
+        float(loss)
+
+    jax.profiler.start_trace(str(out_dir))
+    for b in batches[1:]:
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, esm_params, b, sub)
+        float(loss)
+    jax.profiler.stop_trace()
+
+
 def capture_filip(out_dir: Path, n_steps: int) -> None:
     """Trace the packed FILIP train step (bench_filip workload: batch 128,
     both sides 100-500 aa, fused max-sim kernel)."""
@@ -42,7 +71,6 @@ def capture_filip(out_dir: Path, n_steps: int) -> None:
                                    accumulated_batches=1, num_chunks=8,
                                    length_groups=1, packed=True, remat=True)
     optimizer = opt_mod.adam(cfg.learning_rate)
-    opt_state = optimizer.init(params)
     step = filip_engine.make_train_step(cfg, optimizer)
 
     rng = np.random.default_rng(42)
@@ -55,24 +83,8 @@ def capture_filip(out_dir: Path, n_steps: int) -> None:
         recs = ["".join(rng.choice(aas, rng.integers(100, 500)))
                 for _ in range(cfg.batch_size)]
         batches.append(tokenize_packed(tok, peps, recs))
-    batches = [jax.device_put(b) for b in batches]
-    for b in batches:
-        for leaf in jax.tree.leaves(b):
-            float(jnp.sum(leaf.astype(jnp.int32)))
-
-    key = jax.random.key(0)
-    for b in batches:
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, esm_params, b, sub)
-        float(loss)
-
-    jax.profiler.start_trace(str(out_dir))
-    for i in range(n_steps):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, esm_params,
-                                       batches[i + 1], sub)
-        float(loss)
-    jax.profiler.stop_trace()
+    _trace_steps(out_dir, step, params, optimizer.init(params), esm_params,
+                 batches)
 
 
 def capture(out_dir: Path, n_steps: int) -> None:
@@ -102,24 +114,7 @@ def capture(out_dir: Path, n_steps: int) -> None:
     rng = np.random.default_rng(42)
     batches = make_batches(rng, n_steps + 1, cfg.global_batch,
                            EsmTokenizer(), "packed")
-    batches = [jax.device_put(b) for b in batches]
-    for b in batches:
-        for leaf in jax.tree.leaves(b):
-            float(jnp.sum(leaf.astype(jnp.int32)))
-
-    key = jax.random.key(0)
-    for b in batches:  # compile every composition before tracing
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, esm_params, b, sub)
-        float(loss)
-
-    jax.profiler.start_trace(str(out_dir))
-    for i in range(n_steps):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, esm_params,
-                                       batches[i + 1], sub)
-        float(loss)
-    jax.profiler.stop_trace()
+    _trace_steps(out_dir, step, params, opt_state, esm_params, batches)
 
 
 def op_breakdown(out_dir: Path, top: int = 30) -> None:
