@@ -205,6 +205,24 @@ def test_packed_training_entry(workdir, trained_run):
     assert np.isfinite(float(tr)) and np.isfinite(float(va))
 
 
+def test_tiered_packed_training_entry(workdir, trained_run):
+    """--packed --pack-tiers 4 through the real CLI: fixture receptors
+    (60-180 aa) straddle the 128/256 tier split, so the epoch loop runs
+    genuinely tiered batches end to end."""
+    from protein_clip_tpu.cli.main_2protein import main
+    rc = main(TINY + [
+        "--epochs", "1", "--batch-size", "4", "--accumulated-batches", "2",
+        "--num-chunks", "2", "--packed", "--pack-tiers", "4",
+        "--data-dir", "data", "--runs-dir", "runs_tiered",
+    ])
+    assert rc == 0
+    run = sorted(Path("runs_tiered").iterdir())[-1]
+    csv = (run / "losses_per_epoch.txt").read_text().strip().split("\n")
+    assert len(csv) == 2 and csv[1].startswith("1,")
+    _, tr, va = csv[1].split(",")
+    assert np.isfinite(float(tr)) and np.isfinite(float(va))
+
+
 def test_filip_training_entry_packed(workdir, trained_run):
     """FILIP CLI end-to-end with --packed (packed backbone + token
     scatter-back; train/filip_packed.py)."""
