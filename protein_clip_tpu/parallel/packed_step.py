@@ -1,0 +1,176 @@
+"""Sharded packed-row CLIP training: the packed data path on a DP mesh.
+
+`parallel/step.py` shards UNPACKED batches; the single-chip throughput
+winner is sequence packing (train/packed_engine.py, ~95% token fill).
+This module composes the two: pairs are dealt to per-shard groups on the
+host (balanced by receptor length), each shard's sequences pack into its
+own rows, and the stacked row tensor shards over 'data' — every chip runs
+the packed engine on its rows, pools its local (B_local, D) embeddings,
+and the usual all-gather/psum pair makes the InfoNCE negatives span the
+global batch (exactly the parallel/step.py contract, reference GradCache
+semantics at training_utils.py:92-155).
+
+Wire format (``tokenize_packed_sharded``): per side
+- ``{side}_ids``  (n_shards * R, L) int8 — shard-major rows, so
+  ``PartitionSpec('data')`` on axis 0 hands each chip its own rows;
+  shards with fewer packed rows pad with all-<pad> rows (seg == 0
+  everywhere: masked out of attention and pooling).
+- ``{side}_operm`` (n_shards, B_local) int32 — per-shard owner
+  permutation with LOCAL pair indices; pairs are assigned to shards
+  jointly (both sides of a pair live on the same shard, in the same local
+  order), so the concatenated all-gather order matches between sides and
+  the InfoNCE diagonal stays aligned.
+
+The 'model' axis must be 1: tensor parallelism composes via the unpacked
+step (parallel/step.py, eager attention) — GSPMD cannot split the fused
+attention custom call the packed path leans on.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from ..data.tokenizer import EOS_ID, EsmTokenizer
+from ..models import clip
+from ..ops.infonce import clip_infonce
+from ..train.packed_engine import (_encode_packed_chunked, _expand_pack,
+                                   _pool_packed, _row_len_for)
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+__all__ = ["tokenize_packed_sharded", "make_sharded_packed_train_step"]
+
+
+def _deal_pairs(pep_lens, rec_lens, n_shards: int) -> list[list[int]]:
+    """Assign pair indices to shards, balancing total receptor tokens
+    (the dominant cost): longest-first greedy into the lightest shard."""
+    order = sorted(range(len(rec_lens)), key=lambda i: -rec_lens[i])
+    shards: list[list[int]] = [[] for _ in range(n_shards)]
+    load = [0] * n_shards
+    for i in order:
+        s = int(np.argmin(load))
+        shards[s].append(i)
+        load[s] += rec_lens[i]
+    return shards
+
+
+def tokenize_packed_sharded(tokenizer: EsmTokenizer, peps: list[str],
+                            recs: list[str], n_shards: int,
+                            pep_row_len: int | None = None,
+                            rec_row_len: int | None = None):
+    """Pack both sides per shard; stack rows shard-major (see module doc)."""
+    from ..data.packing import pack_sequences
+
+    n = len(peps)
+    if n % n_shards:
+        raise ValueError(f"global batch {n} not divisible by {n_shards}")
+    b_local = n // n_shards
+    pep_encs = [tokenizer.encode(s) for s in peps]
+    rec_encs = [tokenizer.encode(s) for s in recs]
+    shards = _deal_pairs([len(e) for e in pep_encs],
+                         [len(e) for e in rec_encs], n_shards)
+    # equal local batch: move pairs from overfull to underfull shards
+    flat: list[int] = []
+    for members in shards:
+        flat.extend(members)
+    shards = [flat[s * b_local:(s + 1) * b_local] for s in range(n_shards)]
+
+    out = {}
+    for side, encs, explicit in (("pep", pep_encs, pep_row_len),
+                                 ("rec", rec_encs, rec_row_len)):
+        row_len = _row_len_for(max(len(e) for e in encs), explicit)
+        clipped = [
+            e if len(e) <= row_len
+            else np.concatenate((e[: row_len - 1], [EOS_ID]))
+            for e in encs
+        ]
+        packs = []
+        for members in shards:
+            packed = pack_sequences([clipped[i] for i in members], row_len,
+                                    row_multiple=1)
+            counts = packed.segment_ids.max(axis=1)
+            offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            g = offsets[packed.owner_row] + packed.owner_seg - 1
+            operm = np.zeros(b_local, np.int32)
+            operm[g] = np.arange(b_local, dtype=np.int32)  # LOCAL indices
+            packs.append((packed.ids, operm))
+        r_max = -(-max(p.shape[0] for p, _ in packs) // 8) * 8
+        ids = np.ones((n_shards, r_max, row_len), np.int8)  # <pad> rows
+        for s, (p, _) in enumerate(packs):
+            ids[s, : p.shape[0]] = p.astype(np.int8)
+        out[f"{side}_ids"] = jnp.asarray(ids.reshape(n_shards * r_max,
+                                                     row_len))
+        out[f"{side}_operm"] = jnp.asarray(
+            np.stack([o for _, o in packs]))
+    # pair order per shard for callers that need to map embeddings back
+    out["pair_shard_order"] = jnp.asarray(
+        np.concatenate([np.asarray(m, np.int32) for m in shards]))
+    return out
+
+
+def make_sharded_packed_train_step(cfg, optimizer:
+                                   optax.GradientTransformation, mesh,
+                                   loss_fn=clip_infonce,
+                                   rows_per_chunk: int = 16):
+    """jit(shard_map) train step over ``tokenize_packed_sharded`` batches.
+
+    Loss is invariant to the host's pair-to-shard dealing (InfoNCE is
+    permutation-symmetric across pairs); parity with the single-device
+    packed step is exact up to f32 reduction order
+    (tests/test_parallel.py::test_sharded_packed_step_matches_packed).
+    """
+    mcfg = cfg.model
+    n_data = mesh.shape[DATA_AXIS]
+    if dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
+        raise ValueError(
+            "packed sharding is DP-only; compose TP via parallel/step.py")
+    if cfg.global_batch % n_data:
+        raise ValueError(f"global batch {cfg.global_batch} not divisible "
+                         f"by data axis {n_data}")
+    b_local = cfg.global_batch // n_data
+
+    def local_step(params, opt_state, esm_params, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        rp, rr = jax.random.split(rng)
+
+        def side_emb(p, side, r):
+            ids = batch[f"{side}_ids"]             # (R_local, L) int8
+            operm = batch[f"{side}_operm"][0]      # (B_local,)
+            pk = _expand_pack(ids, operm, b_local)
+            h = _encode_packed_chunked(esm_params, pk["ids"], pk["seg"],
+                                       pk["pos"], mcfg.esm, rows_per_chunk,
+                                       cfg.remat)
+            return _pool_packed(p[side], h.astype(jnp.float32),
+                                pk["seg"], pk["owner"], b_local,
+                                p["temperature"],
+                                dropout_rate=mcfg.dropout, train=True,
+                                rng=r, activation=mcfg.activation)
+
+        def head_loss(p):
+            pep_l = side_emb(p, "pep", rp)
+            rec_l = side_emb(p, "rec", rr)
+            pep = jax.lax.all_gather(pep_l, DATA_AXIS, axis=0, tiled=True)
+            rec = jax.lax.all_gather(rec_l, DATA_AXIS, axis=0, tiled=True)
+            return loss_fn(pep, rec)
+
+        loss, grads = jax.value_and_grad(head_loss)(params)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(),
+                  {"pep_ids": P(DATA_AXIS), "rec_ids": P(DATA_AXIS),
+                   "pep_operm": P(DATA_AXIS), "rec_operm": P(DATA_AXIS),
+                   "pair_shard_order": P()},
+                  P()),
+        out_specs=(P(), P(), P()),
+        axis_names={DATA_AXIS},
+        check_vma=False,
+    )
+    return jax.jit(sharded)
