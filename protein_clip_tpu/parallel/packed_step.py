@@ -41,7 +41,8 @@ from ..train.packed_engine import (_encode_packed_chunked, _expand_pack,
                                    _pool_packed, _row_len_for)
 from .mesh import DATA_AXIS, MODEL_AXIS
 
-__all__ = ["tokenize_packed_sharded", "make_sharded_packed_train_step"]
+__all__ = ["tokenize_packed_sharded", "make_sharded_packed_train_step",
+           "make_sharded_packed_filip_step"]
 
 
 def _deal_pairs(pep_lens, rec_lens, n_shards: int) -> list[list[int]]:
@@ -157,6 +158,106 @@ def make_sharded_packed_train_step(cfg, optimizer:
             return loss_fn(pep, rec)
 
         loss, grads = jax.value_and_grad(head_loss)(params)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(),
+                  {"pep_ids": P(DATA_AXIS), "rec_ids": P(DATA_AXIS),
+                   "pep_operm": P(DATA_AXIS), "rec_operm": P(DATA_AXIS),
+                   "pair_shard_order": P()},
+                  P()),
+        out_specs=(P(), P(), P()),
+        axis_names={DATA_AXIS},
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_packed_filip_step(cfg, optimizer:
+                                   optax.GradientTransformation, mesh,
+                                   use_dcl: bool | None = None,
+                                   similarity_fn=None,
+                                   rows_per_chunk: int = 16):
+    """Packed FILIP on a DP mesh: token-level gather over packed backbones.
+
+    Each chip runs the packed backbone + per-token head on its shard's
+    rows, scatters tokens to local per-sequence (B_local, T, D) tensors,
+    all-gathers the receptor side's tokens, and computes its B_local rows
+    of both direction matrices (both FILIP losses reduce row-wise —
+    parallel/filip_step.py contract) with the fused max-sim kernel running
+    per chip. Wire format: ``tokenize_packed_sharded``.
+    """
+    from ..models import heads
+    from ..train.filip_engine import default_similarity_fn
+    from ..train.filip_packed import _scatter_tokens_into
+    from .filip_step import _row_direction_loss_sum
+
+    mcfg = cfg.model
+    n_data = mesh.shape[DATA_AXIS]
+    if dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
+        raise ValueError(
+            "packed sharding is DP-only; compose TP via parallel/step.py")
+    if cfg.batch_size % n_data:
+        raise ValueError(f"batch {cfg.batch_size} not divisible by data "
+                         f"axis {n_data}")
+    b_local = cfg.batch_size // n_data
+    b_global = cfg.batch_size
+    use_dcl = cfg.filip_use_dcl if use_dcl is None else use_dcl
+    sim_fn = similarity_fn or default_similarity_fn()
+
+    def local_step(params, opt_state, esm_params, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        def loss_fn(p):
+            rp, rr = jax.random.split(rng)
+            sides = {}
+            for side, r in (("pep", rp), ("rec", rr)):
+                ids = batch[f"{side}_ids"]
+                operm = batch[f"{side}_operm"][0]
+                pk = _expand_pack(ids, operm, b_local)
+                h = _encode_packed_chunked(esm_params, pk["ids"],
+                                           pk["seg"], pk["pos"], mcfg.esm,
+                                           rows_per_chunk, cfg.remat)
+                x = heads.encode_tokens(p[side], h.astype(jnp.float32),
+                                        dropout_rate=mcfg.dropout,
+                                        train=True, rng=r,
+                                        activation=mcfg.activation)
+                norm = jnp.sqrt(
+                    jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
+                            keepdims=True) + jnp.finfo(jnp.float32).tiny)
+                x = (x.astype(jnp.float32) / norm).astype(x.dtype)
+                L = pk["ids"].shape[1]
+                out = jnp.zeros((b_local + 1, L, mcfg.embedding_dim),
+                                jnp.float32)
+                mask = jnp.zeros((b_local + 1, L), jnp.int32)
+                out, mask = _scatter_tokens_into(out, mask, x, pk["seg"],
+                                                 pk["pos"], pk["owner"],
+                                                 b_local)
+                sides[side] = (out[:b_local], mask[:b_local])
+            (ha, ma), (hb, mb) = sides["pep"], sides["rec"]
+            hb_all = jax.lax.all_gather(hb, DATA_AXIS, axis=0, tiled=True)
+            mb_all = jax.lax.all_gather(mb, DATA_AXIS, axis=0, tiled=True)
+            sim_a_rows, sim_b_rows = sim_fn(ha, hb_all, ma, mb_all,
+                                            p["temperature"])
+
+            shard = jax.lax.axis_index(DATA_AXIS)
+            col = jax.lax.broadcasted_iota(jnp.int32,
+                                           (b_local, b_global), 1)
+            row_global = (jax.lax.broadcasted_iota(
+                jnp.int32, (b_local, b_global), 0) + shard * b_local)
+            diag_a = jnp.sum(jnp.where(col == row_global, sim_a_rows, 0.0),
+                             axis=1)
+            diag_b = jnp.sum(jnp.where(col == row_global, sim_b_rows, 0.0),
+                             axis=1)
+            sum_a = _row_direction_loss_sum(sim_a_rows, diag_a, use_dcl)
+            sum_b = _row_direction_loss_sum(sim_b_rows, diag_b, use_dcl)
+            return 0.5 * jax.lax.psum(sum_a + sum_b, DATA_AXIS) / b_global
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = jax.lax.psum(grads, DATA_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -319,3 +319,52 @@ def test_sharded_packed_rejects_model_axis(rng):
     import pytest
     with pytest.raises(ValueError, match="DP-only"):
         make_sharded_packed_train_step(cfg, optax.adam(1e-3), mesh)
+
+
+def test_sharded_packed_filip_step_matches_packed(rng):
+    """Packed FILIP on a DP mesh == single-device packed FILIP step at
+    equal batch (dropout off; pair order differs by the shard dealing but
+    the loss is permutation-invariant)."""
+    import optax
+
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import filip as filip_mod
+    from protein_clip_tpu.parallel.mesh import make_mesh
+    from protein_clip_tpu.parallel.packed_step import (
+        make_sharded_packed_filip_step, tokenize_packed_sharded)
+    from protein_clip_tpu.train import filip_engine
+    from protein_clip_tpu.train.filip_packed import (
+        make_train_step_packed_filip, tokenize_packed)
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = filip_mod.FILIPConfig(input_dim=esm_cfg.hidden_size,
+                                 embedding_dim=16, h1=2, h2=2, dropout=0.0,
+                                 esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    params = filip_mod.init_params(jax.random.key(1), mcfg)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2,
+                                   remat=False)
+    optimizer = optax.adam(1e-3)
+    opt0 = optimizer.init(params)
+    tok = EsmTokenizer()
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    seqs = lambda n, lo, hi: ["".join(rng.choice(aas, int(L)))
+                              for L in rng.integers(lo, hi, n)]
+    peps, recs = seqs(8, 5, 15), seqs(8, 10, 60)
+
+    single = make_train_step_packed_filip(cfg, optimizer, rows_per_chunk=1)
+    sb = tokenize_packed(tok, peps, recs, pep_row_len=32, rec_row_len=64)
+    p1, _, l1 = single(params, opt0, esm_params, sb, jax.random.key(2))
+
+    mesh = make_mesh(data=2, model=1)
+    step = make_sharded_packed_filip_step(cfg, optimizer, mesh,
+                                          rows_per_chunk=1)
+    db = tokenize_packed_sharded(tok, peps, recs, 2, pep_row_len=32,
+                                 rec_row_len=64)
+    p2, _, l2 = step(params, opt0, esm_params, db, jax.random.key(2))
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=2e-5, rtol=1e-3)
