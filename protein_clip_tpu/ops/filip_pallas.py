@@ -136,9 +136,11 @@ def _raw_maxsim_bwd(ha, hb, mask_a, mask_b, ga, gb,
 
     The recomputed score block is (ib, jb, TA, TB) f32; ib*jb scales down
     with TA*TB under ``budget_elems`` (default 2^26 elems = 256 MB for the
-    score block, ~1 GB live with the pa/pb/ds intermediates) so batch-128
-    training fits HBM from T=512 (ib=128, jb=8 — the round-2 shape) up to
-    T=2048 (ib*jb <= 16), where a fixed j_block=8 OOM'd at 17 GB/block.
+    score block, ~1 GB live with the pa/pb/ds intermediates): batch-128
+    gets ib=32, jb=8 at T=512 (4x smaller blocks than round 2's fixed
+    j_block=8 whole-batch block — re-measured equal, 359.5 vs 359.1
+    pairs/s, the backward is not the standard path's bottleneck) and
+    ib*jb <= 16 at T=2048, where the fixed block OOM'd at 17 GB.
     """
     Ba, TA, D = ha.shape
     Bb, TB, _ = hb.shape

@@ -43,6 +43,17 @@ def _row_direction_loss_sum(logits_rows, diag_rows, use_dcl=False):
     return jnp.sum(lse - diag_rows)
 
 
+def local_diagonals(sim_rows, b_local: int, b_global: int):
+    """Positive logits of locally-owned rows: row i's positive sits at
+    global column shard*b_local + i. Shared by the unpacked and packed
+    (parallel/packed_step.py) sharded FILIP steps."""
+    shard = jax.lax.axis_index(DATA_AXIS)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b_local, b_global), 1)
+    row_global = (jax.lax.broadcasted_iota(jnp.int32, (b_local, b_global), 0)
+                  + shard * b_local)
+    return jnp.sum(jnp.where(col == row_global, sim_rows, 0.0), axis=1)
+
+
 def make_sharded_filip_train_step(cfg, optimizer: optax.GradientTransformation,
                                   mesh, use_dcl: bool = False):
     """jit(shard_map) FILIP step; batch sharded over 'data', params
@@ -85,15 +96,8 @@ def make_sharded_filip_train_step(cfg, optimizer: optax.GradientTransformation,
             sim_a_rows, sim_b_rows = filip_similarity(ha, hb_all, ma, mb_all,
                                                       t)
 
-            shard = jax.lax.axis_index(DATA_AXIS)
-            col = jax.lax.broadcasted_iota(
-                jnp.int32, (b_local, b_global), 1)
-            row_global = (jax.lax.broadcasted_iota(
-                jnp.int32, (b_local, b_global), 0) + shard * b_local)
-            diag_a = jnp.sum(jnp.where(col == row_global, sim_a_rows, 0.0),
-                             axis=1)
-            diag_b = jnp.sum(jnp.where(col == row_global, sim_b_rows, 0.0),
-                             axis=1)
+            diag_a = local_diagonals(sim_a_rows, b_local, b_global)
+            diag_b = local_diagonals(sim_b_rows, b_local, b_global)
 
             sum_a = _row_direction_loss_sum(sim_a_rows, diag_a, use_dcl)
             sum_b = _row_direction_loss_sum(sim_b_rows, diag_b, use_dcl)

@@ -41,20 +41,63 @@ from ..train.packed_engine import (_encode_packed_chunked, _expand_pack,
                                    _pool_packed, _row_len_for)
 from .mesh import DATA_AXIS, MODEL_AXIS
 
+
+def _validated(sharded, n_data: int, b_local: int):
+    """Host-side batch guard: a batch tokenized for a different shard count
+    than the mesh's data axis would pass shard_map silently — each chip
+    takes operm[0] of its slice, so extra sub-shards' tokens misroute into
+    the wrong sequences (finite loss, corrupted training). Fail loudly
+    instead, matching the single-device packed step's guard."""
+
+    def step(params, opt_state, esm_params, batch, rng):
+        got = batch["pep_operm"].shape
+        if got != (n_data, b_local):
+            raise ValueError(
+                f"packed sharded batch carries operm {got} but the mesh "
+                f"expects ({n_data}, {b_local}) — tokenize_packed_sharded "
+                f"n_shards must equal the mesh data axis")
+        for side in ("pep", "rec"):
+            rows = batch[f"{side}_ids"].shape[0]
+            if rows % n_data:
+                raise ValueError(
+                    f"{side}_ids rows {rows} not divisible by data axis "
+                    f"{n_data}")
+        return sharded(params, opt_state, esm_params, batch, rng)
+
+    return step
+
 __all__ = ["tokenize_packed_sharded", "make_sharded_packed_train_step",
            "make_sharded_packed_filip_step"]
 
 
 def _deal_pairs(pep_lens, rec_lens, n_shards: int) -> list[list[int]]:
-    """Assign pair indices to shards, balancing total receptor tokens
-    (the dominant cost): longest-first greedy into the lightest shard."""
-    order = sorted(range(len(rec_lens)), key=lambda i: -rec_lens[i])
+    """Assign pair indices to shards with EQUAL counts, balancing total
+    receptor tokens (the dominant cost): longest-first greedy into the
+    lightest shard, then move the lightest members out of over-count
+    shards into the least-loaded under-count shard (a flatten+reslice
+    equal-count fixup measured ~2x load skew on skewed length draws)."""
+    n = len(rec_lens)
+    b_local = n // n_shards
+    order = sorted(range(n), key=lambda i: -rec_lens[i])
     shards: list[list[int]] = [[] for _ in range(n_shards)]
     load = [0] * n_shards
     for i in order:
         s = int(np.argmin(load))
         shards[s].append(i)
         load[s] += rec_lens[i]
+    for s in range(n_shards):
+        while len(shards[s]) > b_local:
+            # lightest member leaves; lands on the least-loaded shard
+            # that still has room
+            j = min(range(len(shards[s])),
+                    key=lambda k: rec_lens[shards[s][k]])
+            i = shards[s].pop(j)
+            load[s] -= rec_lens[i]
+            t = min((u for u in range(n_shards)
+                     if len(shards[u]) < b_local),
+                    key=lambda u: load[u])
+            shards[t].append(i)
+            load[t] += rec_lens[i]
     return shards
 
 
@@ -65,6 +108,10 @@ def tokenize_packed_sharded(tokenizer: EsmTokenizer, peps: list[str],
     """Pack both sides per shard; stack rows shard-major (see module doc)."""
     from ..data.packing import pack_sequences
 
+    import warnings
+
+    from ..train.packed_engine import scan_order_operm
+
     n = len(peps)
     if n % n_shards:
         raise ValueError(f"global batch {n} not divisible by {n_shards}")
@@ -73,30 +120,29 @@ def tokenize_packed_sharded(tokenizer: EsmTokenizer, peps: list[str],
     rec_encs = [tokenizer.encode(s) for s in recs]
     shards = _deal_pairs([len(e) for e in pep_encs],
                          [len(e) for e in rec_encs], n_shards)
-    # equal local batch: move pairs from overfull to underfull shards
-    flat: list[int] = []
-    for members in shards:
-        flat.extend(members)
-    shards = [flat[s * b_local:(s + 1) * b_local] for s in range(n_shards)]
 
     out = {}
     for side, encs, explicit in (("pep", pep_encs, pep_row_len),
                                  ("rec", rec_encs, rec_row_len)):
         row_len = _row_len_for(max(len(e) for e in encs), explicit)
-        clipped = [
-            e if len(e) <= row_len
-            else np.concatenate((e[: row_len - 1], [EOS_ID]))
-            for e in encs
-        ]
+        clamped = 0
+        clipped = []
+        for e in encs:
+            if len(e) > row_len:  # keep eos, like tokenize_packed
+                e = np.concatenate((e[: row_len - 1], [EOS_ID]))
+                clamped += 1
+            clipped.append(e)
+        if clamped:
+            warnings.warn(
+                f"tokenize_packed_sharded: {clamped} {side} sequence(s) "
+                f"longer than row_len={row_len} were truncated (eos kept)",
+                stacklevel=2)
         packs = []
         for members in shards:
             packed = pack_sequences([clipped[i] for i in members], row_len,
                                     row_multiple=1)
-            counts = packed.segment_ids.max(axis=1)
-            offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-            g = offsets[packed.owner_row] + packed.owner_seg - 1
-            operm = np.zeros(b_local, np.int32)
-            operm[g] = np.arange(b_local, dtype=np.int32)  # LOCAL indices
+            operm = scan_order_operm(
+                packed, np.arange(b_local, dtype=np.int32))  # LOCAL
             packs.append((packed.ids, operm))
         r_max = -(-max(p.shape[0] for p, _ in packs) // 8) * 8
         ids = np.ones((n_shards, r_max, row_len), np.int8)  # <pad> rows
@@ -174,7 +220,7 @@ def make_sharded_packed_train_step(cfg, optimizer:
         axis_names={DATA_AXIS},
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return _validated(jax.jit(sharded), n_data, b_local)
 
 
 def make_sharded_packed_filip_step(cfg, optimizer:
@@ -194,7 +240,7 @@ def make_sharded_packed_filip_step(cfg, optimizer:
     from ..models import heads
     from ..train.filip_engine import default_similarity_fn
     from ..train.filip_packed import _scatter_tokens_into
-    from .filip_step import _row_direction_loss_sum
+    from .filip_step import _row_direction_loss_sum, local_diagonals
 
     mcfg = cfg.model
     n_data = mesh.shape[DATA_AXIS]
@@ -244,15 +290,8 @@ def make_sharded_packed_filip_step(cfg, optimizer:
             sim_a_rows, sim_b_rows = sim_fn(ha, hb_all, ma, mb_all,
                                             p["temperature"])
 
-            shard = jax.lax.axis_index(DATA_AXIS)
-            col = jax.lax.broadcasted_iota(jnp.int32,
-                                           (b_local, b_global), 1)
-            row_global = (jax.lax.broadcasted_iota(
-                jnp.int32, (b_local, b_global), 0) + shard * b_local)
-            diag_a = jnp.sum(jnp.where(col == row_global, sim_a_rows, 0.0),
-                             axis=1)
-            diag_b = jnp.sum(jnp.where(col == row_global, sim_b_rows, 0.0),
-                             axis=1)
+            diag_a = local_diagonals(sim_a_rows, b_local, b_global)
+            diag_b = local_diagonals(sim_b_rows, b_local, b_global)
             sum_a = _row_direction_loss_sum(sim_a_rows, diag_a, use_dcl)
             sum_b = _row_direction_loss_sum(sim_b_rows, diag_b, use_dcl)
             return 0.5 * jax.lax.psum(sum_a + sum_b, DATA_AXIS) / b_global
@@ -274,4 +313,4 @@ def make_sharded_packed_filip_step(cfg, optimizer:
         axis_names={DATA_AXIS},
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return _validated(jax.jit(sharded), n_data, b_local)

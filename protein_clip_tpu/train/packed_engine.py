@@ -68,19 +68,24 @@ def _tier_widths(row_len: int) -> list[int]:
                    for q in (1, 2, 3, 4)} | {row_len})
 
 
-def _pack_one(encs: list[np.ndarray], idx: np.ndarray, row_len: int
-              ) -> dict[str, jnp.ndarray]:
-    """Pack one group; operm maps scan-order segments to GLOBAL indices."""
-    packed = pack_sequences(encs, row_len, row_multiple=16)
-    # owner permutation: original (global) index of each segment in
-    # row-major (row, segment) scan order — all else derives on device.
+def scan_order_operm(packed, idx: np.ndarray) -> np.ndarray:
+    """Owner permutation: idx entry of each segment in row-major (row,
+    segment) scan order — the one map the device-side derivation
+    (``_expand_pack``) needs; all else reconstructs from the ids."""
     counts = packed.segment_ids.max(axis=1)
     offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
     g = offsets[packed.owner_row] + packed.owner_seg - 1
     operm = np.zeros(packed.n_sequences, np.int32)
     operm[g] = idx
+    return operm
+
+
+def _pack_one(encs: list[np.ndarray], idx: np.ndarray, row_len: int
+              ) -> dict[str, jnp.ndarray]:
+    """Pack one group; operm maps scan-order segments to GLOBAL indices."""
+    packed = pack_sequences(encs, row_len, row_multiple=16)
     return {"ids": jnp.asarray(packed.ids.astype(np.int8)),
-            "operm": jnp.asarray(operm)}
+            "operm": jnp.asarray(scan_order_operm(packed, idx))}
 
 
 def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],

@@ -368,3 +368,48 @@ def test_sharded_packed_filip_step_matches_packed(rng):
     for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=2e-5, rtol=1e-3)
+
+
+def test_sharded_packed_rejects_shard_mismatch(rng):
+    """A batch tokenized for 4 shards on a data=2 mesh must fail loudly —
+    silently accepted, it misroutes tokens (finite loss, corrupt grads)."""
+    import optax
+
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.parallel.mesh import make_mesh
+    from protein_clip_tpu.parallel.packed_step import (
+        make_sharded_packed_train_step, tokenize_packed_sharded)
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                           h1=2, h2=2, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    params = clip.init_params(jax.random.key(1), mcfg)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2)
+    optimizer = optax.adam(1e-3)
+    mesh = make_mesh(data=2, model=1)
+    step = make_sharded_packed_train_step(cfg, optimizer, mesh)
+    tok = EsmTokenizer()
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    seqs = ["".join(rng.choice(aas, int(L)))
+            for L in rng.integers(10, 40, 8)]
+    bad = tokenize_packed_sharded(tok, seqs, seqs, 4)
+    import pytest
+    with pytest.raises(ValueError, match="data axis"):
+        step(params, optimizer.init(params), esm_params, bad,
+             jax.random.key(2))
+
+
+def test_deal_pairs_balances_equal_counts():
+    """Equal counts per shard AND receptor-token balance (the flatten+
+    reslice fixup regressed to ~2x skew on skewed draws)."""
+    from protein_clip_tpu.parallel.packed_step import _deal_pairs
+
+    rec_lens = [900, 800, 700, 100, 100, 100]
+    shards = _deal_pairs([10] * 6, rec_lens, 3)
+    counts = [len(s) for s in shards]
+    assert counts == [2, 2, 2]
+    loads = sorted(sum(rec_lens[i] for i in s) for s in shards)
+    assert loads[-1] <= 1000, loads  # far from the 1700 regression
+    assert sorted(i for s in shards for i in s) == list(range(6))

@@ -185,3 +185,23 @@ def test_microbatch_divisibility_error(tiny4):
     ids = jnp.ones((8, 12), jnp.int32)
     with pytest.raises(ValueError, match="not divisible"):
         enc(staged, ids, jnp.ones_like(ids))
+
+
+def test_pp_encode_quantized_backbone(tiny4, rng):
+    """int8-quantized weights stage over 'stage' too (w_q/w_s leaves) and
+    the pipelined forward matches the single-device quantized forward."""
+    from protein_clip_tpu.models.esm2 import quantize_params
+
+    _, esm_params, _ = tiny4
+    cfg = _tiny4_cfg()
+    qparams = quantize_params(esm_params)
+    ids, mask = _ids(rng, 4, 12)
+
+    ref = esm2.forward(qparams, ids, mask, cfg)
+
+    mesh = pp.make_pp_mesh(2)
+    staged = pp.shard_staged_params(mesh, pp.stage_esm_params(qparams, 2))
+    assert staged["layers"]["attn"]["q"]["w_q"].dtype == jnp.int8
+    got = pp.make_pp_encode(cfg, mesh, 2)(staged, ids, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -1,0 +1,80 @@
+"""Run every bench mode and print one labeled JSON line per mode.
+
+Reproduces the docs/PERF.md measurement matrix in one command. Each mode
+runs bench.py in a fresh subprocess (cold-process compiles dominate the
+wall time over the axon tunnel — expect 5-25 min per mode; the persistent
+compilation cache helps repeats). Select modes with --modes (comma list).
+
+    python tools/bench_matrix.py --modes clip,filip
+    python tools/bench_matrix.py            # everything (~1.5 h)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+MODES: dict[str, dict[str, str]] = {
+    # the graded baseline metric (t30_150M bf16, packed, global batch 256)
+    "clip": {},
+    "clip_longtail": {"PCT_BENCH_PROFILE": "longtail"},
+    "clip_longtail_tiered": {"PCT_BENCH_PROFILE": "longtail",
+                             "PCT_PACK_TIERS": "4"},
+    "filip": {"PCT_BENCH_MODE": "filip"},
+    "filip_longtail": {"PCT_BENCH_MODE": "filip",
+                       "PCT_BENCH_PROFILE": "longtail"},
+    "filip_longtail_tiered": {"PCT_BENCH_MODE": "filip",
+                              "PCT_BENCH_PROFILE": "longtail",
+                              "PCT_PACK_TIERS": "4"},
+    "clip_650M": {"PCT_ESM_CONFIG": "t33_650M"},
+    "clip_650M_int8": {"PCT_ESM_CONFIG": "t33_650M",
+                       "PCT_ESM_DTYPE": "int8"},
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--modes", default=",".join(MODES),
+                    help="comma-separated subset of: " + ", ".join(MODES))
+    ap.add_argument("--timeout", type=int, default=1800,
+                    help="seconds per mode")
+    args = ap.parse_args()
+
+    bench = Path(__file__).resolve().parents[1] / "bench.py"
+    rc = 0
+    for mode in args.modes.split(","):
+        mode = mode.strip()
+        if mode not in MODES:
+            print(f"unknown mode {mode!r}", file=sys.stderr)
+            return 2
+        # start from a clean slate: ambient PCT_* knobs (e.g. a leftover
+        # PCT_BENCH_MODE from a manual run) must not leak into modes that
+        # don't set them, or rows get mislabeled.
+        env = {k: v for k, v in os.environ.items()
+               if not k.startswith("PCT_")}
+        env.update(MODES[mode])
+        try:
+            proc = subprocess.run(
+                [sys.executable, str(bench)], env=env,
+                capture_output=True, text=True, timeout=args.timeout)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"mode": mode, "error": "timeout"}))
+            rc = 1
+            continue
+        line = next((ln for ln in reversed(proc.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if proc.returncode != 0 or line is None:
+            print(json.dumps({"mode": mode, "error": f"rc={proc.returncode}",
+                              "stderr_tail": proc.stderr[-300:]}))
+            rc = 1
+            continue
+        print(json.dumps({"mode": mode, **json.loads(line)}))
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
