@@ -85,8 +85,10 @@ def bench_filip():
                                   dtype=jnp.bfloat16)
     params = filip.init_params(jax.random.key(1), mcfg)
     packed = os.environ.get("PCT_FILIP_PACKED", "1") != "0"
+    batch = int(os.environ.get("PCT_FILIP_BATCH", "128"))
     cfg = clip_engine.EngineConfig(
-        model=mcfg, batch_size=128, accumulated_batches=1, num_chunks=8,
+        model=mcfg, batch_size=batch, accumulated_batches=1,
+        num_chunks=batch // 16,
         length_groups=1 if packed else 4, packed=packed, remat=True)
     optimizer = opt_mod.adam(cfg.learning_rate)
     opt_state = optimizer.init(params)
