@@ -105,7 +105,11 @@ def make_sharded_filip_train_step(cfg, optimizer: optax.GradientTransformation,
             return 0.5 * total / b_global
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads = jax.lax.psum(grads, DATA_AXIS)
+        # pmean, not psum: the psum-inside-loss transpose replays the
+        # replicated cotangent n_data times under check_vma=False, so each
+        # replica's grads already carry an n_data factor (see
+        # parallel/step.py; SGD parity test pins the scale).
+        grads = jax.lax.pmean(grads, DATA_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

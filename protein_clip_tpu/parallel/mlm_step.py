@@ -41,7 +41,10 @@ def make_sharded_mlm_train_step(esm_cfg: esm2.ESM2Config,
             return s / jnp.maximum(c, 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(lm_head)
-        grads = jax.lax.psum(grads, DATA_AXIS)  # shard-local contributions
+        # pmean, not psum: the in-loss psum transpose already multiplies
+        # each replica's cotangent by n_data under check_vma=False (see
+        # parallel/step.py; SGD parity test pins the scale).
+        grads = jax.lax.pmean(grads, DATA_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, lm_head)
         return optax.apply_updates(lm_head, updates), opt_state, loss
 

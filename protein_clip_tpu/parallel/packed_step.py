@@ -34,7 +34,7 @@ import numpy as np
 import optax
 from jax.sharding import PartitionSpec as P
 
-from ..data.tokenizer import EOS_ID, EsmTokenizer
+from ..data.tokenizer import EOS_ID, PAD_ID, EsmTokenizer
 from ..models import clip
 from ..ops.infonce import clip_infonce
 from ..train.packed_engine import (_encode_packed_chunked, _expand_pack,
@@ -145,7 +145,7 @@ def tokenize_packed_sharded(tokenizer: EsmTokenizer, peps: list[str],
                 packed, np.arange(b_local, dtype=np.int32))  # LOCAL
             packs.append((packed.ids, operm))
         r_max = -(-max(p.shape[0] for p, _ in packs) // 8) * 8
-        ids = np.ones((n_shards, r_max, row_len), np.int8)  # <pad> rows
+        ids = np.full((n_shards, r_max, row_len), PAD_ID, np.int8)
         for s, (p, _) in enumerate(packs):
             ids[s, : p.shape[0]] = p.astype(np.int8)
         out[f"{side}_ids"] = jnp.asarray(ids.reshape(n_shards * r_max,
@@ -204,7 +204,9 @@ def make_sharded_packed_train_step(cfg, optimizer:
             return loss_fn(pep, rec)
 
         loss, grads = jax.value_and_grad(head_loss)(params)
-        grads = jax.lax.psum(grads, DATA_AXIS)
+        # pmean, not psum: all_gather's transpose sums n_data identical
+        # cotangents under check_vma=False (see parallel/step.py).
+        grads = jax.lax.pmean(grads, DATA_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -297,7 +299,8 @@ def make_sharded_packed_filip_step(cfg, optimizer:
             return 0.5 * jax.lax.psum(sum_a + sum_b, DATA_AXIS) / b_global
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads = jax.lax.psum(grads, DATA_AXIS)
+        # pmean, not psum (see parallel/step.py grad-scale note).
+        grads = jax.lax.pmean(grads, DATA_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

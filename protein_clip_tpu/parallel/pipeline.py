@@ -354,7 +354,8 @@ def make_pp_dp_train_step(cfg, optimizer: optax.GradientTransformation,
             return loss_fn(pep, rec)
 
         loss, grads = jax.value_and_grad(head_loss)(params)
-        grads = jax.lax.psum(grads, DATA_AXIS)
+        # pmean, not psum (see parallel/step.py grad-scale note).
+        grads = jax.lax.pmean(grads, DATA_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -82,8 +82,15 @@ def make_sharded_train_step(cfg, optimizer: optax.GradientTransformation,
             return loss_fn(pep, rec)
 
         loss, grads = jax.value_and_grad(head_loss)(params)
-        # local-shard contributions -> true grad of the global loss
-        grads = jax.lax.psum(grads, DATA_AXIS)
+        # Every replica differentiates the SAME global loss, and under
+        # shard_map's manual axis the all_gather transpose (psum_scatter)
+        # sums the n_data identical cotangents — each replica's grads are
+        # already n_data x its local-shard contribution. pmean (not psum)
+        # therefore yields the true grad of the reported loss; psum would
+        # be n_data x too large (invisible under Adam, wrong under any
+        # non-scale-invariant transform). Pinned by the SGD-parametrized
+        # parity tests in tests/test_parallel.py.
+        grads = jax.lax.pmean(grads, DATA_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -41,6 +41,16 @@ def _batch(rng, B, T):
     }
 
 
+def _opt(name: str) -> optax.GradientTransformation:
+    """adam is scale-invariant (up to eps) and would mask an n_data-times
+    gradient-scale bug; sgd is the scale-sensitive probe (ADVICE r2: the
+    psum-of-global-loss grads were exactly 8x on an 8-device mesh)."""
+    return optax.adam(1e-3) if name == "adam" else optax.sgd(5e-2)
+
+
+BOTH_OPTS = pytest.mark.parametrize("opt_name", ["adam", "sgd"])
+
+
 def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
@@ -65,7 +75,8 @@ def test_sharded_eval_matches_single_device(tiny, rng):
     np.testing.assert_allclose(float(single), float(sharded_loss), rtol=2e-5)
 
 
-def test_sharded_train_step_matches_single_device(tiny, rng):
+@BOTH_OPTS
+def test_sharded_train_step_matches_single_device(tiny, rng, opt_name):
     """One optimizer step, deterministic path: params must match."""
     mcfg, esm_params, params = tiny
     cfg = clip_engine.EngineConfig(model=mcfg, batch_size=2,
@@ -77,7 +88,7 @@ def test_sharded_train_step_matches_single_device(tiny, rng):
                                    accumulated_batches=8, num_chunks=8,
                                    remat=False)
     b = _batch(rng, 16, 12)
-    optimizer = optax.adam(1e-3)
+    optimizer = _opt(opt_name)
     opt0 = optimizer.init(params)
     rng_key = jax.random.key(9)
 
@@ -136,7 +147,8 @@ def test_dp_tp_combined_train_step(tiny, rng):
                                    atol=1e-5, rtol=1e-3)
 
 
-def test_sharded_filip_step_matches_single_device(tiny, rng):
+@BOTH_OPTS
+def test_sharded_filip_step_matches_single_device(tiny, rng, opt_name):
     """Multi-chip FILIP: token-gather DP step == single-device step."""
     from protein_clip_tpu.models import filip as filip_mod
     from protein_clip_tpu.parallel.filip_step import (
@@ -153,7 +165,7 @@ def test_sharded_filip_step_matches_single_device(tiny, rng):
                                    accumulated_batches=1, num_chunks=1,
                                    remat=False)
     b = _batch(rng, 16, 12)
-    optimizer = optax.adam(1e-3)
+    optimizer = _opt(opt_name)
     opt0 = optimizer.init(params)
 
     single = filip_engine.make_train_step(
@@ -192,7 +204,8 @@ def test_tp_safe_model_config_switches_fused_to_eager():
     assert tp_safe_model_config(mcfg, dp_mesh) is mcfg
 
 
-def test_sharded_mlm_step_matches_manual_global_mean(rng):
+@BOTH_OPTS
+def test_sharded_mlm_step_matches_manual_global_mean(rng, opt_name):
     """DP MLM: psum'd (sum, count) loss == manually reconstructed global
     mean over all shards' masked positions, and one optimizer step on the
     LM head matches the equivalent single-device computation."""
@@ -206,7 +219,7 @@ def test_sharded_mlm_step_matches_manual_global_mean(rng):
     esm_cfg = esm2.ESM2Config.tiny()
     esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
     lm_head = esm2.init_lm_head(jax.random.key(1), esm_cfg)
-    optimizer = optax.adam(1e-3)
+    optimizer = _opt(opt_name)
     opt_state = optimizer.init(lm_head)
 
     n_dp, B, T = 4, 8, 16
@@ -257,7 +270,8 @@ def test_sharded_mlm_step_matches_manual_global_mean(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
-def test_sharded_packed_step_matches_packed(rng):
+@BOTH_OPTS
+def test_sharded_packed_step_matches_packed(rng, opt_name):
     """Packed rows on a DP mesh: the sharded packed step must match the
     single-device packed step at equal global batch (loss is invariant to
     the host's pair-to-shard dealing; dropout off for exactness)."""
@@ -278,7 +292,7 @@ def test_sharded_packed_step_matches_packed(rng):
     cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
                                    accumulated_batches=1, num_chunks=2,
                                    remat=False)
-    optimizer = optax.adam(1e-3)
+    optimizer = _opt(opt_name)
     opt0 = optimizer.init(params)
     tok = EsmTokenizer()
     aas = list("LAGVSERTIDPKQNFYMHWC")
@@ -321,7 +335,8 @@ def test_sharded_packed_rejects_model_axis(rng):
         make_sharded_packed_train_step(cfg, optax.adam(1e-3), mesh)
 
 
-def test_sharded_packed_filip_step_matches_packed(rng):
+@BOTH_OPTS
+def test_sharded_packed_filip_step_matches_packed(rng, opt_name):
     """Packed FILIP on a DP mesh == single-device packed FILIP step at
     equal batch (dropout off; pair order differs by the shard dealing but
     the loss is permutation-invariant)."""
@@ -345,7 +360,7 @@ def test_sharded_packed_filip_step_matches_packed(rng):
     cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
                                    accumulated_batches=1, num_chunks=2,
                                    remat=False)
-    optimizer = optax.adam(1e-3)
+    optimizer = _opt(opt_name)
     opt0 = optimizer.init(params)
     tok = EsmTokenizer()
     aas = list("LAGVSERTIDPKQNFYMHWC")

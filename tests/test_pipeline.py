@@ -97,16 +97,21 @@ def test_pp_train_step_matches_single_device(tiny4, rng):
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_pp_dp_train_step_matches_single_device(tiny4, rng):
+@pytest.mark.parametrize("opt_name", ["adam", "sgd"])
+def test_pp_dp_train_step_matches_single_device(tiny4, rng, opt_name):
     """DP x PP composed: dp2 x stage4 over 8 fake devices must match the
-    single-device engine at equal global batch, step for step."""
+    single-device engine at equal global batch, step for step. sgd is the
+    scale-sensitive probe for the DP gradient pmean (ADVICE r2)."""
+    import optax
+
     mcfg, esm_params, params = tiny4
     # dropout off for exactness: the DP side folds the data index into the
     # dropout rng (parallel/step.py contract), the single device does not
     mcfg = clip.CLIPConfig(**{**mcfg.__dict__, "dropout": 0.0})
     cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
                                    accumulated_batches=1, num_chunks=1)
-    optimizer = opt_mod.adam(cfg.learning_rate)
+    optimizer = (opt_mod.adam(cfg.learning_rate) if opt_name == "adam"
+                 else optax.sgd(5e-2))
     opt_state = optimizer.init(params)
 
     mesh = pp.make_pp_dp_mesh(2, 4)
