@@ -200,6 +200,9 @@ class EsmTokenizer:
                 if pad_to is None:
                     pad_to = (self.bucket_length(max_len) if bucketed
                               else max_len)
+                if max_len > pad_to:
+                    self._warn_truncated(
+                        sum(len(s) + 2 > pad_to for s in seqs), pad_to)
                 return self._call_native(lib, seqs, pad_to)
 
         encs = [self.encode(s) for s in seqs]
@@ -207,6 +210,7 @@ class EsmTokenizer:
         if pad_to is None:
             pad_to = self.bucket_length(max_len) if bucketed else max_len
         if max_len > pad_to:  # truncate (bucket clamp), keep eos
+            self._warn_truncated(sum(len(e) > pad_to for e in encs), pad_to)
             encs = [
                 np.concatenate((e[: pad_to - 1], [EOS_ID])) if len(e) > pad_to else e
                 for e in encs
@@ -218,6 +222,17 @@ class EsmTokenizer:
             mask[row, : len(e)] = 1
         return {"input_ids": batch, "attention_mask": mask}
 
+
+    @staticmethod
+    def _warn_truncated(count: int, pad_to: int) -> None:
+        """Loud truncation, matching the packed path's contract
+        (train/packed_engine.py) — silently losing a >2046-residue chain's
+        tail in the plain/grouped paths was invisible before."""
+        import warnings
+        warnings.warn(
+            f"EsmTokenizer: {count} sequence(s) longer than the "
+            f"pad/bucket cap {pad_to} were truncated (eos kept)",
+            stacklevel=3)
 
     def _call_native(self, lib, seqs, pad_to: int) -> dict[str, np.ndarray]:
         import ctypes

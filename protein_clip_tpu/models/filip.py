@@ -90,6 +90,27 @@ def filip_similarity(ha: jax.Array, hb: jax.Array, mask_a: jax.Array,
     return sim_a, sim_b
 
 
+def filip_similarity_grouped(ha: jax.Array, hb: jax.Array,
+                             mask_a: jax.Array, mask_b: jax.Array,
+                             temperature: jax.Array
+                             ) -> tuple[jax.Array, jax.Array]:
+    """The reference's ``include_group=True`` form (models.py:299,326-330,
+    353-354): inputs carry leading group dims — ha (M, B, TA, D),
+    hb (N, B, TB, D), masks likewise — and every (m, n) group pair scores
+    independently. Returns (sim_a, sim_b), each (M, N, B, B).
+
+    No reference entry point ever passes include_group=True (dead option
+    there); kept as the idiomatic JAX form — two vmaps over the pairwise
+    ``filip_similarity`` — for API completeness.
+    """
+    def one_m(a, ma):
+        return jax.vmap(
+            lambda b, mb: filip_similarity(a, b, ma, mb, temperature)
+        )(hb, mask_b)
+
+    return jax.vmap(one_m)(ha, mask_a)
+
+
 def token_max_similarity(ha: jax.Array, hb: jax.Array) -> jax.Array:
     """Per-pair token max-similarity (the notebooks/filip.ipynb prototype,
     N2): for aligned pair i, mean over hA[i]'s tokens of the max dot product

@@ -176,8 +176,9 @@ def _lse_tiled_kernel(x_ref, y_ref, lse_r_ref, lse_c_ref, colm, cols):
 
 
 def _bwd_tiled_kernel(x_ref, y_ref, lse_r_ref, lse_c_ref, g_ref,
-                      dx_ref, dy_ref):
+                      dx_ref, dy_ref, dy_acc):
     i = pl.program_id(0)
+    nb = pl.num_programs(0)
     x = x_ref[:].astype(jnp.float32)
     y = y_ref[:].astype(jnp.float32)
     rb, b = x.shape[0], y.shape[0]
@@ -185,7 +186,7 @@ def _bwd_tiled_kernel(x_ref, y_ref, lse_r_ref, lse_c_ref, g_ref,
 
     @pl.when(i == 0)
     def _():
-        dy_ref[:] = jnp.zeros_like(dy_ref)
+        dy_acc[:] = jnp.zeros_like(dy_acc)
 
     logits = jnp.dot(x, y.T, preferred_element_type=jnp.float32)
     p_r = jnp.exp(logits - lse_r_ref[:])          # rows sum to 1
@@ -196,8 +197,14 @@ def _bwd_tiled_kernel(x_ref, y_ref, lse_r_ref, lse_c_ref, g_ref,
     dlogits = (g / (2.0 * b)) * (p_r + p_c - 2.0 * eye)
     dx_ref[:] = jnp.dot(dlogits, y, preferred_element_type=jnp.float32
                         ).astype(dx_ref.dtype)
-    dy_ref[:] += jnp.dot(dlogits.T, x, preferred_element_type=jnp.float32
-                         ).astype(dy_ref.dtype)
+    # dy accumulates across the sequential grid in an f32 scratch and casts
+    # to the output dtype ONCE at the end — revisit-accumulating in the
+    # output dtype would round bf16 embeddings' grads up to 32x per pool
+    dy_acc[:] += jnp.dot(dlogits.T, x, preferred_element_type=jnp.float32)
+
+    @pl.when(i == nb - 1)
+    def _():
+        dy_ref[:] = dy_acc[:].astype(dy_ref.dtype)
 
 
 def tiled_row_block(b: int) -> int | None:
@@ -270,6 +277,7 @@ def _bwd_tiled_call(x, y, g, rb, interpret):
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
                    jax.ShapeDtypeStruct(y.shape, y.dtype)),
+        scratch_shapes=[pltpu.VMEM((b, d), jnp.float32)],
         interpret=interpret,
     )(x, y, lse_r, lse_c, jnp.reshape(g, (1, 1)).astype(jnp.float32))
 

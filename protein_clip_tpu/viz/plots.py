@@ -17,17 +17,26 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 
+# next "figure N.png" index per figures dir: the existing-file scan runs
+# once per folder, later saves are O(1) (a long --epoch-figures run was
+# O(N^2) in total stat calls before)
+_NEXT_FIGURE_INDEX: dict[Path, int] = {}
+
+
 def save_plot(base_path: str | Path) -> str:
     """Save the current figure as the next ``figures/figure N.png``."""
     folder = Path(base_path) / "figures"
     folder.mkdir(parents=True, exist_ok=True)
-    n = 1
+    n = _NEXT_FIGURE_INDEX.get(folder, 1)
     while (folder / f"figure {n}.png").exists():
         n += 1
     path = folder / f"figure {n}.png"
     plt.tight_layout()
     plt.savefig(path)
-    plt.clf()
+    # close (not clf): clf leaks the Figure object — multi-epoch runs with
+    # --epoch-figures accumulated >20 open figures (matplotlib warning)
+    plt.close()
+    _NEXT_FIGURE_INDEX[folder] = n + 1
     return str(path)
 
 

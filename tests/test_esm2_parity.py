@@ -166,6 +166,29 @@ def test_lm_head_parity(rng):
     )
 
 
+def test_full_depth_parity_t12_35M(rng):
+    """Converter round trip + forward parity at a REAL family shape
+    (12 layers x 480 hidden, facebook/esm2_t12_35M_UR50D architecture):
+    catches depth/width error accumulation the 2-layer toy cannot. The
+    t30_150M-shaped check with recorded f32/bf16 numbers is
+    tools/check_esm2_full_parity.py (results in PARITY.md)."""
+    cfg = esm2.ESM2Config.t12_35M()
+    hf = make_hf_tiny(num_layers=cfg.num_layers, hidden=cfg.hidden_size,
+                      heads=cfg.num_heads,
+                      intermediate=cfg.intermediate_size, seed=3)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = esm2.convert_hf_state_dict(sd, cfg)
+
+    ids, mask = _rand_batch(rng, B=2, T=96, with_pad=True)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    out = np.asarray(esm2.forward(params, jnp.asarray(ids, jnp.int32),
+                                  jnp.asarray(mask, jnp.int32), cfg))
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(out[valid], ref[valid], atol=5e-5, rtol=5e-5)
+
+
 def test_param_count_t30_matches_150m():
     cfg = esm2.ESM2Config.t30_150M()
     params = esm2.init_params(jax.random.key(0), cfg)

@@ -60,6 +60,30 @@ def test_filip_similarity_matches_oracle(data):
     np.testing.assert_allclose(np.asarray(sim_b), ref_b, atol=1e-5)
 
 
+def test_filip_similarity_grouped_matches_per_pair(data):
+    """include_group form (reference models.py:326-330,353-354): each (m, n)
+    group pair must score exactly as the plain pairwise call on its slices."""
+    ha, hb, mask_a, mask_b = data
+    M, N, t = 2, 3, 0.7
+    gha = jnp.stack([jnp.asarray(ha) * s for s in (1.0, -1.0)])      # (M,B,TA,D)
+    ghb = jnp.stack([jnp.roll(jnp.asarray(hb), n, axis=0)
+                     for n in range(N)])                             # (N,B,TB,D)
+    gma = jnp.stack([jnp.asarray(mask_a)] * M)
+    gmb = jnp.stack([jnp.roll(jnp.asarray(mask_b), n, axis=0)
+                     for n in range(N)])
+    sa, sb = filip.filip_similarity_grouped(gha, ghb, gma, gmb,
+                                            jnp.asarray(t))
+    assert sa.shape == sb.shape == (M, N, ha.shape[0], hb.shape[0])
+    for m in range(M):
+        for n in range(N):
+            ea, eb = filip_similarity(gha[m], ghb[n], gma[m], gmb[n],
+                                      jnp.asarray(t))
+            np.testing.assert_allclose(np.asarray(sa[m, n]), np.asarray(ea),
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(sb[m, n]), np.asarray(eb),
+                                       atol=1e-6)
+
+
 def test_filip_self_similarity_diag_is_one(rng):
     # identical normalized sequences at t=1: max-sim of a token with itself = 1
     B, T, D = 4, 6, 8

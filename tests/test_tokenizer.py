@@ -61,11 +61,22 @@ def test_bucketing_static_shapes():
     assert out["input_ids"].shape == (2, 8)
     out2 = tok(["A" * 20])  # enc len 22 -> clamped to last bucket 32
     assert out2["input_ids"].shape == (1, 32)
-    # clamp truncation keeps EOS
-    out3 = tok(["A" * 100])
+    # clamp truncation keeps EOS and is LOUD (the packed path's contract;
+    # a silently tail-less >2046-residue chain was invisible before)
+    with pytest.warns(UserWarning, match="truncated"):
+        out3 = tok(["A" * 100])
     assert out3["input_ids"].shape == (1, 32)
     assert out3["input_ids"][0, -1] == EOS_ID
     assert out3["input_ids"][0, 0] == CLS_ID
+
+
+def test_truncation_warns_native_and_numpy():
+    for native in (True, False):
+        tok = EsmTokenizer(TokenizerConfig(buckets=(16,), use_native=native))
+        with pytest.warns(UserWarning, match="1 sequence"):
+            out = tok(["A" * 50, "MK"])
+        assert out["input_ids"].shape == (2, 16)
+        assert out["input_ids"][0, -1] == EOS_ID
 
 
 def test_special_ids():

@@ -21,7 +21,8 @@ def main():
                     help="HF hub id or local checkpoint dir")
     ap.add_argument("--out", required=True)
     ap.add_argument("--config", default="t30_150M",
-                    choices=["t30_150M", "t6_8M", "tiny"])
+                    choices=["t30_150M", "t6_8M", "t12_35M", "t33_650M",
+                             "t36_3B", "t48_15B", "tiny"])
     ap.add_argument("--lm-head", action="store_true",
                     help="also export the MLM head (loads EsmForMaskedLM)")
     args = ap.parse_args()
@@ -29,11 +30,10 @@ def main():
     from protein_clip_tpu.models import esm2
     from protein_clip_tpu.train.checkpoint import export_npz
 
-    cfg = {
-        "t30_150M": esm2.ESM2Config.t30_150M,
-        "t6_8M": esm2.ESM2Config.t6_8M,
-        "tiny": esm2.ESM2Config.tiny,
-    }[args.config]()
+    # getattr keeps this in lockstep with the ESM2Config family
+    # constructors (same dispatch as cli/common.esm_config) — all 7 CLI
+    # families convert, including the 650M/3B/15B TP/PP showcase models
+    cfg = getattr(esm2.ESM2Config, args.config)()
 
     if args.lm_head:
         from transformers import EsmForMaskedLM

@@ -56,7 +56,9 @@ def main():
     def infonce_tiled():
         from protein_clip_tpu.ops.infonce import clip_infonce
         from protein_clip_tpu.ops.infonce_pallas import fused_infonce_tiled
-        for B, D in [(1024, 128), (2048, 128)]:
+        # 4096 is the default_loss_fn dispatch cap (clip_engine) — this
+        # sweep is the compile-proof for every pool size the cap admits
+        for B, D in [(1024, 128), (2048, 128), (4096, 128)]:
             x = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
             y = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
             got = float(jax.jit(fused_infonce_tiled)(x, y))
