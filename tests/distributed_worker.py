@@ -1,0 +1,91 @@
+"""Subprocess worker for tests/test_distributed.py.
+
+Runs ONE real data-parallel CLIP train step as one rank of a 2-process
+`jax.distributed` cluster (2 local fake CPU devices each -> a global
+data=4 mesh, collectives over Gloo). Process 0 writes the loss and the
+updated head params to an npz the test compares against the equivalent
+single-process step — proving `parallel/distributed.py` + the shard_map
+steps really run multi-controller SPMD, not just single-process SPMD.
+
+Inputs are deterministic in the seed so both ranks build identical params;
+batch rows are split so each process only ever materialises ITS OWN rows
+(`jax.make_array_from_process_local_data`) — the negatives it sees from the
+other process travel through the all_gather, as on a real pod.
+
+Usage: python distributed_worker.py <pid> <nproc> <port> <out.npz>
+"""
+
+import os
+import sys
+
+
+def main():
+    pid, nproc, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
+                                  sys.argv[3], sys.argv[4])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    from protein_clip_tpu.parallel import distributed
+
+    distributed.initialize(f"127.0.0.1:{port}", num_processes=nproc,
+                           process_id=pid)
+    assert jax.process_index() == pid
+    assert jax.local_device_count() == 2
+    assert distributed.global_device_count() == 2 * nproc
+
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from protein_clip_tpu.models import clip, esm2
+    from protein_clip_tpu.parallel import mesh as mesh_mod
+    from protein_clip_tpu.parallel.step import make_sharded_train_step
+    from protein_clip_tpu.train import clip_engine
+    from tests.distributed_case import (build_case, CASE_BATCH, CASE_SEED)
+
+    mcfg, esm_params, params, batch = build_case()
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=2,
+                                   accumulated_batches=4, num_chunks=4,
+                                   remat=False)
+    # sgd: scale-sensitive — an n_data-x gradient bug fails the test
+    optimizer = optax.sgd(5e-2)
+    opt0 = optimizer.init(params)
+
+    mesh = mesh_mod.make_mesh(data=2 * nproc, model=1)
+    rows = CASE_BATCH // nproc
+    sharding = NamedSharding(mesh, P("data"))
+    gbatch = {
+        k: jax.make_array_from_process_local_data(
+            sharding, v[pid * rows:(pid + 1) * rows], v.shape)
+        for k, v in batch.items()
+    }
+    # params/opt_state as host numpy: uncommitted inputs are treated as
+    # replicated-and-identical across processes (they are, by construction)
+    params_h = jax.tree.map(np.asarray, params)
+    opt_h = jax.tree.map(np.asarray, opt0)
+
+    step = make_sharded_train_step(cfg, optimizer, mesh)
+    p1, _, loss = step(params_h, opt_h, jax.tree.map(np.asarray, esm_params),
+                       gbatch, jax.random.key(CASE_SEED))
+    loss = float(loss)
+    print(f"[rank {pid}] loss={loss:.6f}", flush=True)
+
+    if pid == 0:
+        from protein_clip_tpu.train.checkpoint import export_npz
+        export_npz(out_path, {"params": jax.tree.map(np.asarray, p1),
+                              "loss": np.float32(loss)})
+    # Gloo barrier so rank 0 finishes writing before either rank exits
+    import jax.experimental.multihost_utils as mh
+    mh.sync_global_devices("done")
+
+
+if __name__ == "__main__":
+    main()

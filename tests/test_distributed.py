@@ -1,0 +1,84 @@
+"""Multi-PROCESS execution: 2-rank `jax.distributed` CPU cluster.
+
+The rest of the suite fakes multi-chip with 8 local devices in ONE process;
+this test launches two separate Python processes (2 local devices each)
+that join a coordinator on localhost, form a global data=4 mesh, and run
+ONE real sharded DP train step with Gloo cross-process collectives — each
+rank holds only its own batch rows, so the InfoNCE negatives from the other
+rank genuinely cross the process boundary through the all_gather. Loss and
+SGD-updated params must equal the single-process computation at the same
+global batch (SGD: an n_data-times gradient-scale bug fails here).
+
+This is the comm-backend row of SURVEY §2.3 actually executing
+(`parallel/distributed.py` was previously never called by any test).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import optax
+import pytest
+import jax
+
+from protein_clip_tpu.train import clip_engine
+
+from tests.distributed_case import CASE_SEED, build_case
+
+_WORKER = Path(__file__).parent / "distributed_worker.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_dp_step_matches_single_process(tmp_path):
+    port = _free_port()
+    out = tmp_path / "rank0.npz"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = str(_WORKER.parent.parent)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(_WORKER), str(pid), "2", str(port),
+             str(out)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        outputs.append(stdout)
+    for p, stdout in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{stdout[-3000:]}"
+    assert out.exists(), outputs[0][-2000:]
+
+    # single-process oracle at the same global batch (this process runs on
+    # the suite's 8 fake devices; plain single-device engine step)
+    mcfg, esm_params, params, batch = build_case()
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=2,
+                                   accumulated_batches=4, num_chunks=4,
+                                   remat=False)
+    optimizer = optax.sgd(5e-2)
+    step = clip_engine.make_train_step(cfg, optimizer)
+    p1, _, loss1 = step(params, optimizer.init(params), esm_params, batch,
+                        jax.random.key(CASE_SEED))
+
+    from protein_clip_tpu.train.checkpoint import load_npz
+    got = load_npz(out, {"params": jax.tree.map(np.asarray, p1),
+                         "loss": np.float32(0)})
+    np.testing.assert_allclose(float(got["loss"]), float(loss1), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(got["params"]), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
