@@ -31,6 +31,8 @@ def build_argparser() -> argparse.ArgumentParser:
     common.add_common_args(p)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--n-candidates", type=int, default=256)
+    # (--packed comes from the shared args: here it selects sequence-packed
+    # candidate encoding — ~95% token fill, identical ranks)
     p.add_argument("--prefix-a", default="protein1")
     p.add_argument("--prefix-b", default="protein2")
     p.add_argument("--split", default="val", choices=["train", "val", "test"])
@@ -62,7 +64,8 @@ def main(argv=None) -> int:
                         drop_last=True, seed=args.seed)
 
     result = evaluate_retrieval(params, esm_params, loader, tokenizer, mcfg,
-                                n_candidates=args.n_candidates)
+                                n_candidates=args.n_candidates,
+                                packed=args.packed)
     print(f"top-1 accuracy: {result.top1:.4f}")
     if args.n_candidates >= 10:
         print(f"top-10 accuracy: {result.accuracies[9]:.4f}")

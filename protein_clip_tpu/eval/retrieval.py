@@ -38,9 +38,15 @@ class RetrievalResult:
 
 
 def encode_candidates(params, esm_params, loader, tokenizer, mcfg,
-                      n_candidates: int = 256, num_chunks: int = 16):
+                      n_candidates: int = 256, num_chunks: int = 16,
+                      packed: bool = False):
     """Collect the first n_candidates pairs from the loader and embed both
-    sides once. Returns (pep_emb, rec_emb), each (N, D)."""
+    sides once. Returns (pep_emb, rec_emb), each (N, D).
+
+    packed=True rides the sequence-packed backbone path (the training
+    throughput winner) — identical embeddings in original order (owner
+    maps carry global indices), ~95% token fill instead of pad-to-longest.
+    """
     peps: list[str] = []
     recs: list[str] = []
     for p, r in loader:
@@ -52,6 +58,10 @@ def encode_candidates(params, esm_params, loader, tokenizer, mcfg,
         raise ValueError(
             f"loader yielded {len(peps)} pairs < {n_candidates} candidates")
     peps, recs = peps[:n_candidates], recs[:n_candidates]
+    if packed:
+        from ..train.packed_engine import embed_packed, tokenize_packed
+        batch = tokenize_packed(tokenizer, peps, recs)
+        return embed_packed(params, esm_params, batch, mcfg)
     batch = tokenize_pair_batch(tokenizer, peps, recs)
 
     @jax.jit
@@ -123,10 +133,10 @@ def eval_allrec_onequery(params, esm_params, loader, tokenizer, mcfg,
 
 
 def evaluate_retrieval(params, esm_params, loader, tokenizer, mcfg,
-                       n_candidates: int = 256, seed: int | None = None
-                       ) -> RetrievalResult:
+                       n_candidates: int = 256, seed: int | None = None,
+                       packed: bool = False) -> RetrievalResult:
     pep, rec = encode_candidates(params, esm_params, loader, tokenizer, mcfg,
-                                 n_candidates)
+                                 n_candidates, packed=packed)
     ranks = ranks_from_embeddings(pep, rec)
     return RetrievalResult(
         ranks=ranks,

@@ -133,6 +133,13 @@ def make_train_step_grouped(cfg: EngineConfig,
 
 def make_eval_step(cfg: EngineConfig, similarity_fn: Callable | None = None,
                    use_dcl: bool | None = None):
+    """FILIP eval dispatched on the train data path (packed / grouped /
+    plain) so a val epoch rides the same padding-waste cuts as training."""
+    if cfg.packed:
+        from .filip_packed import make_eval_step_packed_filip
+        return make_eval_step_packed_filip(cfg, similarity_fn, use_dcl)
+    if cfg.length_groups > 1:
+        return make_eval_step_grouped(cfg, similarity_fn, use_dcl)
     mcfg = cfg.model
     use_dcl = cfg.filip_use_dcl if use_dcl is None else use_dcl
     sim_fn = similarity_fn or default_similarity_fn()
@@ -145,5 +152,44 @@ def make_eval_step(cfg: EngineConfig, similarity_fn: Callable | None = None,
                                      train=False, similarity_fn=sim_fn,
                                      num_chunks=n_chunks)
         return filip_loss(sim_a, sim_b, use_dcl)
+
+    return step
+
+
+def make_eval_step_grouped(cfg: EngineConfig,
+                           similarity_fn: Callable | None = None,
+                           use_dcl: bool | None = None):
+    """FILIP eval over tokenize_grouped batches: per-group buckets,
+    block-assembled (B, B) similarity (the grouped train path, no grads)."""
+    mcfg = cfg.model
+    use_dcl = cfg.filip_use_dcl if use_dcl is None else use_dcl
+    sim_fn = similarity_fn or default_similarity_fn()
+
+    @jax.jit
+    def step(params, esm_params, batches):
+        if isinstance(batches, dict):
+            raise ValueError(
+                "grouped FILIP eval step needs a tuple of tokenize_grouped "
+                "batches")
+        batches = [expand_batch(b) for b in batches]
+        sides = []
+        for b in batches:
+            n_chunks = _snap_chunks(
+                b["pep_ids"].shape[0],
+                max(1, cfg.num_chunks // len(batches)))
+            ha, hb = filip.encode_batch_tokens(
+                params, esm_params, b, mcfg, train=False,
+                remat=cfg.remat, num_chunks=n_chunks)
+            sides.append((ha, hb, b["pep_mask"], b["rec_mask"]))
+        n = len(sides)
+        blocks_a = [[None] * n for _ in range(n)]
+        blocks_b = [[None] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(n):
+                sa, sb = sim_fn(sides[i][0], sides[j][1], sides[i][2],
+                                sides[j][3], params["temperature"])
+                blocks_a[i][j] = sa
+                blocks_b[i][j] = sb
+        return filip_loss(jnp.block(blocks_a), jnp.block(blocks_b), use_dcl)
 
     return step

@@ -38,7 +38,7 @@ from .packed_engine import (_encode_packed_chunked, expand_packed_batch,
 Params = dict[str, Any]
 
 __all__ = ["tokenize_packed", "make_train_step_packed_filip",
-           "filip_sim_packed"]
+           "make_eval_step_packed_filip", "filip_sim_packed"]
 
 
 def _scatter_tokens_into(out, mask, x, seg, pos, owner, n_seqs: int):
@@ -136,6 +136,35 @@ def filip_sim_packed(params: Params, esm_params: Params, batch,
             sim_a = sim_a.at[ia[:, None], ib[None, :]].set(sa)
             sim_b = sim_b.at[ia[:, None], ib[None, :]].set(sb)
     return sim_a, sim_b
+
+
+def make_eval_step_packed_filip(cfg: EngineConfig,
+                                similarity_fn: Callable | None = None,
+                                use_dcl: bool | None = None,
+                                rows_per_chunk: int | None = None):
+    """Packed FILIP eval: the train step's packed similarity without grads
+    or dropout; batch size inferred from the batch's operm shapes (val
+    loaders yield cfg.batch_size pairs)."""
+    if rows_per_chunk is None:
+        rows_per_chunk = int(os.environ.get("PCT_ROWS_PER_CHUNK", "16"))
+    mcfg = cfg.model
+    use_dcl = cfg.filip_use_dcl if use_dcl is None else use_dcl
+
+    @jax.jit
+    def step(params, esm_params, batch):
+        if not any(k in batch for k in
+                   ("pep_operm", "pep_seg", "pep_packs")):
+            raise ValueError(
+                "packed FILIP eval step needs tokenize_packed batches")
+        n_seqs = packed_side_count(batch, "pep")
+        batch = expand_packed_batch(batch)
+        sim_a, sim_b = filip_sim_packed(
+            params, esm_params, batch, mcfg, n_seqs,
+            rows_per_chunk=rows_per_chunk, remat=cfg.remat, train=False,
+            rng=None, similarity_fn=similarity_fn)
+        return filip_loss(sim_a, sim_b, use_dcl)
+
+    return step
 
 
 def make_train_step_packed_filip(cfg: EngineConfig,

@@ -140,7 +140,7 @@ def fit(
                     params, opt_state, esm_params, train_loader, tokenizer,
                     train_step, erng, cfg)
             val_loss = clip_engine.evaluate(params, esm_params, val_loader,
-                                            tokenizer, eval_step)
+                                            tokenizer, eval_step, cfg)
             train_losses.append(train_loss)
             val_losses.append(val_loss)
             f.write(f"{epoch + 1},{train_loss:.4f},{val_loss:.4f}\n")
@@ -173,7 +173,7 @@ def fit(
     test_loss = None
     if test_loader is not None:
         test_loss = clip_engine.evaluate(best_params, esm_params, test_loader,
-                                         tokenizer, eval_step)
+                                         tokenizer, eval_step, cfg)
         log(f"Test Loss: {test_loss:.4f}")
 
     return FitResult(train_losses, val_losses, best_val, best_params, params,

@@ -307,76 +307,150 @@ def _pool_packs(head_params, h_list, packs, n_seqs: int, temperature, *,
                         activation=activation)
 
 
+def _default_rows_per_chunk(rows_per_chunk: int | None) -> int:
+    # 16 re-measured best after the multi-row kernel (865 vs 849@8, 776@32
+    # pairs/s); PCT_ROWS_PER_CHUNK is the sweep knob (docs/PERF.md).
+    if rows_per_chunk is None:
+        return int(os.environ.get("PCT_ROWS_PER_CHUNK", "16"))
+    return rows_per_chunk
+
+
+def _validate_packed_batch(batch, n_seqs: int | None) -> None:
+    if not any(k in batch for k in ("pep_operm", "pep_seg", "pep_packs")):
+        raise ValueError(
+            "packed step needs tokenize_packed batches (cfg.packed=True "
+            "pairs with the packed tokenizer; got a plain batch)")
+    if n_seqs is not None and ("pep_operm" in batch or "pep_packs" in batch):
+        for side in ("pep", "rec"):
+            got = packed_side_count(batch, side)
+            if got != n_seqs:
+                raise ValueError(
+                    f"packed batch has {got} {side} sequences but the step "
+                    f"expects {n_seqs} (cfg.global_batch for training); "
+                    f"segment_sum would silently drop or misroute "
+                    f"embeddings")
+
+
+def _packs_and_hidden(esm_params, batch, mcfg, rows_per_chunk: int,
+                      remat: bool):
+    """Expanded packs + chunk-scanned backbone hidden states, both sides.
+
+    Returns (h_lists, pack_lists) indexed [pep, rec]; each element is a
+    list over width tiers (length 1 for flat packing)."""
+    batch = expand_packed_batch(batch)
+    h_lists, pack_lists = [], []
+    for side in ("pep", "rec"):
+        if f"{side}_packs" in batch:
+            packs = list(batch[f"{side}_packs"])
+        else:
+            packs = [{k: batch[f"{side}_{k}"]
+                      for k in ("ids", "seg", "pos", "owner")}]
+        # constant TOKENS per chunk across tiers: narrower rows take
+        # proportionally more rows per chunk, keeping per-chunk matmul
+        # shapes at the width the rows_per_chunk sweep tuned.
+        l_max = max(p["ids"].shape[1] for p in packs)
+        hs = [_encode_packed_chunked(
+                  esm_params, p["ids"], p["seg"], p["pos"], mcfg.esm,
+                  rows_per_chunk * (l_max // p["ids"].shape[1]),
+                  remat).astype(jnp.float32)
+              for p in packs]
+        h_lists.append(hs)
+        pack_lists.append(packs)
+    return h_lists, pack_lists
+
+
+def _pooled_sides(params, h_lists, pack_lists, n_seqs: int, mcfg, *,
+                  train: bool, rng):
+    """(pep_emb, rec_emb) from per-tier hidden states + packs."""
+    rp = rr = None
+    if rng is not None:
+        rp, rr = jax.random.split(rng)
+    sides = []
+    for key, h_list, packs, r in (("pep", h_lists[0], pack_lists[0], rp),
+                                  ("rec", h_lists[1], pack_lists[1], rr)):
+        if len(h_list) == 1:
+            emb = _pool_packed(
+                params[key], h_list[0], packs[0]["seg"], packs[0]["owner"],
+                n_seqs, params["temperature"], dropout_rate=mcfg.dropout,
+                train=train, rng=r, activation=mcfg.activation)
+        else:
+            emb = _pool_packs(
+                params[key], h_list, packs, n_seqs, params["temperature"],
+                dropout_rate=mcfg.dropout, train=train, rng=r,
+                activation=mcfg.activation)
+        sides.append(emb)
+    return tuple(sides)
+
+
 def make_train_step_packed(cfg: EngineConfig,
                            optimizer: optax.GradientTransformation,
                            loss_fn: Callable | None = None,
                            rows_per_chunk: int | None = None):
-    # 16 re-measured best after the multi-row kernel (865 vs 849@8, 776@32
-    # pairs/s); PCT_ROWS_PER_CHUNK is the sweep knob (docs/PERF.md).
-    if rows_per_chunk is None:
-        rows_per_chunk = int(os.environ.get("PCT_ROWS_PER_CHUNK", "16"))
+    rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
     loss_fn = loss_fn or default_loss_fn()
     mcfg = cfg.model
     n_seqs = cfg.global_batch
 
-    def head_loss(params, hp_list, hr_list, packs_p, packs_r, rng):
-        rp, rr = jax.random.split(rng)
-        sides = []
-        for key, h_list, packs, r in (("pep", hp_list, packs_p, rp),
-                                      ("rec", hr_list, packs_r, rr)):
-            if len(h_list) == 1:
-                emb = _pool_packed(
-                    params[key], h_list[0], packs[0]["seg"],
-                    packs[0]["owner"], n_seqs, params["temperature"],
-                    dropout_rate=mcfg.dropout, train=True, rng=r,
-                    activation=mcfg.activation)
-            else:
-                emb = _pool_packs(
-                    params[key], h_list, packs, n_seqs,
-                    params["temperature"], dropout_rate=mcfg.dropout,
-                    train=True, rng=r, activation=mcfg.activation)
-            sides.append(emb)
-        return loss_fn(*sides)
+    def head_loss(params, h_lists, pack_lists, rng):
+        pep, rec = _pooled_sides(params, h_lists, pack_lists, n_seqs, mcfg,
+                                 train=True, rng=rng)
+        return loss_fn(pep, rec)
 
     @jax.jit
     def step(params, opt_state, esm_params, batch, rng):
-        if not any(k in batch for k in
-                   ("pep_operm", "pep_seg", "pep_packs")):
-            raise ValueError(
-                "packed step needs tokenize_packed batches (cfg.packed=True "
-                "pairs with the packed tokenizer; got a plain batch)")
-        if "pep_operm" in batch or "pep_packs" in batch:
-            for side in ("pep", "rec"):
-                got = packed_side_count(batch, side)
-                if got != n_seqs:
-                    raise ValueError(
-                        f"packed batch has {got} {side} sequences but "
-                        f"cfg.global_batch={n_seqs}; segment_sum would "
-                        f"silently drop or misroute embeddings")
-        batch = expand_packed_batch(batch)
-        h_lists, pack_lists = [], []
-        for side in ("pep", "rec"):
-            if f"{side}_packs" in batch:
-                packs = list(batch[f"{side}_packs"])
-            else:
-                packs = [{k: batch[f"{side}_{k}"]
-                          for k in ("ids", "seg", "pos", "owner")}]
-            # constant TOKENS per chunk across tiers: narrower rows take
-            # proportionally more rows per chunk, keeping per-chunk matmul
-            # shapes at the width the rows_per_chunk sweep tuned.
-            l_max = max(p["ids"].shape[1] for p in packs)
-            hs = [_encode_packed_chunked(
-                      esm_params, p["ids"], p["seg"], p["pos"], mcfg.esm,
-                      rows_per_chunk * (l_max // p["ids"].shape[1]),
-                      cfg.remat).astype(jnp.float32)
-                  for p in packs]
-            h_lists.append(hs)
-            pack_lists.append(packs)
+        _validate_packed_batch(batch, n_seqs)
+        h_lists, pack_lists = _packs_and_hidden(esm_params, batch, mcfg,
+                                                rows_per_chunk, cfg.remat)
         loss, grads = jax.value_and_grad(head_loss)(
-            params, h_lists[0], h_lists[1], pack_lists[0], pack_lists[1],
-            rng)
+            params, h_lists, pack_lists, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     return step
+
+
+def make_eval_step_packed(cfg: EngineConfig,
+                          loss_fn: Callable | None = None,
+                          rows_per_chunk: int | None = None):
+    """Packed eval step: the train step's batch assembly without grads or
+    dropout. Batch size is inferred from the batch's own operm shapes (val
+    loaders yield cfg.batch_size pairs, not the accumulated global batch),
+    so one step function serves any packed batch size.
+
+    Closes VERDICT r2 #3: eval previously tokenized single-bucket
+    pad-to-longest and paid the full padding the train side eliminated."""
+    loss_fn = loss_fn or default_loss_fn()
+    mcfg = cfg.model
+    rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
+
+    @jax.jit
+    def step(params, esm_params, batch):
+        _validate_packed_batch(batch, None)
+        n_seqs = packed_side_count(batch, "pep")
+        h_lists, pack_lists = _packs_and_hidden(esm_params, batch, mcfg,
+                                                rows_per_chunk, cfg.remat)
+        pep, rec = _pooled_sides(params, h_lists, pack_lists, n_seqs, mcfg,
+                                 train=False, rng=None)
+        return loss_fn(pep, rec)
+
+    return step
+
+
+def embed_packed(params, esm_params, batch, mcfg,
+                 rows_per_chunk: int | None = None):
+    """(pep_emb, rec_emb) for a packed batch, inference mode — the packed
+    fast path for eval/retrieval.encode_candidates. Embeddings come out in
+    original pair order (owner maps carry global indices)."""
+    rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
+
+    @jax.jit
+    def run(params, esm_params, batch):
+        n_seqs = packed_side_count(batch, "pep")
+        h_lists, pack_lists = _packs_and_hidden(esm_params, batch, mcfg,
+                                                rows_per_chunk, False)
+        return _pooled_sides(params, h_lists, pack_lists, n_seqs, mcfg,
+                             train=False, rng=None)
+
+    _validate_packed_batch(batch, None)
+    return run(params, esm_params, batch)

@@ -252,3 +252,115 @@ def test_stack_batches_rejects_mismatch(rng):
                                          ["SERT"] * 2)
     with pytest.raises(ValueError, match="differing leaf shapes"):
         clip_engine.stack_batches([b1, b2])
+
+
+def _seqs(rng, n, lo, hi):
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    return ["".join(rng.choice(aas, int(L))) for L in rng.integers(lo, hi, n)]
+
+
+def test_eval_step_packed_matches_plain(tiny, rng):
+    """Packed eval (the train data path) must score a batch identically to
+    the plain pad-to-longest eval step (VERDICT r2 #3)."""
+    mcfg, esm_params, params = tiny
+    tok = EsmTokenizer()
+    peps, recs = _seqs(rng, 8, 5, 15), _seqs(rng, 8, 10, 60)
+
+    plain_cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                         accumulated_batches=1, num_chunks=2)
+    plain = clip_engine.make_eval_step(plain_cfg)
+    l_plain = plain(params, esm_params,
+                    clip_engine.tokenize_pair_batch(tok, peps, recs))
+
+    from protein_clip_tpu.train.packed_engine import (make_eval_step_packed,
+                                                      tokenize_packed)
+    packed_cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                          accumulated_batches=1,
+                                          num_chunks=2, packed=True)
+    # the clip_engine dispatcher must hand back the packed step
+    step = clip_engine.make_eval_step(packed_cfg)
+    for tiers in (1, 4):
+        l_packed = step(params, esm_params,
+                        tokenize_packed(tok, peps, recs, tiers=tiers))
+        np.testing.assert_allclose(float(l_packed), float(l_plain),
+                                   rtol=2e-5)
+    # evaluate() dispatch: loader of one batch, packed tokenization inside
+    val = clip_engine.evaluate(params, esm_params, [(peps, recs)], tok,
+                               step, packed_cfg)
+    np.testing.assert_allclose(val, float(l_plain), rtol=2e-5)
+
+
+def test_eval_step_grouped_matches_plain(tiny, rng):
+    mcfg, esm_params, params = tiny
+    tok = EsmTokenizer()
+    peps, recs = _seqs(rng, 8, 5, 15), _seqs(rng, 8, 10, 60)
+    cfgp = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                    accumulated_batches=1, num_chunks=2)
+    l_plain = clip_engine.make_eval_step(cfgp)(
+        params, esm_params, clip_engine.tokenize_pair_batch(tok, peps, recs))
+
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2,
+                                   length_groups=2)
+    step = clip_engine.make_eval_step(cfg)
+    batches = clip_engine.tokenize_grouped(tok, peps, recs, 2)
+    np.testing.assert_allclose(float(step(params, esm_params, batches)),
+                               float(l_plain), rtol=2e-5)
+    val = clip_engine.evaluate(params, esm_params, [(peps, recs)], tok,
+                               step, cfg)
+    np.testing.assert_allclose(val, float(l_plain), rtol=2e-5)
+
+
+def test_filip_eval_step_packed_and_grouped_match_plain(rng):
+    from protein_clip_tpu.models import filip as filip_mod
+    from protein_clip_tpu.train import filip_engine
+    from protein_clip_tpu.train.packed_engine import tokenize_packed
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = filip_mod.FILIPConfig(input_dim=esm_cfg.hidden_size,
+                                 embedding_dim=16, h1=2, h2=2, dropout=0.0,
+                                 esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(1), esm_cfg)
+    params = filip_mod.init_params(jax.random.key(2), mcfg)
+    tok = EsmTokenizer()
+    peps, recs = _seqs(rng, 8, 5, 15), _seqs(rng, 8, 10, 60)
+
+    base_cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                        accumulated_batches=1, num_chunks=2)
+    l_plain = filip_engine.make_eval_step(
+        base_cfg, similarity_fn=filip_mod.filip_similarity)(
+        params, esm_params, clip_engine.tokenize_pair_batch(tok, peps, recs))
+
+    pk_cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                      accumulated_batches=1, num_chunks=2,
+                                      packed=True)
+    l_packed = filip_engine.make_eval_step(
+        pk_cfg, similarity_fn=filip_mod.filip_similarity)(
+        params, esm_params, tokenize_packed(tok, peps, recs))
+    np.testing.assert_allclose(float(l_packed), float(l_plain), rtol=2e-4)
+
+    gr_cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                      accumulated_batches=1, num_chunks=2,
+                                      length_groups=2)
+    l_grp = filip_engine.make_eval_step(
+        gr_cfg, similarity_fn=filip_mod.filip_similarity)(
+        params, esm_params, clip_engine.tokenize_grouped(tok, peps, recs, 2))
+    np.testing.assert_allclose(float(l_grp), float(l_plain), rtol=2e-4)
+
+
+def test_encode_candidates_packed_matches_plain(tiny, rng):
+    from protein_clip_tpu.eval.retrieval import (encode_candidates,
+                                                 ranks_from_embeddings)
+
+    mcfg, esm_params, params = tiny
+    tok = EsmTokenizer()
+    peps, recs = _seqs(rng, 8, 5, 15), _seqs(rng, 8, 10, 60)
+    loader = [(peps, recs)]
+    pe, re_ = encode_candidates(params, esm_params, loader, tok, mcfg,
+                                n_candidates=8, num_chunks=2)
+    pp, rp = encode_candidates(params, esm_params, loader, tok, mcfg,
+                               n_candidates=8, packed=True)
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(pe), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rp), np.asarray(re_), atol=2e-5)
+    np.testing.assert_array_equal(ranks_from_embeddings(pp, rp),
+                                  ranks_from_embeddings(pe, re_))
