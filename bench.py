@@ -107,8 +107,11 @@ def bench_filip():
         if packed:
             from protein_clip_tpu.train.filip_packed import tokenize_packed
             tiers = int(os.environ.get("PCT_PACK_TIERS", "1"))
+            # PCT_FILIP_SCATTER_TIERS=4: flat backbone pack + per-length-
+            # tier token buffers (kill the quadratic padding in max-sim)
+            sct = int(os.environ.get("PCT_FILIP_SCATTER_TIERS", "1"))
             batches.append(tokenize_packed(tokenizer, peps, recs,
-                                           tiers=tiers))
+                                           tiers=tiers, scatter_tiers=sct))
         else:
             batches.append(tokenize_grouped(tokenizer, peps, recs,
                                             cfg.length_groups))

@@ -44,9 +44,15 @@ dynamic-slice reads and online-softmax rescales cost more than the ~30%
 of cross-segment tiles they skip at the Propedia length profile
 (~1.7 segments/row). Removed; see docs/PERF.md and git history.
 
-Backward: the training hot path never differentiates the backbone (frozen,
-stop_gradient — train/gradcache.py), so the custom VJP recomputes the eager
-attention under jax.vjp. Correct everywhere, fast where it matters.
+Backward: flash-style Pallas kernel (``_bwd_kernel``) — recomputes each
+head's score tile in VMEM from q/k alone (no residuals beyond the inputs),
+forms dS = P * (dP - rowsum(P*dP)) in f32, and accumulates dk/dv across
+q-blocks in f32 carries. Like the forward, the (T, T) tensor never touches
+HBM — so the unfrozen-encoder gradcache path (train/gradcache.py:63-109)
+keeps the memory/bandwidth profile the forward kernel exists to provide,
+instead of falling back to an eager VJP that materialises the
+(B, nh, T, T) f32 scores (the round-2 backward did exactly that).
+Grad parity vs the eager VJP: tests/test_pallas_attention.py.
 """
 
 from __future__ import annotations
@@ -191,6 +197,126 @@ def _attention_call(q, k, v, segments):
     return out.swapaxes(1, 2).reshape(B, T, NH, DH)
 
 
+def _bwd_q_block(T: int) -> int:
+    """Backward q-block: half the forward's score-tile budget — the
+    backward holds FOUR (QB, T) f32 tiles (s, p, dp, ds) plus the f32
+    dk/dv accumulators, where the forward holds two."""
+    limit = max(128, (1 << 18) // T)
+    if T <= limit:
+        return T
+    return max((c for c in range(128, limit + 1, 128) if T % c == 0),
+               default=T)
+
+
+def _bwd_kernel(s_ref, sc_ref, q_ref, k_ref, v_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, dh: int, q_block: int):
+    """One row, one 128-lane head group per program (rpp fixed at 1: the
+    backward's f32 tile set is ~2x the forward's). Same T-minor (R, lanes,
+    T) views as the forward, so no layout copies appear around the call."""
+    lanes = q_ref.shape[1]
+    T = q_ref.shape[2]
+    r = 0
+    seg_row = s_ref[r]                           # (1, T) int32
+    key_ok = seg_row > 0
+
+    for h in range(lanes // dh):
+        lo = h * dh
+        kh = k_ref[r, lo:lo + dh, :]             # (dh, T)
+        vh = v_ref[r, lo:lo + dh, :]
+
+        def block(qh, doh, seg_q):
+            # recompute the forward's masked softmax tile in f32
+            allowed = (seg_q == seg_row) & key_ok
+            s = jax.lax.dot_general(
+                qh, kh, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (QB, T)
+            s = jnp.where(allowed, s, _NEG)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)      # f32 (QB, T)
+            dp = jax.lax.dot_general(                      # (QB, T)
+                doh, vh, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            delta = jnp.sum(p * dp, axis=1, keepdims=True)  # (QB, 1)
+            # re-mask dS: for valid rows p is already 0 at masked entries,
+            # but a fully-padded query row softmaxes UNIFORM (all scores
+            # _NEG) — the eager where() blocks its dq/dk, so must we.
+            # p itself stays unmasked for dv: the eager VJP routes the
+            # uniform pad rows' do into dv too, and parity is exact.
+            ds = jnp.where(allowed, p * (dp - delta), 0.0).astype(qh.dtype)
+            p_c = p.astype(vh.dtype)
+            # dq = kh · dsᵀ; dk += qh · ds; dv += doh · p
+            dq = jax.lax.dot_general(
+                kh, ds, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (dh, QB)
+            dk_c = jax.lax.dot_general(
+                qh, ds, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (dh, T)
+            dv_c = jax.lax.dot_general(
+                doh, p_c, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return dq, dk_c, dv_c
+
+        if q_block == T:
+            dq, dk_c, dv_c = block(q_ref[r, lo:lo + dh, :],
+                                   do_ref[r, lo:lo + dh, :], sc_ref[r])
+            dq_ref[r, lo:lo + dh, :] = dq.astype(dq_ref.dtype)
+            dk_ref[r, lo:lo + dh, :] = dk_c.astype(dk_ref.dtype)
+            dv_ref[r, lo:lo + dh, :] = dv_c.astype(dv_ref.dtype)
+            continue
+
+        def qloop(qi, carry, lo=lo):
+            dk_acc, dv_acc = carry
+            q0 = pl.multiple_of(qi * q_block, q_block)     # 128-aligned
+            qh = q_ref[r, lo:lo + dh, pl.ds(q0, q_block)]
+            doh = do_ref[r, lo:lo + dh, pl.ds(q0, q_block)]
+            seg_q = sc_ref[r, pl.ds(q0, q_block), :]       # (QB, 1)
+            dq, dk_c, dv_c = block(qh, doh, seg_q)
+            dq_ref[r, lo:lo + dh, pl.ds(q0, q_block)] = dq.astype(
+                dq_ref.dtype)
+            return dk_acc + dk_c, dv_acc + dv_c
+
+        zero = jnp.zeros((dh, T), jnp.float32)
+        dk_acc, dv_acc = jax.lax.fori_loop(0, T // q_block, qloop,
+                                           (zero, zero))
+        dk_ref[r, lo:lo + dh, :] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[r, lo:lo + dh, :] = dv_acc.astype(dv_ref.dtype)
+
+
+def _attention_bwd_call(q, k, v, segments, do):
+    B, T, NH, DH = q.shape
+    lanes = NH * DH
+    group = _GROUP_LANES if lanes % _GROUP_LANES == 0 else lanes
+    n_groups = lanes // group
+    q_block = _bwd_q_block(T)
+
+    def t_minor(x):
+        return x.reshape(B, T, lanes).swapaxes(1, 2)   # (B, lanes, T)
+
+    qkv_spec = pl.BlockSpec((1, group, T), lambda b, g: (b, g, 0),
+                            memory_space=pltpu.VMEM)
+    seg32 = segments.astype(jnp.int32)
+    out_shape = jax.ShapeDtypeStruct((B, lanes, T), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, dh=DH, q_block=q_block),
+        grid=(B, n_groups),
+        in_specs=[pl.BlockSpec((1, 1, T), lambda b, g: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, T, 1), lambda b, g: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  qkv_spec, qkv_spec, qkv_spec, qkv_spec],
+        out_specs=(qkv_spec, qkv_spec, qkv_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=jax.default_backend() != "tpu",
+    )(seg32[:, None, :], seg32[:, :, None], t_minor(q), t_minor(k),
+      t_minor(v), t_minor(do.astype(q.dtype)))
+
+    def back(x):
+        return x.swapaxes(1, 2).reshape(B, T, NH, DH)
+
+    return back(dq), back(dk), back(dv)
+
+
 def _eager_reference(q, k, v, segments):
     scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
                         preferred_element_type=jnp.float32)
@@ -220,9 +346,7 @@ def _fwd(q, k, v, segments):
 
 def _bwd(res, g):
     q, k, v, segments = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _eager_reference(q_, k_, v_, segments), q, k, v)
-    dq, dk, dv = vjp(g.astype(q.dtype))
+    dq, dk, dv = _attention_bwd_call(q, k, v, segments, g)
     return dq, dk, dv, None
 
 

@@ -208,11 +208,18 @@ def _bwd_tiled_kernel(x_ref, y_ref, lse_r_ref, lse_c_ref, g_ref,
 
 
 def tiled_row_block(b: int) -> int | None:
-    """Largest row block in {512, 256, 128} dividing b, or None."""
+    """Largest row block in {512, 256, 128} dividing b whose f32 tile set
+    fits VMEM, or None.
+
+    The backward kernel holds four (rb, b) f32 tiles (logits, p_r, p_c,
+    dlogits) plus the (b, d) y/dy/dy_acc buffers; a flat rb=512 at b=4096
+    wants ~32 MB of tiles and fails Mosaic compile (seen on v5e via the
+    tpu_smoke 4096 sweep) — cap 4*rb*b*4 at 8 MB so the tile set shrinks
+    as the pool grows: 512 @ b<=1024, 256 @ 2048, 128 @ 4096."""
     for rb in (512, 256, 128):
-        if b % rb == 0:
+        if b % rb == 0 and 4 * rb * b * 4 <= 8 * 1024 * 1024:
             return rb
-    return None
+    return 128 if b % 128 == 0 and b <= 4096 else None
 
 
 def _full_spec():

@@ -91,7 +91,8 @@ def _pack_one(encs: list[np.ndarray], idx: np.ndarray, row_len: int
 def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
                     recs: list[str], pep_row_len: int | None = None,
                     rec_row_len: int | None = None,
-                    tiers: int = 1) -> dict[str, jnp.ndarray]:
+                    tiers: int = 1,
+                    scatter_tiers: int = 1) -> dict[str, jnp.ndarray]:
     """Pack both sides into a compact device batch.
 
     Row lengths derive from each side's longest tokenized sequence (multiple
@@ -107,6 +108,17 @@ def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
     holding GLOBAL batch indices — instead of the flat ``{side}_ids`` /
     ``{side}_operm`` pair (emitted whenever a single tier ends up holding
     everything).
+
+    scatter_tiers > 1 (FILIP, flat packing only): the BACKBONE rows stay
+    flat-packed at full fill, but the wire additionally carries
+    ``{side}_stiers`` — per-length-tier global-index groups — so the
+    packed FILIP similarity can scatter per-token embeddings into
+    per-tier (B_t, W_t, D) buffers and assemble the (B, B) score from
+    tier-pair kernel blocks. The max-similarity kernel's work is
+    (sum_t B_t*W_t)^2 instead of (B*row_len)^2 — it stops paying the
+    quadratic cost of per-sequence padding without giving up backbone
+    fill (the trade that made full width-tiered packing LOSE on the
+    standard profile, docs/PERF.md round 4).
     """
     out: dict[str, jnp.ndarray] = {}
     for side, seqs, explicit in (("pep", peps, pep_row_len),
@@ -134,6 +146,19 @@ def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
         if len(packs) == 1:
             out[f"{side}_ids"] = packs[0]["ids"]
             out[f"{side}_operm"] = packs[0]["operm"]
+            if scatter_tiers > 1:
+                # narrowest fitting tier per sequence
+                swidths = _tier_widths(row_len)
+                sgroups: dict[int, list[int]] = {w: [] for w in swidths}
+                for j, e in enumerate(encs):
+                    w = next(w for w in swidths if len(e) <= w)
+                    sgroups[w].append(j)
+                out[f"{side}_stiers"] = tuple(
+                    {"operm": jnp.asarray(np.asarray(sgroups[w], np.int32)),
+                     # width marker: the only static channel a jit'd pytree
+                     # leaf offers is its SHAPE
+                     "wmark": jnp.zeros((w,), jnp.int8)}
+                    for w in swidths if sgroups[w])
         else:
             out[f"{side}_packs"] = tuple(packs)
     return out

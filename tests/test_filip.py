@@ -290,3 +290,80 @@ def test_filip_tiered_packed_step_matches_plain(rng):
     for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=2e-5, rtol=1e-3)
+
+
+def test_filip_scatter_tier_step_matches_flat_packed(rng):
+    """Scatter-tier packed FILIP (flat backbone pack + per-length-tier
+    token buffers + tier-pair block assembly) must match the flat packed
+    step exactly — same loss AND same SGD-updated params (SGD so a grad
+    discrepancy through the tiered scatter cannot hide)."""
+    import optax
+
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import esm2
+    from protein_clip_tpu.train import clip_engine
+    from protein_clip_tpu.train.filip_packed import (
+        make_train_step_packed_filip, tokenize_packed)
+
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    seqs = lambda n, lo, hi: ["".join(rng.choice(aas, int(L)))
+                              for L in rng.integers(lo, hi, n)]
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = filip.FILIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                             h1=2, h2=2, dropout=0.0, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    params = filip.init_params(jax.random.key(1), mcfg)
+    optimizer = optax.sgd(5e-2)
+    opt0 = optimizer.init(params)
+    tok = EsmTokenizer()
+    # wide length spread so several scatter tiers are non-empty
+    peps, recs = seqs(8, 5, 120), seqs(8, 10, 300)
+
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2,
+                                   remat=False)
+    step = make_train_step_packed_filip(
+        cfg, optimizer, similarity_fn=filip.filip_similarity,
+        rows_per_chunk=1)
+
+    b_flat = tokenize_packed(tok, peps, recs)
+    p1, _, l1 = step(params, opt0, esm_params, b_flat, jax.random.key(2))
+
+    b_st = tokenize_packed(tok, peps, recs, scatter_tiers=4)
+    assert "pep_stiers" in b_st and len(b_st["rec_stiers"]) > 1
+    # backbone wire identical: stiers only add scatter metadata
+    np.testing.assert_array_equal(np.asarray(b_st["pep_ids"]),
+                                  np.asarray(b_flat["pep_ids"]))
+    p2, _, l2 = step(params, opt0, esm_params, b_st, jax.random.key(2))
+
+    np.testing.assert_allclose(float(l2), float(l1), rtol=2e-5)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_filip_scatter_tier_eval_matches(rng):
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import esm2
+    from protein_clip_tpu.train import clip_engine
+    from protein_clip_tpu.train.filip_packed import (
+        make_eval_step_packed_filip, tokenize_packed)
+
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    seqs = lambda n, lo, hi: ["".join(rng.choice(aas, int(L)))
+                              for L in rng.integers(lo, hi, n)]
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = filip.FILIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                             h1=2, h2=2, dropout=0.0, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    params = filip.init_params(jax.random.key(1), mcfg)
+    tok = EsmTokenizer()
+    peps, recs = seqs(8, 5, 120), seqs(8, 10, 300)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2)
+    step = make_eval_step_packed_filip(
+        cfg, similarity_fn=filip.filip_similarity, rows_per_chunk=1)
+    l1 = step(params, esm_params, tokenize_packed(tok, peps, recs))
+    l2 = step(params, esm_params,
+              tokenize_packed(tok, peps, recs, scatter_tiers=4))
+    np.testing.assert_allclose(float(l2), float(l1), rtol=2e-5)

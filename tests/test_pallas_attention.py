@@ -74,6 +74,57 @@ def test_fused_grads_match_eager(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_fused_grads_match_eager_single_shot(rng):
+    """Flash-style Pallas backward, single-block regime (T <= the bwd
+    score-tile cap): dq/dk/dv must match the eager VJP, including the
+    pad-query rows whose uniform softmax routes do into dv but not dq/dk."""
+    q, k, v, mask = _qkvm(rng, B=2, T=256, NH=4)
+
+    def run(f):
+        return jax.grad(lambda q_, k_, v_: jnp.sum(f(q_, k_, v_, mask) ** 2),
+                        argnums=(0, 1, 2))(q, k, v)
+
+    for a, b in zip(run(fused_attention), run(_eager_reference)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_grads_match_eager_q_blocked(rng):
+    """T past the backward cap: the q-block loop with f32 dk/dv carries
+    must still match the eager VJP exactly."""
+    from protein_clip_tpu.ops.attention_pallas import _bwd_q_block
+
+    T = 1024
+    assert _bwd_q_block(T) < T  # really exercises the blocked path
+    q, k, v, mask = _qkvm(rng, B=1, T=T, NH=2)
+
+    def run(f):
+        return jax.grad(lambda q_, k_, v_: jnp.sum(f(q_, k_, v_, mask) ** 2),
+                        argnums=(0, 1, 2))(q, k, v)
+
+    for a, b in zip(run(fused_attention), run(_eager_reference)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_grads_match_eager_packed_segments(rng):
+    """Packed rows (multi-segment + gap): backward must respect the
+    segment mask exactly as the eager where() does."""
+    B, T, NH, DH = 1, 128, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, T, NH, DH)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(B, T, NH, DH)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(B, T, NH, DH)).astype(np.float32))
+    seg = np.zeros((B, T), np.int32)
+    seg[0, :40] = 1
+    seg[0, 40:90] = 2  # 90: stays 0 = gap
+    seg = jnp.asarray(seg)
+
+    def run(f):
+        return jax.grad(lambda q_, k_, v_: jnp.sum(f(q_, k_, v_, seg) ** 2),
+                        argnums=(0, 1, 2))(q, k, v)
+
+    for a, b in zip(run(fused_attention), run(_eager_reference)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_esm_forward_fused_matches_eager(rng):
     cfg_e = esm2.ESM2Config.tiny()
     # fused path only engages on TPU; on CPU this exercises the dispatch

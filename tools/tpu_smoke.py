@@ -5,6 +5,7 @@ issues only surface when actually compiled).
 Run on a TPU host: python tools/tpu_smoke.py
 """
 
+import functools
 import sys
 import time
 from pathlib import Path
@@ -120,9 +121,53 @@ def main():
             ref = _eager_reference(q, k, v, jnp.asarray(m))
             mb = np.asarray(m).astype(bool)
             d = float(jnp.abs(got - ref)[mb].max())
-            assert d < 1e-3, (B, T, d)
+            # TPU f32 matmuls run bf16-pass by default in BOTH paths but
+            # with different contraction orders — observed drift up to
+            # ~1.3e-3; exactness is pinned by the CPU interpret tests
+            # (tests/test_pallas_attention.py, atol 1e-5)
+            assert d < 3e-3, (B, T, d)
 
     check("fused attention kernel", fused_attention)
+
+    # flash-style attention BACKWARD compiled at both q-block regimes +
+    # packed segments (the unfrozen-encoder path's kernel)
+    def fused_attention_bwd():
+        from protein_clip_tpu.ops.attention_pallas import (
+            _eager_reference, fused_attention)
+        for B, T, packed in [(4, 256, False), (2, 512, False),
+                             (2, 2048, False), (2, 512, True)]:
+            q = jnp.asarray(
+                rng.normal(size=(B, T, 20, 32)).astype(np.float32)
+            ) * (32 ** -0.5)
+            k = jnp.asarray(
+                rng.normal(size=(B, T, 20, 32)).astype(np.float32))
+            v = jnp.asarray(
+                rng.normal(size=(B, T, 20, 32)).astype(np.float32))
+            if packed:
+                m = np.zeros((B, T), np.int32)
+                m[:, : T // 3] = 1
+                m[:, T // 3: 2 * T // 3] = 2
+            else:
+                m = np.ones((B, T), np.int32)
+                m[1 % B, T // 3:] = 0
+            seg = jnp.asarray(m)
+
+            def loss(f, q_, k_, v_):
+                return jnp.sum(f(q_, k_, v_, seg) ** 2)
+
+            got = jax.jit(jax.grad(functools.partial(loss, fused_attention),
+                                   argnums=(0, 1, 2)))(q, k, v)
+            ref = jax.grad(functools.partial(loss, _eager_reference),
+                           argnums=(0, 1, 2))(q, k, v)
+            for name, gm, rm in zip("qkv", got, ref):
+                d = float(jnp.abs(gm - rm).max())
+                # bf16-pass matmul drift amplifies through the grad chain
+                # (observed ~3e-3); grad exactness is pinned by the CPU
+                # interpret tests (atol 1e-4) — this is a compile+sanity
+                # check on real hardware
+                assert d < 2e-2, (B, T, packed, name, d)
+
+    check("fused attention backward", fused_attention_bwd)
 
     # FILIP train step at reference batch 10 with the fused kernel
     def filip_engine_step():
