@@ -145,6 +145,73 @@ def bench_filip():
     }))
 
 
+def bench_eval():
+    """Packed EVAL + packed retrieval-encode throughput (VERDICT r2 #3:
+    eval must ride the train data path, within ~1.3x of train pairs/s).
+    Same model/profile as the train headline (t30_150M bf16, packed rows,
+    global batch 256); eval has no backward, so it should in fact beat
+    the train number."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import clip, esm2
+    from protein_clip_tpu.train import clip_engine
+
+    esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16)
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
+                                  dtype=jnp.bfloat16)
+    params = clip.init_params(jax.random.key(1), mcfg)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=16,
+                                   accumulated_batches=16, num_chunks=16,
+                                   packed=True)
+    eval_step = clip_engine.make_eval_step(cfg)
+
+    tokenizer = EsmTokenizer()
+    rng = np.random.default_rng(42)
+    n_steps = 10
+    batches = make_batches(rng, n_steps + 1, cfg.global_batch, tokenizer,
+                           "packed")
+    batches = [jax.device_put(b) for b in batches]
+    for b in batches:
+        for leaf in jax.tree.leaves(b):
+            float(jnp.sum(leaf.astype(jnp.int32)))
+    for b in batches:  # compile per composition
+        float(eval_step(params, esm_params, b))
+
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        losses.append(eval_step(params, esm_params, batches[i + 1]))
+    vals = [float(l) for l in losses]
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(v) for v in vals), vals
+    eval_pps = n_steps * cfg.global_batch / dt
+
+    # packed retrieval encode (topk --packed): embed 256 candidate pairs
+    from protein_clip_tpu.train.packed_engine import embed_packed
+    emb = lambda b: embed_packed(params, esm_params, b, mcfg)
+    for b in batches:
+        pe, re_ = emb(b)
+        float(jnp.sum(pe)) + float(jnp.sum(re_))
+    t0 = time.perf_counter()
+    outs = [emb(batches[i + 1]) for i in range(n_steps)]
+    for pe, re_ in outs:
+        float(jnp.sum(pe)) + float(jnp.sum(re_))
+    dt = time.perf_counter() - t0
+    encode_pps = n_steps * cfg.global_batch / dt
+
+    print(json.dumps({
+        "metric": "eval_pairs_per_sec_per_chip",
+        "value": round(eval_pps, 2),
+        "unit": "pairs/s",
+        "retrieval_encode_pairs_per_sec": round(encode_pps, 2),
+    }))
+
+
 def main():
     import os
 
@@ -158,6 +225,8 @@ def main():
 
     if os.environ.get("PCT_BENCH_MODE") == "filip":
         return bench_filip()
+    if os.environ.get("PCT_BENCH_MODE") == "eval":
+        return bench_eval()
 
     import jax.numpy as jnp
 

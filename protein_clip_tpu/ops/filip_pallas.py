@@ -54,7 +54,14 @@ def _maxsim_kernel(ha_ref, hb_ref, ma_ref, mb_ref, oa_ref, ob_ref,
         valid = ma_col * mb                                # (TA, chunk)
         s = jnp.where(valid > 0, s, _NEG)
         row_max = jnp.maximum(row_max, jnp.max(s, axis=1, keepdims=True))
+        # clamp the no-valid-key sentinel to 0 BEFORE it can be summed:
+        # a pair where one side's mask is empty (scatter-tier dummy slots)
+        # leaves every score at _NEG, and summing ~hundreds of f32-min
+        # values overflows to -inf — which poisons the TEMPERATURE grad
+        # downstream (raw/t differentiates to -raw/t^2; a zero cotangent
+        # times inf is NaN, even though the entry itself is sliced away).
         col_max = jnp.max(s, axis=0, keepdims=True)        # (1, chunk)
+        col_max = jnp.where(col_max <= _NEG, 0.0, col_max)
         acc_b = acc_b + jnp.sum(col_max * mb)
         return row_max, acc_b
 
@@ -64,6 +71,7 @@ def _maxsim_kernel(ha_ref, hb_ref, ma_ref, mb_ref, oa_ref, ob_ref,
     for c in range(n_chunks):
         carry = body(c, carry)
     row_max, acc_b = carry
+    row_max = jnp.where(row_max <= _NEG, 0.0, row_max)     # same clamp
 
     cnt_a = jnp.maximum(jnp.sum(ma_row), 1e-6)
     cnt_b = jnp.maximum(jnp.sum(mb_ref[0].astype(jnp.float32)), 1e-6)

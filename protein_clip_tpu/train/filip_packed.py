@@ -182,8 +182,16 @@ def filip_sim_packed(params: Params, esm_params: Params, batch,
     if len(sides["pep"]) == 1 and len(sides["rec"]) == 1:
         (ha, mask_a, _), (hb, mask_b, _) = sides["pep"][0], sides["rec"][0]
         return sim_fn(ha, hb, mask_a, mask_b, t)
-    sim_a = jnp.zeros((n_seqs, n_seqs), jnp.float32)
-    sim_b = jnp.zeros((n_seqs, n_seqs), jnp.float32)
+    # Assemble into an (n+1, n+1) buffer and slice: scatter-tier operms pad
+    # to shape-stable counts with the sentinel index n_seqs, and the DUMP
+    # row/col keeps those writes IN BOUNDS. An out-of-bounds scatter would
+    # drop them on the forward — but its transpose is a gather whose
+    # out-of-bounds FILL is NaN, and the fused kernel's hand-written
+    # backward multiplies (not selects) by the pad mask, so NaN * 0 = NaN
+    # poisoned every gradient (bench params went NaN after one step; the
+    # lax path hid it because jnp.where's select blocks NaN).
+    sim_a = jnp.zeros((n_seqs + 1, n_seqs + 1), jnp.float32)
+    sim_b = jnp.zeros((n_seqs + 1, n_seqs + 1), jnp.float32)
     for ha, mask_a, ixa in sides["pep"]:
         ia = jnp.arange(n_seqs) if ixa is None else ixa
         for hb, mask_b, ixb in sides["rec"]:
@@ -191,7 +199,7 @@ def filip_sim_packed(params: Params, esm_params: Params, batch,
             sa, sb = sim_fn(ha, hb, mask_a, mask_b, t)
             sim_a = sim_a.at[ia[:, None], ib[None, :]].set(sa)
             sim_b = sim_b.at[ia[:, None], ib[None, :]].set(sb)
-    return sim_a, sim_b
+    return sim_a[:n_seqs, :n_seqs], sim_b[:n_seqs, :n_seqs]
 
 
 def make_eval_step_packed_filip(cfg: EngineConfig,

@@ -153,8 +153,19 @@ def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
                 for j, e in enumerate(encs):
                     w = next(w for w in swidths if len(e) <= w)
                     sgroups[w].append(j)
+                n_seqs = len(encs)
+
+                def _padded(g):
+                    # tier counts round up to 8 with the out-of-range
+                    # sentinel n_seqs: scatters DROP out-of-bounds updates,
+                    # so dummy slots stay zero/masked and never reach the
+                    # assembled (B, B) — compiled shapes repeat across
+                    # batches instead of recompiling per composition
+                    pad = (-len(g)) % 8
+                    return np.asarray(g + [n_seqs] * pad, np.int32)
+
                 out[f"{side}_stiers"] = tuple(
-                    {"operm": jnp.asarray(np.asarray(sgroups[w], np.int32)),
+                    {"operm": jnp.asarray(_padded(sgroups[w])),
                      # width marker: the only static channel a jit'd pytree
                      # leaf offers is its SHAPE
                      "wmark": jnp.zeros((w,), jnp.int8)}
@@ -254,7 +265,11 @@ def _encode_packed_chunked(esm_params, ids, seg, pos, cfg: esm2.ESM2Config,
                          segment_ids=s, positions=p)
         return None, h
 
-    _, h = jax.lax.scan(body, None, (ids_c, seg_c, pos_c))
+    # PCT_SCAN_UNROLL: unrolls the chunk scan so XLA can overlap adjacent
+    # chunks' prologue/epilogue (the trace attributes the residual gap to
+    # scan/dispatch seams — docs/PERF.md)
+    unroll = int(os.environ.get("PCT_SCAN_UNROLL", "1"))
+    _, h = jax.lax.scan(body, None, (ids_c, seg_c, pos_c), unroll=unroll)
     return jax.lax.stop_gradient(h.reshape(R, L, -1))
 
 

@@ -341,6 +341,22 @@ def test_filip_scatter_tier_step_matches_flat_packed(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=2e-5, rtol=1e-3)
 
+    # Chain a SECOND step through the FUSED kernel's hand-written backward
+    # (interpret mode here): the padded-operm sentinel once produced NaN
+    # grads via the scatter-transpose NaN fill — invisible to a single
+    # step's loss, fatal to the next. Both chained paths must stay finite
+    # and equal.
+    fstep = make_train_step_packed_filip(cfg, optimizer, rows_per_chunk=1)
+    pf, of, _ = fstep(params, opt0, esm_params, b_st, jax.random.key(2))
+    for leaf in jax.tree.leaves(pf):
+        assert np.isfinite(np.asarray(leaf)).all()
+    _, _, l_next = fstep(pf, of, esm_params, b_st, jax.random.key(3))
+    pf1, of1, _ = fstep(params, opt0, esm_params, b_flat, jax.random.key(2))
+    _, _, l_next_flat = fstep(pf1, of1, esm_params, b_flat,
+                              jax.random.key(3))
+    assert np.isfinite(float(l_next))
+    np.testing.assert_allclose(float(l_next), float(l_next_flat), rtol=2e-4)
+
 
 def test_filip_scatter_tier_eval_matches(rng):
     from protein_clip_tpu.data.tokenizer import EsmTokenizer
