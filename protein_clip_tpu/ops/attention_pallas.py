@@ -79,16 +79,18 @@ _GROUP_LANES = 128
 import os as _os
 
 _ROWS_ENV = _os.environ.get("PCT_ATTN_ROWS_PER_PROGRAM")
-# bytes-per-lane of q rows one program may hold: the empirical ceiling is
-# R=8 at T=512 bf16 (R=16 overflows); f32 operands halve the row budget.
-_ROWS_BYTE_BUDGET = 8 * 512 * 2
+# bytes-per-lane of q rows one program may hold: the v5e empirical ceiling
+# is R=8 at T=512 bf16 (R=16 overflows); f32 operands halve the row
+# budget. Per-generation scaling lives in ops/tpu_budgets.py.
 
 
 def _choose_rows_per_program(batch: int, T: int, itemsize: int) -> int:
     if _ROWS_ENV:
         want = int(_ROWS_ENV)
         return want if batch % max(want, 1) == 0 else 1
-    cap = max(1, _ROWS_BYTE_BUDGET // (T * itemsize))
+    from .tpu_budgets import attn_rows_byte_budget
+
+    cap = max(1, attn_rows_byte_budget() // (T * itemsize))
     best = 1
     for c in range(1, min(cap, batch) + 1):
         if batch % c == 0:

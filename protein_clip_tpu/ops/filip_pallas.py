@@ -139,12 +139,13 @@ def _block_div(n: int, cap: int) -> int:
 
 
 def _raw_maxsim_bwd(ha, hb, mask_a, mask_b, ga, gb,
-                    budget_elems: int = 1 << 26):
+                    budget_elems: int | None = None):
     """Recompute-based backward: even tie-splitting max grad, (i, j)-blocked.
 
     The recomputed score block is (ib, jb, TA, TB) f32; ib*jb scales down
-    with TA*TB under ``budget_elems`` (default 2^26 elems = 256 MB for the
-    score block, ~1 GB live with the pa/pb/ds intermediates): batch-128
+    with TA*TB under ``budget_elems`` (v5e default 2^26 elems = 256 MB for
+    the score block, ~1 GB live with the pa/pb/ds intermediates; HBM-scaled
+    per generation by ops/tpu_budgets.py): batch-128
     gets ib=32, jb=8 at T=512 (4x smaller blocks than round 2's fixed
     j_block=8 whole-batch block — re-measured equal, 359.5 vs 359.1
     pairs/s, the backward is not the standard path's bottleneck) and
@@ -157,6 +158,10 @@ def _raw_maxsim_bwd(ha, hb, mask_a, mask_b, ga, gb,
     cnt_a = jnp.maximum(ma.sum(-1), 1e-6)                 # (Ba,)
     cnt_b = jnp.maximum(mb.sum(-1), 1e-6)
 
+    if budget_elems is None:
+        from .tpu_budgets import filip_bwd_budget_elems
+
+        budget_elems = filip_bwd_budget_elems()
     cap = max(1, budget_elems // (TA * TB))
     jb = _block_div(Bb, min(8, cap))
     ib = _block_div(Ba, max(1, cap // jb))

@@ -214,10 +214,14 @@ def tiled_row_block(b: int) -> int | None:
     The backward kernel holds four (rb, b) f32 tiles (logits, p_r, p_c,
     dlogits) plus the (b, d) y/dy/dy_acc buffers; a flat rb=512 at b=4096
     wants ~32 MB of tiles and fails Mosaic compile (seen on v5e via the
-    tpu_smoke 4096 sweep) — cap 4*rb*b*4 at 8 MB so the tile set shrinks
-    as the pool grows: 512 @ b<=1024, 256 @ 2048, 128 @ 4096."""
+    tpu_smoke 4096 sweep) — cap 4*rb*b*4 at the per-generation tile budget
+    (8 MB on v5e; ops/tpu_budgets.py) so the tile set shrinks as the pool
+    grows: 512 @ b<=1024, 256 @ 2048, 128 @ 4096."""
+    from .tpu_budgets import infonce_tile_budget
+
+    cap = infonce_tile_budget()
     for rb in (512, 256, 128):
-        if b % rb == 0 and 4 * rb * b * 4 <= 8 * 1024 * 1024:
+        if b % rb == 0 and 4 * rb * b * 4 <= cap:
             return rb
     return 128 if b % 128 == 0 and b <= 4096 else None
 

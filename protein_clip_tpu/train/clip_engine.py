@@ -33,15 +33,18 @@ from .gradcache import encode_hidden_chunked
 # The fused kernel keeps x, y, and the (B, B) logits VMEM-resident with no
 # grid; past this budget (or off sublane alignment) Mosaic would fail at
 # compile time deep inside a jit, so fall back to the lax path instead.
-_FUSED_INFONCE_VMEM_BUDGET = 8 * 1024 * 1024
+# The 8 MiB base is the v5e calibration; ops/tpu_budgets.py scales it per
+# device generation (override: PCT_INFONCE_VMEM_BUDGET).
 
 
 def fused_infonce_fits(b: int, d: int) -> bool:
     """True when the single-shot fused InfoNCE kernel's working set
     (x, y, logits, probs in f32) fits the VMEM budget with d sublane-
     aligned. Global batch 512 at d=128 still fits; 1024 falls back."""
+    from ..ops.tpu_budgets import infonce_vmem_budget
+
     vmem_bytes = 4 * (2 * b * d + 2 * b * b)
-    return vmem_bytes <= _FUSED_INFONCE_VMEM_BUDGET and d % 8 == 0
+    return vmem_bytes <= infonce_vmem_budget() and d % 8 == 0
 
 
 def default_loss_fn() -> Callable:

