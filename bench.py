@@ -250,9 +250,11 @@ def main():
         esm_params = esm2.quantize_params(esm_params)
     params = clip.init_params(jax.random.key(1), mcfg)
 
-    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=16,
-                                   accumulated_batches=16, num_chunks=16,
-                                   remat=True, packed=True)
+    # PCT_REMAT=0: drop the jax.checkpoint wrap on the (frozen,
+    # stop-gradient) backbone layers — no backward exists to remat for
+    cfg = clip_engine.EngineConfig(
+        model=mcfg, batch_size=16, accumulated_batches=16, num_chunks=16,
+        remat=os.environ.get("PCT_REMAT", "1") != "0", packed=True)
     optimizer = opt_mod.adam(cfg.learning_rate)
     opt_state = optimizer.init(params)
     step = clip_engine.make_train_step(cfg, optimizer)

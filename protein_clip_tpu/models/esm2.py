@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any
 
 import jax
@@ -343,7 +344,10 @@ def forward(
     if remat:
         layer = jax.checkpoint(layer)
 
-    x, _ = jax.lax.scan(layer, x, params["layers"])
+    # PCT_LAYER_UNROLL: unrolls the layer scan (30 iterations per chunk —
+    # the hot while loop; the chunk-scan unroll above it measured a wash)
+    unroll = int(os.environ.get("PCT_LAYER_UNROLL", "1"))
+    x, _ = jax.lax.scan(layer, x, params["layers"], unroll=unroll)
     x = _layer_norm(x, params["final_ln"]["w"], params["final_ln"]["b"],
                     cfg.layer_norm_eps)
     return x
