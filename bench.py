@@ -107,9 +107,11 @@ def bench_filip():
         if packed:
             from protein_clip_tpu.train.filip_packed import tokenize_packed
             tiers = int(os.environ.get("PCT_PACK_TIERS", "1"))
-            # PCT_FILIP_SCATTER_TIERS=4: flat backbone pack + per-length-
-            # tier token buffers (kill the quadratic padding in max-sim)
-            sct = int(os.environ.get("PCT_FILIP_SCATTER_TIERS", "1"))
+            # scatter-tiers: flat backbone pack + per-length-tier token
+            # buffers (kill the quadratic padding in max-sim). Default 4,
+            # matching the FILIP CLI — measured faster at every batch size
+            # (128: 367 vs 359; 256: 349 vs 318 — docs/PERF.md).
+            sct = int(os.environ.get("PCT_FILIP_SCATTER_TIERS", "4"))
             batches.append(tokenize_packed(tokenizer, peps, recs,
                                            tiers=tiers, scatter_tiers=sct))
         else:

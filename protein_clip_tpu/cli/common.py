@@ -64,6 +64,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "tiered row groups (short sequences ride narrower "
                         "rows, cutting attention cost on long-tailed "
                         "length distributions)")
+    p.add_argument("--scatter-tiers", type=int, default=1,
+                   help="FILIP with --packed: >1 scatters per-token head "
+                        "outputs into per-length-tier buffers so max-sim "
+                        "work tracks true lengths (backbone pack stays "
+                        "flat); the FILIP entry defaults to 4")
     p.add_argument("--length-groups", type=int, default=4,
                    help="length-sorted encode groups per global batch "
                         "(1 = single pad bucket)")

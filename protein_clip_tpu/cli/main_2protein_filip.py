@@ -29,6 +29,9 @@ def build_argparser() -> argparse.ArgumentParser:
     # pay off; when scaling --batch-size into the hundreds, raise both
     # (e.g. --batch-size 128 --num-chunks 8 --length-groups 4).
     p.set_defaults(num_chunks=1, length_groups=1)
+    # scatter-tiers measured faster at every packed FILIP batch size
+    # (128: 367 vs 359; 256: 349 vs 318 pairs/s — docs/PERF.md)
+    p.set_defaults(scatter_tiers=4)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--max-sequence-length", type=int, default=2000)
     p.add_argument("--use-dcl", action="store_true",
@@ -93,6 +96,7 @@ def main(argv=None) -> int:
         learning_rate=args.lr, num_chunks=args.num_chunks,
         length_groups=args.length_groups, packed=args.packed,
         packed_tiers=getattr(args, "pack_tiers", 1),
+        scatter_tiers=getattr(args, "scatter_tiers", 1),
         filip_use_dcl=args.use_dcl)
 
     def epoch_hook(epoch, best_params):

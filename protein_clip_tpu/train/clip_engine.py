@@ -93,6 +93,12 @@ class EngineConfig:
     # (659 vs 865 pairs/s flat, docs/PERF.md round 4); available for
     # longer-tailed length distributions.
     packed_tiers: int = 1
+    # FILIP + packed only: >1 keeps the backbone pack flat (full fill) but
+    # scatters per-token head outputs into per-length-tier buffers so the
+    # fused max-sim work tracks TRUE lengths, not the global row width.
+    # Measured wins at both bench batch sizes (128: 367 vs 359; 256: 349
+    # vs 318 pairs/s — docs/PERF.md); the FILIP CLI defaults to 4.
+    scatter_tiers: int = 1
     # FILIP only: diagonal-masked denominator (training_utils_filip.py:4-23)
     filip_use_dcl: bool = False
 
@@ -386,7 +392,8 @@ def train_gc(params, opt_state, esm_params, loader, tokenizer, step_fn,
     if cfg.packed:
         from .packed_engine import tokenize_packed
         prepare = lambda pr: tokenize_packed(tokenizer, pr[0], pr[1],
-                                             tiers=cfg.packed_tiers)
+                                             tiers=cfg.packed_tiers,
+                                             scatter_tiers=cfg.scatter_tiers)
     elif cfg.length_groups > 1:
         prepare = lambda pr: tokenize_grouped(tokenizer, pr[0], pr[1],
                                               cfg.length_groups)
@@ -429,7 +436,8 @@ def train_plain(params, opt_state, esm_params, loader, tokenizer, step_fn,
             from .packed_engine import tokenize_packed
             batch = tokenize_packed(
                 tokenizer, peps, recs,
-                tiers=cfg.packed_tiers if cfg is not None else 1)
+                tiers=cfg.packed_tiers if cfg is not None else 1,
+                scatter_tiers=cfg.scatter_tiers if cfg is not None else 1)
         elif groups > 1:
             batch = tokenize_grouped(tokenizer, peps, recs, groups)
         else:
@@ -453,7 +461,8 @@ def evaluate(params, esm_params, loader, tokenizer, eval_step,
     if cfg is not None and cfg.packed:
         from .packed_engine import tokenize_packed
         prepare = lambda p, r: tokenize_packed(tokenizer, p, r,
-                                               tiers=cfg.packed_tiers)
+                                               tiers=cfg.packed_tiers,
+                                               scatter_tiers=cfg.scatter_tiers)
     elif cfg is not None and cfg.length_groups > 1:
         prepare = lambda p, r: tokenize_grouped(tokenizer, p, r,
                                                 cfg.length_groups)

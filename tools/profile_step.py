@@ -62,13 +62,20 @@ def capture_filip(out_dir: Path, n_steps: int) -> None:
     from protein_clip_tpu.train import optimizer as opt_mod
     from protein_clip_tpu.train.filip_packed import tokenize_packed
 
+    import os
+
     esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16)
     mcfg = filip.FILIPConfig(esm=esm_cfg)
     esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
                                   dtype=jnp.bfloat16)
     params = filip.init_params(jax.random.key(1), mcfg)
-    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=128,
-                                   accumulated_batches=1, num_chunks=8,
+    # Same knobs as bench_filip so a trace can attribute any bench config
+    # (e.g. PCT_FILIP_BATCH=256 PCT_FILIP_SCATTER_TIERS=4).
+    batch = int(os.environ.get("PCT_FILIP_BATCH", "128"))
+    sct = int(os.environ.get("PCT_FILIP_SCATTER_TIERS", "1"))
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=batch,
+                                   accumulated_batches=1,
+                                   num_chunks=batch // 16,
                                    length_groups=1, packed=True, remat=True)
     optimizer = opt_mod.adam(cfg.learning_rate)
     step = filip_engine.make_train_step(cfg, optimizer)
@@ -82,7 +89,7 @@ def capture_filip(out_dir: Path, n_steps: int) -> None:
                 for _ in range(cfg.batch_size)]
         recs = ["".join(rng.choice(aas, rng.integers(100, 500)))
                 for _ in range(cfg.batch_size)]
-        batches.append(tokenize_packed(tok, peps, recs))
+        batches.append(tokenize_packed(tok, peps, recs, scatter_tiers=sct))
     _trace_steps(out_dir, step, params, optimizer.init(params), esm_params,
                  batches)
 
