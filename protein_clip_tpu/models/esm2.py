@@ -187,6 +187,13 @@ def _layer_norm(x, w, b, eps):
 
 def _gelu_exact(x):
     # ESM's original erf gelu (modeling_esm.py: gelu) — NOT the tanh approx.
+    # PCT_GELU=tanh swaps in the bf16 tanh approximation: the wi matmul
+    # fusion is epilogue-limited (134 vs the wo's 187 TF/s — the only
+    # difference between those fusions IS this epilogue), so a cheaper
+    # gelu is a candidate throughput knob; erf stays the default for
+    # HF-parity ("bitwise-comparable similarity matrices").
+    if os.environ.get("PCT_GELU") == "tanh":
+        return jax.nn.gelu(x, approximate=True)
     x32 = x.astype(jnp.float32)
     return (x32 * 0.5 * (1.0 + jax.lax.erf(x32 / math.sqrt(2.0)))).astype(x.dtype)
 
