@@ -214,6 +214,64 @@ def bench_eval():
     }))
 
 
+def bench_finetune():
+    """UNFROZEN-backbone training throughput (train/finetune.py): full
+    t30_150M end-to-end at global batch 256 via two-pass gradcache +
+    flash attention backward — the regime the reference cannot enter at
+    all (its GradCache needs the backbone frozen to fit GPU memory).
+    f32 master params, bf16 compute, two-group Adam, donation on."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import clip, esm2
+    from protein_clip_tpu.train import clip_engine, finetune
+
+    esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16)
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
+    params = finetune.init_params(
+        esm2.init_params(jax.random.key(0), esm_cfg, dtype=jnp.float32),
+        clip.init_params(jax.random.key(1), mcfg))
+    cfg = clip_engine.EngineConfig(
+        model=mcfg, batch_size=16, accumulated_batches=16, num_chunks=16,
+        length_groups=1, remat=True, backbone_lr=1e-5)
+    optimizer = finetune.make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    step = finetune.make_train_step(cfg, optimizer, donate=True)
+
+    tokenizer = EsmTokenizer()
+    rng = np.random.default_rng(42)
+    n_steps = 6
+    batches = make_batches(rng, n_steps + 1, cfg.global_batch, tokenizer, 1)
+    batches = [jax.device_put(b) for b in batches]
+    for b in batches:
+        for leaf in jax.tree.leaves(b):
+            float(jnp.sum(leaf.astype(jnp.int32)))
+
+    key = jax.random.key(0)
+    params, opt_state, loss = step(params, opt_state, {}, batches[0], key)
+    float(loss)
+
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, {},
+                                       batches[i + 1], sub)
+        losses.append(loss)
+    vals = [float(l) for l in losses]
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(v) for v in vals), vals
+    print(json.dumps({
+        "metric": "finetune_pairs_per_sec_per_chip",
+        "value": round(n_steps * cfg.global_batch / dt, 2),
+        "unit": "pairs/s",
+        "global_batch": cfg.global_batch,
+    }))
+
+
 def main():
     import os
 
@@ -229,6 +287,8 @@ def main():
         return bench_filip()
     if os.environ.get("PCT_BENCH_MODE") == "eval":
         return bench_eval()
+    if os.environ.get("PCT_BENCH_MODE") == "finetune":
+        return bench_finetune()
 
     import jax.numpy as jnp
 

@@ -7,7 +7,7 @@ import jax
 
 from . import common
 from ..data.dataset import PairLoader, generate_datasets
-from ..models import clip
+from ..models import clip, esm2
 from ..train import clip_engine, loop
 from ..utils import prng, rundir
 from ..viz import plots
@@ -48,6 +48,25 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
     rng, krng = jax.random.split(rng)
     params = clip.init_params(krng, mcfg)
 
+    finetuning = getattr(args, "finetune", False)
+    if finetuning:
+        from ..train import finetune
+        # backbone joins the trainable params (f32 master copy); the
+        # esm_params slot every engine step carries is ignored by the
+        # finetune engine
+        params = finetune.init_params(esm_params, params)
+        esm_params = {}
+
+    def _eval_view(p):
+        """(head_params, backbone_params) for viz/eval hooks, either
+        engine's params pytree. The finetune master backbone is f32;
+        eval consumers expect compute-dtype leaves (a bf16-config layer
+        scan fed f32 params flips the carry dtype mid-scan)."""
+        if finetuning:
+            return p["heads"], esm2.cast_params(p["esm"],
+                                                mcfg.esm.compute_dtype)
+        return p, esm_params
+
     data_dir = common.ensure_data(args, prefix_a, prefix_b)
     train_ds, val_ds, test_ds = generate_datasets(
         data_dir, prefix_a, prefix_b, seed=args.seed,
@@ -65,15 +84,17 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
                                prefix1=prefix_a, prefix2=prefix_b)
     plots.plot_embedding_cosine_similarities(
         run_dir, "Raw Embedding Cosine Similarities", train_loader, tokenizer,
-        similarity_fn(params, esm_params, mcfg, tokenizer))
+        similarity_fn(*_eval_view(params), mcfg, tokenizer))
 
     cfg = clip_engine.EngineConfig(
         model=mcfg, batch_size=args.batch_size,
         accumulated_batches=args.accumulated_batches,
         learning_rate=args.lr, num_chunks=args.num_chunks,
-        length_groups=args.length_groups if not args.no_gradcache else 1,
-        packed=args.packed and not args.no_gradcache,
-        packed_tiers=getattr(args, "pack_tiers", 1))
+        length_groups=(args.length_groups
+                       if not (args.no_gradcache or finetuning) else 1),
+        packed=args.packed and not args.no_gradcache and not finetuning,
+        packed_tiers=getattr(args, "pack_tiers", 1),
+        backbone_lr=getattr(args, "backbone_lr", None))
 
     def epoch_hook(epoch, best_params):
         if not args.epoch_figures:
@@ -84,12 +105,16 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
                 f"Trained Embedding Cosine Similarities on {name} Set "
                 f"- Epoch {epoch + 1}",
                 ldr, tokenizer,
-                similarity_fn(best_params, esm_params, mcfg, tokenizer))
+                similarity_fn(*_eval_view(best_params), mcfg, tokenizer))
 
+    engine = None
+    if finetuning:
+        from ..train import finetune as engine
     result = loop.fit(
         run_dir, cfg, params, esm_params, train_loader, val_loader, tokenizer,
         args.epochs, rng=rng, use_gradcache=not args.no_gradcache,
-        test_loader=test_loader, epoch_hook=epoch_hook, resume=resume)
+        test_loader=test_loader, epoch_hook=epoch_hook, resume=resume,
+        engine=engine)
 
     train_bs = (args.batch_size * args.accumulated_batches
                 if not args.no_gradcache else args.batch_size)
@@ -99,5 +124,5 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
         plots.plot_embedding_cosine_similarities(
             run_dir, f"Trained Embedding Cosine Similarities on {name} Set",
             ldr, tokenizer,
-            similarity_fn(result.best_params, esm_params, mcfg, tokenizer))
+            similarity_fn(*_eval_view(result.best_params), mcfg, tokenizer))
     return 0

@@ -64,6 +64,15 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "tiered row groups (short sequences ride narrower "
                         "rows, cutting attention cost on long-tailed "
                         "length distributions)")
+    p.add_argument("--finetune", action="store_true",
+                   help="UNFREEZE the ESM-2 backbone: end-to-end training "
+                        "via two-pass gradcache + flash attention backward "
+                        "(train/finetune.py; the reference is frozen-only). "
+                        "Backbone master weights train in f32 at "
+                        "--backbone-lr; plain batches (no --packed)")
+    p.add_argument("--backbone-lr", type=float, default=1e-5,
+                   help="with --finetune: backbone learning rate (heads "
+                        "stay at --lr)")
     p.add_argument("--scatter-tiers", type=int, default=1,
                    help="FILIP with --packed: >1 scatters per-token head "
                         "outputs into per-length-tier buffers so max-sim "
@@ -83,6 +92,32 @@ def esm_config(name: str, dtype_name: str) -> esm2.ESM2Config:
     # (a hand-rolled dict here once missed t48_15B -> KeyError at runtime).
     dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
     return getattr(esm2.ESM2Config, name)(compute_dtype=dtype)
+
+
+def load_clip_checkpoint(path, mcfg, esm_params):
+    """Load a best_model.npz that is either heads-only (frozen runs) or
+    the finetune engine's combined {heads, esm} pytree. Returns
+    (head_params, esm_params) — a finetuned checkpoint carries its OWN
+    backbone, which must be the one evaluated (the pretrained weights
+    no longer match its heads)."""
+    import numpy as np
+
+    from ..models import clip
+    from ..train.checkpoint import load_npz
+
+    head_like = clip.init_params(jax.random.key(0), mcfg)
+    with np.load(path) as data:
+        combined = any(k.startswith("heads/") for k in data.files)
+    if combined:
+        from ..train import finetune
+        tree = load_npz(path, finetune.init_params(esm_params, head_like))
+        print("[checkpoint] finetuned backbone found — using the "
+              "checkpoint's own ESM weights")
+        # the checkpoint stores the f32 master copy; eval consumers
+        # expect compute-dtype leaves (same contract as load_esm)
+        return tree["heads"], esm2.cast_params(tree["esm"],
+                                               mcfg.esm.compute_dtype)
+    return load_npz(path, head_like), esm_params
 
 
 def load_esm(args, cfg: esm2.ESM2Config):

@@ -15,7 +15,6 @@ from . import common
 from ._clip_runner import similarity_fn
 from ..data.dataset import PairLoader, generate_datasets
 from ..models import clip
-from ..train.checkpoint import load_npz
 from ..utils import prng, rundir
 from ..viz import plots
 
@@ -45,7 +44,8 @@ def main(argv=None) -> int:
         activation=args.activation, esm=esm_cfg)
 
     raw_params = clip.init_params(jax.random.key(0), mcfg)
-    best_params = load_npz(args.checkpoint, raw_params)
+    best_params, esm_params = common.load_clip_checkpoint(
+        args.checkpoint, mcfg, esm_params)
 
     data_dir = common.ensure_data(args, args.prefix_a, args.prefix_b)
     train_ds, val_ds, _ = generate_datasets(

@@ -57,6 +57,10 @@ def filip_similarity_viz(params, esm_params, mcfg, tokenizer):
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if getattr(args, "finetune", False):
+        raise SystemExit("--finetune is a CLIP-engine feature "
+                         "(cli/main.py, cli/main_2protein.py); the FILIP "
+                         "engine trains frozen-backbone only")
     from pathlib import Path
     rng = prng.set_seed(args.seed)
     resume = args.resume_dir is not None

@@ -21,7 +21,6 @@ from . import common
 from ..data.dataset import PairLoader, generate_datasets
 from ..eval.retrieval import evaluate_retrieval
 from ..models import clip
-from ..train.checkpoint import load_npz
 from ..utils import prng, rundir
 from ..viz.plots import save_plot
 
@@ -52,8 +51,8 @@ def main(argv=None) -> int:
         input_dim=esm_cfg.hidden_size, embedding_dim=args.embedding_dim,
         h1=args.h1, h2=args.h2, dropout=args.dropout,
         activation=args.activation, esm=esm_cfg)
-    params = load_npz(args.checkpoint, clip.init_params(jax.random.key(0),
-                                                        mcfg))
+    params, esm_params = common.load_clip_checkpoint(args.checkpoint, mcfg,
+                                                     esm_params)
 
     data_dir = common.ensure_data(args, args.prefix_a, args.prefix_b)
     datasets = dict(zip(

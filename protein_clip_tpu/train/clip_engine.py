@@ -101,6 +101,9 @@ class EngineConfig:
     scatter_tiers: int = 1
     # FILIP only: diagonal-masked denominator (training_utils_filip.py:4-23)
     filip_use_dcl: bool = False
+    # finetune engine only: backbone learning rate (heads use
+    # learning_rate); None -> the finetune default 1e-5
+    backbone_lr: float | None = None
 
     @property
     def global_batch(self) -> int:

@@ -66,6 +66,7 @@ def gradcache_value_and_grad(
     params: Params,
     chunks_x: Any,
     chunks_y: Any,
+    encode_fn_y: Callable[[Params, Any], jax.Array] | None = None,
 ) -> tuple[jax.Array, Params]:
     """Two-pass chunked contrastive grads for an *unfrozen* encoder.
 
@@ -74,16 +75,21 @@ def gradcache_value_and_grad(
     concatenated (B, D) embedding matrices. Returns (loss, grads) identical
     (up to float assoc.) to differentiating the monolithic computation, at
     O(chunk) activation memory.
-    """
 
-    def scan_encode(chunks):
+    encode_fn_y encodes the y side when the two sides differ (a dual
+    encoder like CLIP: shared backbone params, per-side heads); defaults
+    to encode_fn (the original symmetric form).
+    """
+    encode_fn_y = encode_fn_y or encode_fn
+
+    def scan_encode(fn, chunks):
         def body(_, c):
-            return None, encode_fn(params, c)
+            return None, fn(params, c)
         _, embs = jax.lax.scan(body, None, chunks)
         return embs  # (num_chunks, b, D)
 
-    embs_x = jax.lax.stop_gradient(scan_encode(chunks_x))
-    embs_y = jax.lax.stop_gradient(scan_encode(chunks_y))
+    embs_x = jax.lax.stop_gradient(scan_encode(encode_fn, chunks_x))
+    embs_y = jax.lax.stop_gradient(scan_encode(encode_fn_y, chunks_y))
     nx, bx, D = embs_x.shape
     ny, by, _ = embs_y.shape
 
@@ -95,15 +101,15 @@ def gradcache_value_and_grad(
 
     zero_grads = jax.tree.map(jnp.zeros_like, params)
 
-    def replay(chunks, cotangents, acc):
+    def replay(fn, chunks, cotangents, acc):
         def body(acc, xg):
             c, g = xg
-            _, vjp = jax.vjp(lambda p: encode_fn(p, c), params)
+            _, vjp = jax.vjp(lambda p: fn(p, c), params)
             (pg,) = vjp(g)
             return jax.tree.map(jnp.add, acc, pg), None
         acc, _ = jax.lax.scan(body, acc, (chunks, cotangents))
         return acc
 
-    grads = replay(chunks_x, gx, zero_grads)
-    grads = replay(chunks_y, gy, grads)
+    grads = replay(encode_fn, chunks_x, gx, zero_grads)
+    grads = replay(encode_fn_y, chunks_y, gy, grads)
     return loss, grads

@@ -272,3 +272,41 @@ def test_retrieve_entry(workdir, trained_run):
             top1[qid] = hit
     hits = sum(top1[r[0]] == r[0] for r in records)
     assert hits / len(records) > 0.7, top1
+
+
+def test_finetune_training_entry(workdir, trained_run, capsys):
+    """--finetune through the real CLI: unfrozen backbone trains end to
+    end, best_model.npz carries the combined {heads, esm} pytree, and
+    topk auto-detects it (evaluating with the checkpoint's OWN backbone).
+
+    Runs bf16 (the shipping compute dtype): the f32 master copy fed to a
+    bf16-config eval flips the layer-scan carry dtype — viz/eval views
+    must cast first, and this catches it where f32 tests cannot."""
+    from protein_clip_tpu.cli.main_2protein import main
+    BF16 = ["--esm-config", "tiny", "--esm-dtype", "bfloat16"]
+    rc = main(BF16 + [
+        "--epochs", "1", "--batch-size", "4", "--accumulated-batches", "2",
+        "--num-chunks", "2", "--finetune", "--backbone-lr", "1e-4",
+        "--data-dir", "data", "--runs-dir", "runs_finetune",
+    ])
+    assert rc == 0
+    run = sorted(Path("runs_finetune").iterdir())[-1]
+    csv = (run / "losses_per_epoch.txt").read_text().strip().split("\n")
+    assert len(csv) == 2 and csv[1].startswith("1,")
+    _, tr, va = csv[1].split(",")
+    assert np.isfinite(float(tr)) and np.isfinite(float(va))
+    ckpt = np.load(run / "best_model.npz")
+    assert any(k.startswith("heads/") for k in ckpt.files)
+    assert any(k.startswith("esm/") for k in ckpt.files)
+
+    from protein_clip_tpu.cli.topk import main as topk_main
+    rc = topk_main(BF16 + [
+        "--checkpoint", str(run / "best_model.npz"),
+        "--data-dir", "data", "--batch-size", "4",
+        "--n-candidates", "16", "--split", "train",
+        "--runs-dir", "runs_finetune_topk",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "finetuned backbone found" in out
+    assert "top-1 accuracy:" in out
