@@ -234,9 +234,12 @@ def bench_finetune():
     params = finetune.init_params(
         esm2.init_params(jax.random.key(0), esm_cfg, dtype=jnp.float32),
         clip.init_params(jax.random.key(1), mcfg))
+    # packed rows by default (same ~95% fill the frozen headline rides);
+    # PCT_FINETUNE_PACKED=0 measures the plain single-bucket path
+    packed = os.environ.get("PCT_FINETUNE_PACKED", "1") != "0"
     cfg = clip_engine.EngineConfig(
         model=mcfg, batch_size=16, accumulated_batches=16, num_chunks=16,
-        length_groups=1, remat=True, backbone_lr=1e-5)
+        length_groups=1, remat=True, backbone_lr=1e-5, packed=packed)
     optimizer = finetune.make_optimizer(cfg)
     opt_state = optimizer.init(params)
     step = finetune.make_train_step(cfg, optimizer, donate=True)
@@ -244,15 +247,20 @@ def bench_finetune():
     tokenizer = EsmTokenizer()
     rng = np.random.default_rng(42)
     n_steps = 6
-    batches = make_batches(rng, n_steps + 1, cfg.global_batch, tokenizer, 1)
+    batches = make_batches(rng, n_steps + 1, cfg.global_batch, tokenizer,
+                           "packed" if packed else 1)
     batches = [jax.device_put(b) for b in batches]
     for b in batches:
         for leaf in jax.tree.leaves(b):
             float(jnp.sum(leaf.astype(jnp.int32)))
 
     key = jax.random.key(0)
-    params, opt_state, loss = step(params, opt_state, {}, batches[0], key)
-    float(loss)
+    # one warm step per batch: packed row compositions vary slightly and
+    # each distinct composition compiles once (see the main bench)
+    for b in batches:
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, {}, b, sub)
+        float(loss)
 
     losses = []
     t0 = time.perf_counter()
@@ -269,6 +277,7 @@ def bench_finetune():
         "value": round(n_steps * cfg.global_batch / dt, 2),
         "unit": "pairs/s",
         "global_batch": cfg.global_batch,
+        "packed": packed,
     }))
 
 

@@ -49,6 +49,9 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
     params = clip.init_params(krng, mcfg)
 
     finetuning = getattr(args, "finetune", False)
+    if finetuning and args.packed and getattr(args, "pack_tiers", 1) > 1:
+        raise SystemExit("--finetune --packed supports flat packing only "
+                         "(drop --pack-tiers)")
     if finetuning:
         from ..train import finetune
         # backbone joins the trainable params (f32 master copy); the
@@ -92,7 +95,7 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
         learning_rate=args.lr, num_chunks=args.num_chunks,
         length_groups=(args.length_groups
                        if not (args.no_gradcache or finetuning) else 1),
-        packed=args.packed and not args.no_gradcache and not finetuning,
+        packed=args.packed and not args.no_gradcache,
         packed_tiers=getattr(args, "pack_tiers", 1),
         backbone_lr=getattr(args, "backbone_lr", None))
 

@@ -69,7 +69,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "via two-pass gradcache + flash attention backward "
                         "(train/finetune.py; the reference is frozen-only). "
                         "Backbone master weights train in f32 at "
-                        "--backbone-lr; plain batches (no --packed)")
+                        "--backbone-lr. CLIP entries compose with --packed "
+                        "(flat rows); the FILIP entry caches token tensors "
+                        "(train/filip_finetune.py, plain batches)")
     p.add_argument("--backbone-lr", type=float, default=1e-5,
                    help="with --finetune: backbone learning rate (heads "
                         "stay at --lr)")

@@ -57,10 +57,10 @@ def filip_similarity_viz(params, esm_params, mcfg, tokenizer):
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
-    if getattr(args, "finetune", False):
-        raise SystemExit("--finetune is a CLIP-engine feature "
-                         "(cli/main.py, cli/main_2protein.py); the FILIP "
-                         "engine trains frozen-backbone only")
+    finetuning = getattr(args, "finetune", False)
+    if finetuning and (args.packed or args.length_groups > 1):
+        raise SystemExit("FILIP --finetune trains on plain batches "
+                         "(drop --packed / --length-groups)")
     from pathlib import Path
     rng = prng.set_seed(args.seed)
     resume = args.resume_dir is not None
@@ -78,6 +78,21 @@ def main(argv=None) -> int:
     rng, krng = jax.random.split(rng)
     params = filip.init_params(krng, mcfg)
 
+    if finetuning:
+        from ..train import filip_finetune
+        params = filip_finetune.init_params(esm_params, params)
+        esm_params = {}
+
+    def _eval_view(p):
+        """(head_params, backbone_params) for the viz hooks, either
+        engine's pytree (the f32 master backbone casts to the compute
+        dtype, matching load_esm's contract)."""
+        if finetuning:
+            from ..models import esm2
+            return p["heads"], esm2.cast_params(p["esm"],
+                                                mcfg.esm.compute_dtype)
+        return p, esm_params
+
     data_dir = common.ensure_data(args, "protein1", "protein2")
     train_ds, val_ds, test_ds = generate_datasets(
         data_dir, "protein1", "protein2", seed=args.seed,
@@ -93,7 +108,7 @@ def main(argv=None) -> int:
     plots.plot_protein_lengths(run_dir, data_dir)
     plots.plot_embedding_cosine_similarities(
         run_dir, "Raw Embedding Cosine Similarities", train_loader, tokenizer,
-        filip_similarity_viz(params, esm_params, mcfg, tokenizer))
+        filip_similarity_viz(*_eval_view(params), mcfg, tokenizer))
 
     cfg = clip_engine.EngineConfig(
         model=mcfg, batch_size=args.batch_size, accumulated_batches=1,
@@ -101,7 +116,8 @@ def main(argv=None) -> int:
         length_groups=args.length_groups, packed=args.packed,
         packed_tiers=getattr(args, "pack_tiers", 1),
         scatter_tiers=getattr(args, "scatter_tiers", 1),
-        filip_use_dcl=args.use_dcl)
+        filip_use_dcl=args.use_dcl,
+        backbone_lr=getattr(args, "backbone_lr", None))
 
     def epoch_hook(epoch, best_params):
         if not args.epoch_figures:
@@ -112,13 +128,16 @@ def main(argv=None) -> int:
                 f"Trained Embedding Cosine Similarities on {name} Set "
                 f"- Epoch {epoch + 1}",
                 ldr, tokenizer,
-                filip_similarity_viz(best_params, esm_params, mcfg,
+                filip_similarity_viz(*_eval_view(best_params), mcfg,
                                      tokenizer))
 
+    engine = filip_engine
+    if finetuning:
+        from ..train import filip_finetune as engine
     result = loop.fit(
         run_dir, cfg, params, esm_params, train_loader, val_loader, tokenizer,
         args.epochs, rng=rng, use_gradcache=False, test_loader=test_loader,
-        epoch_hook=epoch_hook, engine=filip_engine, resume=resume)
+        epoch_hook=epoch_hook, engine=engine, resume=resume)
 
     plots.plot_loss_curves(run_dir, result.train_losses, result.val_losses,
                            args.batch_size, args.batch_size)
@@ -126,7 +145,7 @@ def main(argv=None) -> int:
         plots.plot_embedding_cosine_similarities(
             run_dir, f"Trained Embedding Cosine Similarities on {name} Set",
             ldr, tokenizer,
-            filip_similarity_viz(result.best_params, esm_params, mcfg,
+            filip_similarity_viz(*_eval_view(result.best_params), mcfg,
                                  tokenizer))
     return 0
 

@@ -31,6 +31,16 @@ Two learning rates: heads at ``cfg.learning_rate`` (reference 1e-3),
 backbone at ``cfg.backbone_lr`` (default 1e-5 — 1e-3 on a pretrained
 backbone destroys it) via ``make_optimizer`` (optax.multi_transform);
 ``loop.fit`` picks that hook up automatically.
+
+Packed finetune (``cfg.packed``): the same two-pass structure over
+packed ROW chunks instead of sequence chunks. The gradcache trick is
+even cleaner here than in the plain path: per-sequence pooling is a
+segment scatter-ADD of per-chunk partial (sums, counts), and addition
+distributes cotangents unchanged — so pass 2 feeds every chunk the SAME
+global ``d_sums`` array; nothing per-chunk is cached. Chunk outputs are
+(n_seqs, D) partial token-head sums (zero rows for sequences the chunk
+doesn't own); the differentiable tail is masked-mean -> emb_ffn ->
+normalize -> exp(t/2) -> InfoNCE.
 """
 
 from __future__ import annotations
@@ -49,7 +59,7 @@ from .gradcache import gradcache_value_and_grad
 Params = dict[str, Any]
 
 __all__ = ["init_params", "make_optimizer", "make_train_step",
-           "make_eval_step"]
+           "make_train_step_packed", "make_eval_step"]
 
 
 def init_params(esm_params: Params, head_params: Params) -> Params:
@@ -117,10 +127,12 @@ def make_train_step(cfg: EngineConfig,
     loss_fn = loss_fn or default_loss_fn()
     if donate is None:
         donate = os.environ.get("PCT_FINETUNE_DONATE", "0") != "0"
-    if cfg.packed or cfg.length_groups > 1:
+    if cfg.packed:
+        return make_train_step_packed(cfg, optimizer, loss_fn, donate=donate)
+    if cfg.length_groups > 1:
         raise ValueError(
-            "finetune v1 trains on plain single-bucket batches "
-            "(tokenize_pair_batch); packed/grouped finetune is not wired")
+            "finetune trains on plain (tokenize_pair_batch) or packed "
+            "(cfg.packed) batches; length-grouped finetune is not wired")
     mcfg = cfg.model
     n = cfg.num_chunks
 
@@ -143,6 +155,173 @@ def make_train_step(cfg: EngineConfig,
         loss, grads = gradcache_value_and_grad(
             encode("pep"), loss_fn, params, chunks_x, chunks_y,
             encode_fn_y=encode("rec"))
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def _chunk_pack(pack, rows_per_chunk: int):
+    """Reshape one expanded pack's row-major arrays into (n_chunks, r, L).
+
+    Same divisor rule as the frozen path's _encode_packed_chunked: the
+    largest chunk count with R/rows_per_chunk as ceiling that divides R."""
+    R, L = pack["ids"].shape
+    n = max(1, R // rows_per_chunk)
+    while R % n:
+        n -= 1
+    return {k: pack[k].reshape(n, R // n, L)
+            for k in ("ids", "seg", "pos", "owner")}, n
+
+
+def _packed_machinery(cfg: EngineConfig, loss_fn: Callable,
+                      rows_per_chunk: int):
+    """Shared pieces of the packed finetune step: per-chunk partial-sums
+    encoder, pass-1 scan, and the differentiable tail. Returns
+    (chunk_sums, scan_sums, tail, prepare) closures; ``prepare`` turns a
+    wire batch + rng into ((chunks, rngs) per side, tail rngs)."""
+    from . import packed_engine as pe
+
+    mcfg = cfg.model
+    n_seqs = cfg.global_batch
+
+    def chunk_sums(params, side, ids, seg, pos, owner, rng):
+        esm_c = _cast_esm(params["esm"], mcfg.esm.compute_dtype)
+        mask = (seg > 0).astype(jnp.int32)
+        h = esm2.forward(esm_c, ids, mask, mcfg.esm, remat=cfg.remat,
+                         segment_ids=seg, positions=pos)
+        return pe._token_sums(
+            params["heads"][side], h.astype(jnp.float32), seg, owner,
+            n_seqs, dropout_rate=mcfg.dropout, train=True, rng=rng,
+            activation=mcfg.activation)
+
+    def scan_sums(params, side, chunks, rngs, emb_dim):
+        def body(carry, x):
+            s, c = chunk_sums(params, side, x["ids"], x["seg"], x["pos"],
+                              x["owner"], x["rng"])
+            return (carry[0] + s, carry[1] + c), None
+        init = (jnp.zeros((n_seqs, emb_dim), jnp.float32),
+                jnp.zeros((n_seqs,), jnp.float32))
+        xs = dict(chunks)
+        xs["rng"] = rngs
+        (sums, cnt), _ = jax.lax.scan(body, init, xs)
+        return sums, cnt
+
+    def tail(params, sums_p, cnt_p, sums_r, cnt_r, r2p, r2r):
+        t = params["heads"]["temperature"]
+        pep = pe._finish_pool(params["heads"]["pep"], sums_p, cnt_p, t,
+                              dropout_rate=mcfg.dropout, train=True, rng=r2p,
+                              activation=mcfg.activation)
+        rec = pe._finish_pool(params["heads"]["rec"], sums_r, cnt_r, t,
+                              dropout_rate=mcfg.dropout, train=True, rng=r2r,
+                              activation=mcfg.activation)
+        return loss_fn(pep, rec)
+
+    def prepare(batch, rng):
+        batch = pe.expand_packed_batch(batch)
+        if "pep_packs" in batch or "rec_packs" in batch:
+            raise ValueError(
+                "packed finetune supports flat packing only "
+                "(packed_tiers=1); width-tiered finetune is not wired")
+        sides = {}
+        for side, r in zip(("pep", "rec"), jax.random.split(rng)):
+            pack = {k: batch[f"{side}_{k}"]
+                    for k in ("ids", "seg", "pos", "owner")}
+            chunks, n = _chunk_pack(pack, rows_per_chunk)
+            rc, rt = jax.random.split(r)
+            sides[side] = (chunks, jax.random.split(rc, n), rt)
+        return sides
+
+    return chunk_sums, scan_sums, tail, prepare
+
+
+def make_packed_loss(cfg: EngineConfig, loss_fn: Callable | None = None,
+                     rows_per_chunk: int | None = None):
+    """Monolithic (single-graph) packed finetune loss: loss(params, batch,
+    rng). The SAME math as make_train_step_packed's two passes — same
+    chunking, same per-chunk dropout keys — differentiated in one piece.
+    Exists so tests can assert the two-pass grads exactly (and as the
+    simple form for small problems where activation memory fits)."""
+    from .packed_engine import _default_rows_per_chunk
+
+    loss_fn = loss_fn or default_loss_fn()
+    rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
+    _, scan_sums, tail, prepare = _packed_machinery(cfg, loss_fn,
+                                                    rows_per_chunk)
+
+    def loss(params, batch, rng):
+        sides = prepare(batch, rng)
+        emb_dim = params["heads"]["pep"]["projection"]["w"].shape[1]
+        pools = {}
+        for side, (chunks, rngs, _) in sides.items():
+            pools[side] = scan_sums(params, side, chunks, rngs, emb_dim)
+        return tail(params, *pools["pep"], *pools["rec"],
+                    sides["pep"][2], sides["rec"][2])
+
+    return loss
+
+
+def make_train_step_packed(cfg: EngineConfig,
+                           optimizer: optax.GradientTransformation,
+                           loss_fn: Callable | None = None,
+                           rows_per_chunk: int | None = None,
+                           donate: bool = False):
+    """jit'd unfrozen train step over tokenize_packed wire batches.
+
+    Three phases inside one jit:
+      pass 1   scan row-chunks -> accumulated per-sequence (sums, counts),
+               stop_gradient (no graph held);
+      tail     value_and_grad of mean->ffn->normalize->scale->InfoNCE
+               w.r.t. (params, sums_pep, sums_rec);
+      pass 2   re-scan chunks under jax.vjp (remat'd forward, flash
+               attention backward), feeding EVERY chunk the same global
+               d_sums — pooling is a scatter-add, so each chunk's
+               cotangent is just d_sums restricted by its own ownership,
+               which the vjp applies for free.
+    Counts carry no parameter dependence (they count valid tokens), so
+    their cotangent is identically zero and pass 2 differentiates the
+    sums output only."""
+    from .packed_engine import _default_rows_per_chunk, _validate_packed_batch
+
+    loss_fn = loss_fn or default_loss_fn()
+    rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
+    chunk_sums, scan_sums, tail, prepare = _packed_machinery(
+        cfg, loss_fn, rows_per_chunk)
+    n_seqs = cfg.global_batch
+
+    def replay(params, side, chunks, rngs, d_sums, acc):
+        def body(acc, x):
+            _, vjp = jax.vjp(
+                lambda p: chunk_sums(p, side, x["ids"], x["seg"], x["pos"],
+                                     x["owner"], x["rng"])[0], params)
+            (pg,) = vjp(d_sums)
+            return jax.tree.map(jnp.add, acc, pg), None
+        xs = dict(chunks)
+        xs["rng"] = rngs
+        acc, _ = jax.lax.scan(body, acc, xs)
+        return acc
+
+    def step(params, opt_state, esm_params, batch, rng):
+        del esm_params  # the backbone lives inside params
+        _validate_packed_batch(batch, n_seqs)
+        sides = prepare(batch, rng)
+        emb_dim = params["heads"]["pep"]["projection"]["w"].shape[1]
+
+        pools = {}
+        for side, (chunks, rngs, _) in sides.items():
+            pools[side] = jax.lax.stop_gradient(
+                scan_sums(params, side, chunks, rngs, emb_dim))
+
+        (loss, (grads, d_sp, d_sr)) = jax.value_and_grad(
+            tail, argnums=(0, 1, 3))(
+                params, *pools["pep"], *pools["rec"],
+                sides["pep"][2], sides["rec"][2])
+
+        grads = replay(params, "pep", sides["pep"][0], sides["pep"][1],
+                       d_sp, grads)
+        grads = replay(params, "rec", sides["rec"][0], sides["rec"][1],
+                       d_sr, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

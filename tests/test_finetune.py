@@ -127,8 +127,217 @@ def test_finetune_eval_step(tiny, rng):
     assert np.isfinite(float(loss))
 
 
-def test_finetune_rejects_packed(tiny):
+def test_finetune_rejects_grouped(tiny):
     mcfg, _ = tiny
-    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8, packed=True)
-    with pytest.raises(ValueError, match="plain single-bucket"):
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   length_groups=2)
+    with pytest.raises(ValueError, match="length-grouped"):
         finetune.make_train_step(cfg, optax.sgd(1e-2))
+
+
+SEQS_A = ["MKTAYIAKQR", "GDSLEHA", "MKV", "AAAAPPPLLLWWYY", "MST",
+          "GGHHKLMNPQRSTVW", "MKTAYI", "PLLH"]
+SEQS_B = ["MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ", "GDS", "KVALDE", "AACD",
+          "MSTNPKRRE", "GGHH", "MKTWYEE", "PLPLPLPL"]
+
+
+@pytest.fixture(scope="module")
+def packed_batch():
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.train.packed_engine import tokenize_packed
+    return tokenize_packed(EsmTokenizer(), SEQS_A, SEQS_B)
+
+
+def test_packed_finetune_matches_monolithic_grads(tiny, packed_batch):
+    """Two-pass packed finetune == one SGD step of the monolithic
+    (single-graph) packed loss: same chunking, same per-chunk dropout
+    keys — pass-2's shared-d_sums trick must reproduce the grads exactly,
+    backbone included. Runs with dropout ON to pin the rng invariant."""
+    mcfg, params = tiny
+    lr = 1e-2
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, packed=True,
+                                   remat=True)
+    opt = optax.sgd(lr)
+    from protein_clip_tpu.ops.infonce import clip_infonce
+    step = finetune.make_train_step_packed(cfg, opt, loss_fn=clip_infonce,
+                                           rows_per_chunk=4)
+    key = jax.random.key(7)
+    new_params, _, loss = step(params, opt.init(params), {}, packed_batch,
+                               key)
+
+    mono = finetune.make_packed_loss(cfg, loss_fn=clip_infonce,
+                                     rows_per_chunk=4)
+    dloss, dgrads = jax.value_and_grad(mono)(params, packed_batch, key)
+    np.testing.assert_allclose(float(loss), float(dloss), rtol=1e-5)
+
+    esm_grad_norms = [float(jnp.abs(g).max())
+                      for g in jax.tree.leaves(dgrads["esm"])]
+    assert max(esm_grad_norms) > 1e-6, "backbone grads must be nonzero"
+
+    expect = jax.tree.map(lambda p, g: p - lr * g, params, dgrads)
+    for got, want in zip(jax.tree.leaves(new_params),
+                         jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_packed_finetune_matches_plain_finetune(tiny, packed_batch, rng):
+    """Packed and plain finetune optimize the same objective: with
+    dropout off, their losses on the same pairs agree (packing changes
+    the data layout, not the math)."""
+    mcfg, params = tiny
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.ops.infonce import clip_infonce
+
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, packed=True)
+    mono = finetune.make_packed_loss(cfg, loss_fn=clip_infonce,
+                                     rows_per_chunk=4)
+    packed_loss = float(mono(params, packed_batch, jax.random.key(0)))
+
+    plain = clip_engine.tokenize_pair_batch(EsmTokenizer(), SEQS_A, SEQS_B)
+    plain = clip_engine.expand_batch(plain)
+    from protein_clip_tpu.models import clip as clip_mod
+    hp = esm2.forward(params["esm"], plain["pep_ids"], plain["pep_mask"],
+                      mcfg.esm)
+    hr = esm2.forward(params["esm"], plain["rec_ids"], plain["rec_mask"],
+                      mcfg.esm)
+    pep = clip_mod.encode_side(params["heads"], "pep", hp,
+                               plain["pep_mask"], mcfg)
+    rec = clip_mod.encode_side(params["heads"], "rec", hr,
+                               plain["rec_mask"], mcfg)
+    plain_loss = float(clip_infonce(pep, rec))
+    np.testing.assert_allclose(packed_loss, plain_loss, rtol=2e-4)
+
+
+@pytest.mark.parametrize("opt_name", ["adam", "sgd"])
+def test_dp_finetune_matches_single_device(tiny, rng, opt_name):
+    """8-way DP finetune == the single-device finetune step at equal
+    global batch: pass-2 replays cover disjoint local chunks, so psum'd
+    grads must equal the monolithic gradient EXACTLY (sgd is the
+    scale-sensitive probe — a pmean/psum mixup shows up as 8x)."""
+    from protein_clip_tpu.models import clip as clip_mod
+    from protein_clip_tpu.parallel import mesh as mesh_mod
+    from protein_clip_tpu.parallel.finetune_step import (
+        make_sharded_finetune_step)
+    from protein_clip_tpu.parallel.step import shard_batch
+
+    mcfg, params = tiny
+    assert mcfg.dropout == 0.0  # exactness needs the deterministic path
+    b = _batch(rng, 16, 12)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=2,
+                                   accumulated_batches=8, num_chunks=8,
+                                   length_groups=1, remat=False)
+    optimizer = (optax.adam(1e-3) if opt_name == "adam"
+                 else optax.sgd(5e-2))
+    opt0 = optimizer.init(params)
+    key = jax.random.key(9)
+
+    p1, _, l1 = finetune.make_train_step(cfg, optimizer)(
+        params, opt0, {}, b, key)
+
+    m = mesh_mod.make_mesh()  # data=8
+    step = make_sharded_finetune_step(cfg, optimizer, m)
+    p2, _, l2 = step(params, opt0, {}, shard_batch(m, b), key)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def tiny_filip():
+    from protein_clip_tpu.models import filip
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = filip.FILIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                             h1=2, h2=2, dropout=0.0, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(1), esm_cfg)
+    heads = filip.init_params(jax.random.key(2), mcfg)
+    return mcfg, finetune.init_params(esm_params, heads)
+
+
+def test_filip_finetune_matches_monolithic_grads(tiny_filip, rng):
+    """Token-level two-pass == monolithic FILIP differentiation: one SGD
+    step must match p - lr * grad exactly, temperature and backbone
+    included (per-chunk (b,T,D) cotangent slices, train/filip_finetune.py)."""
+    from protein_clip_tpu.train import filip_finetune
+
+    mcfg, params = tiny_filip
+    b = _batch(rng, 8, 12)
+    lr = 1e-2
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=4,
+                                   length_groups=1, remat=True)
+    opt = optax.sgd(lr)
+    step = filip_finetune.make_train_step(cfg, opt)
+    key = jax.random.key(3)
+    new_params, _, loss = step(params, opt.init(params), {}, b, key)
+
+    mono = filip_finetune.make_token_loss(cfg)
+    dloss, dgrads = jax.value_and_grad(mono)(params, b, key)
+    np.testing.assert_allclose(float(loss), float(dloss), rtol=1e-5)
+
+    esm_grad_norms = [float(jnp.abs(g).max())
+                      for g in jax.tree.leaves(dgrads["esm"])]
+    assert max(esm_grad_norms) > 1e-6, "backbone grads must be nonzero"
+    assert float(jnp.abs(dgrads["heads"]["temperature"]).max()) > 1e-8, \
+        "temperature grad must flow through the tail"
+
+    expect = jax.tree.map(lambda p, g: p - lr * g, params, dgrads)
+    for got, want in zip(jax.tree.leaves(new_params),
+                         jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_filip_finetune_loss_decreases(tiny_filip, rng):
+    from protein_clip_tpu.train import filip_finetune
+
+    mcfg, params = tiny_filip
+    b = _batch(rng, 8, 10)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2,
+                                   length_groups=1, learning_rate=3e-3,
+                                   backbone_lr=1e-4)
+    opt = filip_finetune.make_optimizer(cfg)
+    step = filip_finetune.make_train_step(cfg, opt)
+    opt_state = opt.init(params)
+    key = jax.random.key(0)
+    losses = []
+    for _ in range(6):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, {}, b, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_filip_finetune_eval_step(tiny_filip, rng):
+    from protein_clip_tpu.train import filip_finetune
+
+    mcfg, params = tiny_filip
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2,
+                                   length_groups=1)
+    ev = filip_finetune.make_eval_step(cfg)
+    loss = ev(params, {}, _batch(rng, 8, 10))
+    assert np.isfinite(float(loss))
+
+
+def test_packed_finetune_loss_decreases(tiny, packed_batch):
+    mcfg, params = tiny
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, packed=True,
+                                   learning_rate=3e-3, backbone_lr=1e-4)
+    opt = finetune.make_optimizer(cfg)
+    step = finetune.make_train_step(cfg, opt)  # dispatches to packed
+    opt_state = opt.init(params)
+    key = jax.random.key(0)
+    losses = []
+    for _ in range(6):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, {}, packed_batch,
+                                       sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

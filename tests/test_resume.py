@@ -69,6 +69,37 @@ def test_resume_matches_uninterrupted(setup, tmp_path):
     assert [l.split(",")[0] for l in lines[1:]] == ["1", "2", "3", "4"]
 
 
+def test_finetune_resume_matches_uninterrupted(setup, tmp_path):
+    """The finetune engine's combined {esm, heads} pytree + multi_transform
+    opt state round-trips through Orbax: a killed-and-resumed finetune run
+    replays the uninterrupted one exactly (same fold_in(rng, epoch) keys,
+    reseeded loaders)."""
+    from protein_clip_tpu.train import finetune
+
+    cfg, esm_params, params = setup
+    import dataclasses
+    cfg = dataclasses.replace(cfg, backbone_lr=1e-4)
+    ft_params = finetune.init_params(esm_params, params)
+    tr, va = FakeLoader(4, 4, 0), FakeLoader(2, 4, 1)
+    tok = EsmTokenizer()
+
+    full = loop.fit(tmp_path / "ft_full", cfg, ft_params, {}, tr, va, tok,
+                    num_epochs=3, rng=jax.random.key(0), log=lambda s: None,
+                    engine=finetune)
+    loop.fit(tmp_path / "ft_split", cfg, ft_params, {}, tr, va, tok,
+             num_epochs=1, rng=jax.random.key(0), log=lambda s: None,
+             engine=finetune)
+    resumed = loop.fit(tmp_path / "ft_split", cfg, ft_params, {}, tr, va,
+                       tok, num_epochs=3, rng=jax.random.key(0),
+                       log=lambda s: None, engine=finetune, resume=True)
+
+    np.testing.assert_allclose(resumed.train_losses[1:],
+                               full.train_losses[1:], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(resumed.params),
+                    jax.tree.leaves(full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_resume_without_state_starts_fresh(setup, tmp_path):
     cfg, esm_params, params = setup
     tr, va = FakeLoader(2, 4, 0), FakeLoader(2, 4, 1)

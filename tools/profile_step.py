@@ -124,6 +124,38 @@ def capture(out_dir: Path, n_steps: int) -> None:
     _trace_steps(out_dir, step, params, opt_state, esm_params, batches)
 
 
+def capture_finetune(out_dir: Path, n_steps: int) -> None:
+    """Trace the UNFROZEN-backbone finetune step (bench_finetune workload:
+    t30_150M, global batch 256; PCT_FINETUNE_PACKED picks packed/plain)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import make_batches
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import clip, esm2
+    from protein_clip_tpu.train import clip_engine, finetune
+
+    packed = os.environ.get("PCT_FINETUNE_PACKED", "1") != "0"
+    esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16)
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
+    params = finetune.init_params(
+        esm2.init_params(jax.random.key(0), esm_cfg, dtype=jnp.float32),
+        clip.init_params(jax.random.key(1), mcfg))
+    cfg = clip_engine.EngineConfig(
+        model=mcfg, batch_size=16, accumulated_batches=16, num_chunks=16,
+        length_groups=1, remat=True, backbone_lr=1e-5, packed=packed)
+    optimizer = finetune.make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    step = finetune.make_train_step(cfg, optimizer)
+
+    rng = np.random.default_rng(42)
+    batches = make_batches(rng, n_steps + 1, cfg.global_batch,
+                           EsmTokenizer(), "packed" if packed else 1)
+    _trace_steps(out_dir, step, params, opt_state, {}, batches)
+
+
 def op_breakdown(out_dir: Path, top: int = 30) -> None:
     """Parse the newest xplane.pb directly (the tensorboard_plugin_profile
     converter is broken against this TF build) and print device time by HLO
@@ -193,12 +225,14 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--out", default="docs/trace")
     ap.add_argument("--parse-only", action="store_true")
-    ap.add_argument("--mode", choices=["clip", "filip"], default="clip")
+    ap.add_argument("--mode", choices=["clip", "filip", "finetune"],
+                    default="clip")
     args = ap.parse_args()
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     if not args.parse_only:
-        (capture_filip if args.mode == "filip" else capture)(out, args.steps)
+        {"clip": capture, "filip": capture_filip,
+         "finetune": capture_finetune}[args.mode](out, args.steps)
     op_breakdown(out)
     return 0
 
