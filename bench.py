@@ -281,6 +281,74 @@ def bench_finetune():
     }))
 
 
+def bench_finetune_filip():
+    """UNFROZEN-backbone FILIP training (train/filip_finetune.py): token-
+    level two-pass gradcache at batch 128 — the reference's FILIP is
+    frozen-only AND walled at batch 10."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import esm2, filip
+    from protein_clip_tpu.train import clip_engine, filip_finetune
+    from protein_clip_tpu.train.clip_engine import tokenize_pair_batch
+
+    esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16)
+    mcfg = filip.FILIPConfig(esm=esm_cfg)
+    params = filip_finetune.init_params(
+        esm2.init_params(jax.random.key(0), esm_cfg, dtype=jnp.float32),
+        filip.init_params(jax.random.key(1), mcfg))
+    batch_size = int(os.environ.get("PCT_FILIP_BATCH", "128"))
+    cfg = clip_engine.EngineConfig(
+        model=mcfg, batch_size=batch_size, accumulated_batches=1,
+        num_chunks=batch_size // 16, length_groups=1, remat=True,
+        backbone_lr=1e-5)
+    optimizer = filip_finetune.make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    step = filip_finetune.make_train_step(cfg, optimizer)
+
+    tokenizer = EsmTokenizer()
+    rng = np.random.default_rng(42)
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    n_steps = 6
+    batches = []
+    for _ in range(n_steps + 1):
+        peps = ["".join(rng.choice(aas, _rec_len(rng)))
+                for _ in range(batch_size)]
+        recs = ["".join(rng.choice(aas, _rec_len(rng)))
+                for _ in range(batch_size)]
+        batches.append(tokenize_pair_batch(tokenizer, peps, recs))
+    batches = [jax.device_put(b) for b in batches]
+    for b in batches:
+        for leaf in jax.tree.leaves(b):
+            float(jnp.sum(leaf.astype(jnp.int32)))
+
+    key = jax.random.key(0)
+    for b in batches:  # one warm step per composition
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, {}, b, sub)
+        float(loss)
+
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, {},
+                                       batches[i + 1], sub)
+        losses.append(loss)
+    vals = [float(l) for l in losses]
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(v) for v in vals), vals
+    print(json.dumps({
+        "metric": "finetune_filip_pairs_per_sec_per_chip",
+        "value": round(n_steps * batch_size / dt, 2),
+        "unit": "pairs/s",
+        "batch": batch_size,
+    }))
+
+
 def main():
     import os
 
@@ -298,6 +366,8 @@ def main():
         return bench_eval()
     if os.environ.get("PCT_BENCH_MODE") == "finetune":
         return bench_finetune()
+    if os.environ.get("PCT_BENCH_MODE") == "finetune_filip":
+        return bench_finetune_filip()
 
     import jax.numpy as jnp
 

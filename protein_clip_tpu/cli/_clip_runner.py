@@ -97,7 +97,15 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
                        if not (args.no_gradcache or finetuning) else 1),
         packed=args.packed and not args.no_gradcache,
         packed_tiers=getattr(args, "pack_tiers", 1),
-        backbone_lr=getattr(args, "backbone_lr", None))
+        backbone_lr=getattr(args, "backbone_lr", None),
+        weight_decay=args.weight_decay, warmup_steps=args.warmup_steps,
+        lr_schedule=args.lr_schedule,
+        # optimizer-step horizon for the cosine schedule: steps/epoch is
+        # the loader length over the accumulation factor (train_gc drops
+        # the trailing partial global batch, matching the reference gate)
+        total_steps=args.epochs * (
+            len(train_loader) if args.no_gradcache
+            else len(train_loader) // args.accumulated_batches))
 
     def epoch_hook(epoch, best_params):
         if not args.epoch_figures:

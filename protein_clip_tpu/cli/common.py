@@ -75,6 +75,15 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--backbone-lr", type=float, default=1e-5,
                    help="with --finetune: backbone learning rate (heads "
                         "stay at --lr)")
+    p.add_argument("--weight-decay", type=float, default=0.0,
+                   help="decoupled (AdamW) weight decay; 0 = the "
+                        "reference's plain Adam")
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help="linear LR warmup over this many optimizer steps")
+    p.add_argument("--lr-schedule", choices=["constant", "cosine"],
+                   default="constant",
+                   help="cosine decays to 0 over the run's optimizer-step "
+                        "horizon (computed from the train loader + epochs)")
     p.add_argument("--scatter-tiers", type=int, default=1,
                    help="FILIP with --packed: >1 scatters per-token head "
                         "outputs into per-length-tier buffers so max-sim "

@@ -117,7 +117,10 @@ def main(argv=None) -> int:
         packed_tiers=getattr(args, "pack_tiers", 1),
         scatter_tiers=getattr(args, "scatter_tiers", 1),
         filip_use_dcl=args.use_dcl,
-        backbone_lr=getattr(args, "backbone_lr", None))
+        backbone_lr=getattr(args, "backbone_lr", None),
+        weight_decay=args.weight_decay, warmup_steps=args.warmup_steps,
+        lr_schedule=args.lr_schedule,
+        total_steps=args.epochs * len(train_loader))
 
     def epoch_hook(epoch, best_params):
         if not args.epoch_figures:

@@ -59,7 +59,10 @@ def main(argv=None) -> int:
     val_loader = PairLoader(val_ds, args.batch_size, shuffle=False,
                             drop_last=True, seed=args.seed)
 
-    optimizer = opt_mod.adam(args.lr)
+    total = len(train_loader) * args.epochs
+    optimizer = opt_mod.build(args.lr, weight_decay=args.weight_decay,
+                              warmup_steps=args.warmup_steps,
+                              schedule=args.lr_schedule, total_steps=total)
     opt_state = optimizer.init(lm_head)
 
     if args.dp > 1:

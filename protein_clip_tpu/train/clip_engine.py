@@ -104,6 +104,12 @@ class EngineConfig:
     # finetune engine only: backbone learning rate (heads use
     # learning_rate); None -> the finetune default 1e-5
     backbone_lr: float | None = None
+    # production-trainer knobs (train/optimizer.build) — defaults are the
+    # reference's plain Adam
+    weight_decay: float = 0.0
+    warmup_steps: int = 0
+    lr_schedule: str = "constant"
+    total_steps: int | None = None
 
     @property
     def global_batch(self) -> int:

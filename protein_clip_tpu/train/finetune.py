@@ -75,14 +75,17 @@ def init_params(esm_params: Params, head_params: Params) -> Params:
 
 
 def make_optimizer(cfg: EngineConfig) -> optax.GradientTransformation:
-    """Two-group Adam: heads at cfg.learning_rate, backbone at
-    cfg.backbone_lr (loop.fit calls this instead of plain adam when the
-    engine module exposes it)."""
+    """Two-group Adam/AdamW: heads at cfg.learning_rate, backbone at
+    cfg.backbone_lr (loop.fit calls this instead of the default when the
+    engine module exposes it). Weight decay / warmup / cosine schedule
+    knobs (train/optimizer.build) apply to both groups at their own
+    peak learning rates."""
     from . import optimizer as opt_mod
 
     bb_lr = cfg.backbone_lr if cfg.backbone_lr is not None else 1e-5
     return optax.multi_transform(
-        {"esm": opt_mod.adam(bb_lr), "heads": opt_mod.adam(cfg.learning_rate)},
+        {"esm": opt_mod.from_config(cfg, lr=bb_lr),
+         "heads": opt_mod.from_config(cfg)},
         lambda params: {
             "esm": jax.tree.map(lambda _: "esm", params["esm"]),
             "heads": jax.tree.map(lambda _: "heads", params["heads"]),
@@ -224,11 +227,18 @@ def _packed_machinery(cfg: EngineConfig, loss_fn: Callable,
             raise ValueError(
                 "packed finetune supports flat packing only "
                 "(packed_tiers=1); width-tiered finetune is not wired")
+        # constant TOKENS per chunk across sides: narrower rows (the pep
+        # side's 128 vs the receptors' 512) take proportionally more rows
+        # per chunk, keeping per-chunk matmul shapes at the width the
+        # rows_per_chunk sweep tuned (same rule as the frozen path's
+        # _packs_and_hidden)
+        l_max = max(batch["pep_ids"].shape[1], batch["rec_ids"].shape[1])
         sides = {}
         for side, r in zip(("pep", "rec"), jax.random.split(rng)):
             pack = {k: batch[f"{side}_{k}"]
                     for k in ("ids", "seg", "pos", "owner")}
-            chunks, n = _chunk_pack(pack, rows_per_chunk)
+            rpc = rows_per_chunk * (l_max // pack["ids"].shape[1])
+            chunks, n = _chunk_pack(pack, rpc)
             rc, rt = jax.random.split(r)
             sides[side] = (chunks, jax.random.split(rc, n), rt)
         return sides

@@ -86,10 +86,11 @@ def fit(
     run_dir = Path(run_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
     # engines may own their optimizer (finetune: two-group LR); default
-    # is the reference's plain Adam (main.py:45)
+    # honors the EngineConfig trainer knobs, which default to the
+    # reference's plain Adam (main.py:45)
     optimizer = (engine.make_optimizer(cfg)
                  if hasattr(engine, "make_optimizer")
-                 else opt_mod.adam(cfg.learning_rate))
+                 else opt_mod.from_config(cfg))
     opt_state = optimizer.init(params)
     train_step = engine.make_train_step(cfg, optimizer)
     eval_step = engine.make_eval_step(cfg)
