@@ -1,0 +1,180 @@
+"""Online serving: JSON-over-HTTP embeddings + top-k retrieval.
+
+Completes the serving loop (embed -> retrieve are the offline halves):
+load a trained checkpoint once, keep the jit-compiled encoder warm, and
+answer requests from memory. The reference has no serving story at all —
+its topk.py re-encodes the full candidate set per run inside a 10h SLURM
+job (/root/reference/topk.py:48-76).
+
+    python -m protein_clip_tpu.cli.serve --checkpoint runs/<ts>/best_model.npz \
+        --index index.npz --port 8080
+
+API (all JSON):
+  GET  /healthz           -> {"status": "ok", "model": ..., "index_size": N}
+  POST /embed             {"sequences": [...], "side": "pep"|"rec"}
+                          -> {"embeddings": [[...], ...]}
+  POST /topk              {"queries": [...], "side": "pep", "k": 10}
+                          -> {"hits": [[{"id", "score", "rank"}, ...], ...]}
+
+Requests batch internally through ``embed_sequences`` (length-sorted
+bucket batches, so repeated request shapes hit the jit cache); the
+stdlib ThreadingHTTPServer serializes encodes with a lock — device
+compute is the bottleneck, not Python. Finetuned (combined {heads, esm})
+checkpoints are auto-detected and served with their own backbone, like
+the offline eval CLIs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import jax
+
+from . import common
+from .embed import embed_sequences
+from ..eval.embed import nearest_partners
+from ..models import clip
+from ..utils import prng
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_common_args(p)
+    p.add_argument("--checkpoint", required=True,
+                   help="best_model.npz from a training run")
+    p.add_argument("--index", default=None,
+                   help="npz from cli.embed ({ids, embeddings}); enables "
+                        "/topk")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080,
+                   help="0 picks an ephemeral port (printed on startup)")
+    return p
+
+
+class ClipService:
+    """Checkpoint + optional index, shared across requests."""
+
+    def __init__(self, args):
+        esm_cfg = common.esm_config(args.esm_config, args.esm_dtype)
+        esm_params = common.load_esm(args, esm_cfg)
+        self.tokenizer = common.make_tokenizer()
+        self.mcfg = clip.CLIPConfig(
+            input_dim=esm_cfg.hidden_size, embedding_dim=args.embedding_dim,
+            h1=args.h1, h2=args.h2, dropout=args.dropout,
+            activation=args.activation, esm=esm_cfg)
+        self.params, self.esm_params = common.load_clip_checkpoint(
+            args.checkpoint, self.mcfg, esm_params)
+        self.model_name = args.esm_config
+        self.batch_size = args.batch_size
+        self.corpus_ids: list[str] = []
+        self.corpus = None
+        if args.index:
+            index = np.load(args.index, allow_pickle=False)
+            self.corpus_ids = [str(i) for i in index["ids"]]
+            self.corpus = np.asarray(index["embeddings"], np.float32)
+            if self.corpus.shape[1] != self.mcfg.embedding_dim:
+                raise ValueError(
+                    f"index embedding dim {self.corpus.shape[1]} != model "
+                    f"--embedding-dim {self.mcfg.embedding_dim}")
+        # one encode at a time: the device is the shared resource
+        self._lock = threading.Lock()
+
+    def embed(self, sequences: list[str], side: str) -> np.ndarray:
+        if side not in ("pep", "rec"):
+            raise ValueError(f"side must be 'pep' or 'rec', got {side!r}")
+        with self._lock:
+            return embed_sequences(self.params, self.esm_params, sequences,
+                                   side, self.mcfg, self.tokenizer,
+                                   batch_size=self.batch_size)
+
+    def topk(self, queries: list[str], side: str, k: int):
+        if self.corpus is None:
+            raise ValueError("no --index loaded; /topk unavailable")
+        qemb = self.embed(queries, side)
+        k = max(1, min(k, len(self.corpus_ids)))
+        idx, scores = nearest_partners(qemb, self.corpus, k=k)
+        return [
+            [{"id": self.corpus_ids[idx[q, r]],
+              "score": float(scores[q, r]), "rank": r + 1}
+             for r in range(k)]
+            for q in range(len(queries))]
+
+
+def make_handler(service: ClipService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._json(404, {"error": "unknown path"})
+            return self._json(200, {
+                "status": "ok", "model": service.model_name,
+                "embedding_dim": service.mcfg.embedding_dim,
+                "index_size": len(service.corpus_ids),
+            })
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                seq_key = "queries" if self.path == "/topk" else "sequences"
+                seqs = req.get(seq_key)
+                if (not isinstance(seqs, list) or not seqs
+                        or not all(isinstance(s, str) and s for s in seqs)):
+                    return self._json(
+                        400, {"error": f"'{seq_key}' must be a non-empty "
+                                       f"list of non-empty strings"})
+                side = req.get("side", "pep")
+                if self.path == "/embed":
+                    emb = service.embed(seqs, side)
+                    return self._json(200, {"embeddings": emb.tolist()})
+                if self.path == "/topk":
+                    hits = service.topk(seqs, side, int(req.get("k", 10)))
+                    return self._json(200, {"hits": hits})
+                return self._json(404, {"error": "unknown path"})
+            except ValueError as e:
+                return self._json(400, {"error": str(e)})
+            except Exception as e:  # keep the server alive
+                return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def make_server(args) -> ThreadingHTTPServer:
+    """Bound (not yet serving) HTTP server — split out for tests."""
+    service = ClipService(args)
+    return ThreadingHTTPServer((args.host, args.port),
+                               make_handler(service))
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    prng.set_seed(args.seed)
+    server = make_server(args)
+    host, port = server.server_address[:2]
+    print(f"serving on http://{host}:{port}  "
+          f"(/healthz, /embed, /topk{'' if args.index else ' [no index]'})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

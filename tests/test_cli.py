@@ -274,6 +274,79 @@ def test_retrieve_entry(workdir, trained_run):
     assert hits / len(records) > 0.7, top1
 
 
+def test_serve_entry(workdir, trained_run):
+    """HTTP serving (cli/serve.py): /healthz, /embed (matches the offline
+    encoder bit-for-bit), /topk self-retrieval against a cli.embed index,
+    and input-validation errors — all over a real localhost socket."""
+    import json as json_mod
+    import threading
+    import urllib.request
+
+    from protein_clip_tpu.cli.embed import embed_sequences, main as embed_main
+    from protein_clip_tpu.cli.serve import build_argparser, make_server
+    from protein_clip_tpu.data.fasta import parse_fasta
+
+    rc = embed_main(TINY + [
+        "--checkpoint", str(trained_run / "best_model.npz"),
+        "--fasta", "data/protein1.fasta", "--side", "pep",
+        "--out", "serve_index.npz", "--batch-size", "8",
+    ])
+    assert rc == 0
+
+    args = build_argparser().parse_args(TINY + [
+        "--checkpoint", str(trained_run / "best_model.npz"),
+        "--index", "serve_index.npz", "--port", "0", "--batch-size", "8",
+    ])
+    server = make_server(args)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def call(path, payload=None, expect=200):
+        req = urllib.request.Request(
+            base + path,
+            data=None if payload is None else json_mod.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                assert r.status == expect
+                return json_mod.loads(r.read())
+        except urllib.error.HTTPError as e:
+            assert e.code == expect, (e.code, e.read())
+            return json_mod.loads(e.read())
+
+    try:
+        health = call("/healthz")
+        assert health["status"] == "ok" and health["index_size"] > 0
+
+        records = parse_fasta("data/protein1.fasta")[:6]
+        seqs = [r[1] for r in records]
+        out = call("/embed", {"sequences": seqs, "side": "pep"})
+        got = np.asarray(out["embeddings"], np.float32)
+
+        from protein_clip_tpu.cli.serve import ClipService
+        svc = ClipService(args)
+        want = embed_sequences(svc.params, svc.esm_params, seqs, "pep",
+                               svc.mcfg, svc.tokenizer, batch_size=8)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+        hits = call("/topk", {"queries": seqs, "side": "pep", "k": 3})["hits"]
+        assert len(hits) == len(seqs) and all(len(h) == 3 for h in hits)
+        top1 = sum(h[0]["id"] == r[0] for h, r in zip(hits, records))
+        assert top1 >= len(seqs) - 1, [h[0] for h in hits]
+
+        err = call("/embed", {"sequences": []}, expect=400)
+        assert "non-empty" in err["error"]
+        err = call("/embed", {"sequences": ["MKV"], "side": "x"}, expect=400)
+        assert "side" in err["error"]
+        err = call("/nope", {"sequences": ["MKV"]}, expect=404)
+        assert "unknown path" in err["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_finetune_training_entry(workdir, trained_run, capsys):
     """--finetune through the real CLI: unfrozen backbone trains end to
     end, best_model.npz carries the combined {heads, esm} pytree, and
