@@ -49,9 +49,16 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
     params = clip.init_params(krng, mcfg)
 
     finetuning = getattr(args, "finetune", False)
+    lora_rank = getattr(args, "lora_rank", 0)
+    if finetuning and lora_rank:
+        raise SystemExit("--finetune and --lora-rank are mutually "
+                         "exclusive (full vs parameter-efficient)")
     if finetuning and args.packed and getattr(args, "pack_tiers", 1) > 1:
         raise SystemExit("--finetune --packed supports flat packing only "
                          "(drop --pack-tiers)")
+    if lora_rank and args.packed:
+        raise SystemExit("--lora-rank trains on plain batches "
+                         "(drop --packed)")
     if finetuning:
         from ..train import finetune
         # backbone joins the trainable params (f32 master copy); the
@@ -59,15 +66,29 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
         # finetune engine
         params = finetune.init_params(esm_params, params)
         esm_params = {}
+    elif lora_rank:
+        from ..train import lora as lora_mod
+        rng, lrng = jax.random.split(rng)
+        targets = lora_mod.ATTN_TARGETS + (
+            lora_mod.FFN_TARGETS if getattr(args, "lora_ffn", False) else ())
+        params = lora_mod.init_params(
+            lora_mod.init_lora(lrng, esm_params, lora_rank, targets),
+            params)
+        # esm_params stays: the frozen base the adapters merge into
 
     def _eval_view(p):
         """(head_params, backbone_params) for viz/eval hooks, either
         engine's params pytree. The finetune master backbone is f32;
         eval consumers expect compute-dtype leaves (a bf16-config layer
-        scan fed f32 params flips the carry dtype mid-scan)."""
+        scan fed f32 params flips the carry dtype mid-scan). LoRA views
+        merge the adapters into the frozen base."""
         if finetuning:
             return p["heads"], esm2.cast_params(p["esm"],
                                                 mcfg.esm.compute_dtype)
+        if lora_rank:
+            from ..train import lora as lora_mod
+            return p["heads"], lora_mod.merge_lora(esm_params, p["lora"],
+                                                   2.0 * lora_rank)
         return p, esm_params
 
     data_dir = common.ensure_data(args, prefix_a, prefix_b)
@@ -94,7 +115,8 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
         accumulated_batches=args.accumulated_batches,
         learning_rate=args.lr, num_chunks=args.num_chunks,
         length_groups=(args.length_groups
-                       if not (args.no_gradcache or finetuning) else 1),
+                       if not (args.no_gradcache or finetuning or lora_rank)
+                       else 1),
         packed=args.packed and not args.no_gradcache,
         packed_tiers=getattr(args, "pack_tiers", 1),
         backbone_lr=getattr(args, "backbone_lr", None),
@@ -121,6 +143,8 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
     engine = None
     if finetuning:
         from ..train import finetune as engine
+    elif lora_rank:
+        from ..train import lora as engine
     result = loop.fit(
         run_dir, cfg, params, esm_params, train_loader, val_loader, tokenizer,
         args.epochs, rng=rng, use_gradcache=not args.no_gradcache,

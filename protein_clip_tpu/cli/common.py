@@ -75,6 +75,14 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--backbone-lr", type=float, default=1e-5,
                    help="with --finetune: backbone learning rate (heads "
                         "stay at --lr)")
+    p.add_argument("--lora-rank", type=int, default=0,
+                   help="> 0: LoRA parameter-efficient finetuning "
+                        "(train/lora.py) — low-rank adapters on the "
+                        "attention projections, base backbone frozen; "
+                        "adapter LR = --backbone-lr (default 1e-4 here). "
+                        "Mutually exclusive with --finetune")
+    p.add_argument("--lora-ffn", action="store_true",
+                   help="with --lora-rank: also adapt the FFN wi/wo")
     p.add_argument("--weight-decay", type=float, default=0.0,
                    help="decoupled (AdamW) weight decay; 0 = the "
                         "reference's plain Adam")
@@ -106,11 +114,12 @@ def esm_config(name: str, dtype_name: str) -> esm2.ESM2Config:
 
 
 def load_clip_checkpoint(path, mcfg, esm_params):
-    """Load a best_model.npz that is either heads-only (frozen runs) or
-    the finetune engine's combined {heads, esm} pytree. Returns
-    (head_params, esm_params) — a finetuned checkpoint carries its OWN
-    backbone, which must be the one evaluated (the pretrained weights
-    no longer match its heads)."""
+    """Load a best_model.npz that is heads-only (frozen runs), the
+    finetune engine's combined {heads, esm} pytree, or a LoRA
+    {heads, lora} pytree. Returns (head_params, esm_params) — a
+    finetuned checkpoint carries its OWN backbone; a LoRA checkpoint's
+    adapters merge into the loaded base backbone (which must be the one
+    it trained against)."""
     import numpy as np
 
     from ..models import clip
@@ -119,6 +128,26 @@ def load_clip_checkpoint(path, mcfg, esm_params):
     head_like = clip.init_params(jax.random.key(0), mcfg)
     with np.load(path) as data:
         combined = any(k.startswith("heads/") for k in data.files)
+        has_lora = any(k.startswith("lora/") for k in data.files)
+        lora_shapes = {k[len("lora/"):]: data[k].shape
+                       for k in data.files if k.startswith("lora/")}
+    if has_lora:
+        import jax.numpy as jnp
+
+        from ..train import lora as lora_mod
+        lora_like = {}
+        for key, shape in lora_shapes.items():
+            name, ab = key.rsplit("/", 1)
+            lora_like.setdefault(name, {})[ab] = jnp.zeros(shape,
+                                                           jnp.float32)
+        tree = load_npz(path, {"lora": lora_like, "heads": head_like})
+        rank = next(iter(tree["lora"].values()))["a"].shape[-1]
+        print(f"[checkpoint] LoRA adapters found (rank {rank}) — merging "
+              "into the loaded backbone")
+        import os
+        alpha = float(os.environ.get("PCT_LORA_ALPHA", 2.0 * rank))
+        return tree["heads"], lora_mod.merge_lora(esm_params, tree["lora"],
+                                                  alpha)
     if combined:
         from ..train import finetune
         tree = load_npz(path, finetune.init_params(esm_params, head_like))

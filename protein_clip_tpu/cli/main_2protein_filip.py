@@ -58,6 +58,9 @@ def filip_similarity_viz(params, esm_params, mcfg, tokenizer):
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     finetuning = getattr(args, "finetune", False)
+    if getattr(args, "lora_rank", 0):
+        raise SystemExit("--lora-rank is a CLIP-engine feature; the FILIP "
+                         "entry supports --finetune (full) only")
     if finetuning and (args.packed or args.length_groups > 1):
         raise SystemExit("FILIP --finetune trains on plain batches "
                          "(drop --packed / --length-groups)")

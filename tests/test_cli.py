@@ -274,6 +274,36 @@ def test_retrieve_entry(workdir, trained_run):
     assert hits / len(records) > 0.7, top1
 
 
+def test_lora_training_entry(workdir, trained_run, capsys):
+    """--lora-rank through the real CLI: adapters train against the frozen
+    base, best_model.npz carries {lora, heads}, and topk auto-detects it
+    (merging adapters into the base backbone at eval)."""
+    from protein_clip_tpu.cli.main_2protein import main
+    rc = main(TINY + [
+        "--epochs", "1", "--batch-size", "4", "--accumulated-batches", "2",
+        "--num-chunks", "2", "--lora-rank", "4", "--backbone-lr", "1e-3",
+        "--data-dir", "data", "--runs-dir", "runs_lora",
+    ])
+    assert rc == 0
+    run = sorted(Path("runs_lora").iterdir())[-1]
+    ckpt = np.load(run / "best_model.npz")
+    assert any(k.startswith("lora/attn/q/a") for k in ckpt.files)
+    assert any(k.startswith("heads/") for k in ckpt.files)
+    assert not any(k.startswith("esm/") for k in ckpt.files)
+
+    from protein_clip_tpu.cli.topk import main as topk_main
+    rc = topk_main(TINY + [
+        "--checkpoint", str(run / "best_model.npz"),
+        "--data-dir", "data", "--batch-size", "4",
+        "--n-candidates", "16", "--split", "train",
+        "--runs-dir", "runs_lora_topk",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "LoRA adapters found (rank 4)" in out
+    assert "top-1 accuracy:" in out
+
+
 def test_serve_entry(workdir, trained_run):
     """HTTP serving (cli/serve.py): /healthz, /embed (matches the offline
     encoder bit-for-bit), /topk self-retrieval against a cli.embed index,

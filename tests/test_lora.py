@@ -1,0 +1,153 @@
+"""LoRA adapters (train/lora.py): merge semantics, exact grads through
+the merge, frozen-base invariants, and checkpoint auto-detection."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from protein_clip_tpu.models import clip, esm2
+from protein_clip_tpu.ops.infonce import clip_infonce
+from protein_clip_tpu.train import clip_engine, lora
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                           h1=2, h2=2, dropout=0.0, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(1), esm_cfg)
+    heads = clip.init_params(jax.random.key(2), mcfg)
+    adapters = lora.init_lora(jax.random.key(3), esm_params, rank=4)
+    return mcfg, esm_params, lora.init_params(adapters, heads)
+
+
+def _batch(rng, B, T):
+    return {
+        "pep_ids": jnp.asarray(rng.integers(4, 24, (B, T)), jnp.int32),
+        "pep_mask": jnp.ones((B, T), jnp.int32),
+        "rec_ids": jnp.asarray(rng.integers(4, 24, (B, T)), jnp.int32),
+        "rec_mask": jnp.ones((B, T), jnp.int32),
+    }
+
+
+def test_zero_init_is_identity(tiny, rng):
+    """B = 0 at init: the merged model IS the frozen model, exactly."""
+    mcfg, esm_params, params = tiny
+    merged = lora.merge_lora(esm_params, params["lora"], alpha=8.0)
+    ids = jnp.asarray(rng.integers(4, 24, (4, 10)), jnp.int32)
+    mask = jnp.ones((4, 10), jnp.int32)
+    a = esm2.forward(esm_params, ids, mask, mcfg.esm)
+    b = esm2.forward(merged, ids, mask, mcfg.esm)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_merge_changes_only_targets(tiny):
+    mcfg, esm_params, params = tiny
+    adapters = jax.tree.map(lambda a: a + 0.1, params["lora"])
+    merged = lora.merge_lora(esm_params, adapters, alpha=8.0)
+    # targeted leaves move ...
+    for t in lora.ATTN_TARGETS:
+        w0 = np.asarray(esm_params["layers"]["attn"][t]["w"])
+        w1 = np.asarray(merged["layers"]["attn"][t]["w"])
+        assert np.abs(w1 - w0).max() > 0
+        # ... biases and non-targets do not
+        np.testing.assert_array_equal(
+            np.asarray(esm_params["layers"]["attn"][t]["b"]),
+            np.asarray(merged["layers"]["attn"][t]["b"]))
+    np.testing.assert_array_equal(
+        np.asarray(esm_params["layers"]["ffn"]["wi"]["w"]),
+        np.asarray(merged["layers"]["ffn"]["wi"]["w"]))
+    np.testing.assert_array_equal(np.asarray(esm_params["embed"]["word"]),
+                                  np.asarray(merged["embed"]["word"]))
+
+
+def test_lora_step_matches_monolithic_grads(tiny, rng):
+    """One SGD LoRA step == p - lr * grad of the monolithic merged loss:
+    the two-pass gradcache differentiates THROUGH the merge correctly."""
+    mcfg, esm_params, params = tiny
+    # move off the zero-init saddle so adapter grads are generic
+    params = jax.tree.map(
+        lambda a: a + 0.01 if a.ndim == 3 else a, params)
+    b = _batch(rng, 8, 12)
+    lr, alpha = 1e-2, 8.0
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=4,
+                                   length_groups=1, remat=True)
+    opt = optax.sgd(lr)
+    step = lora.make_train_step(cfg, opt, loss_fn=clip_infonce, alpha=alpha)
+    new_params, _, loss = step(params, opt.init(params), esm_params, b,
+                               jax.random.key(0))
+
+    def direct(p):
+        merged = lora.merge_lora(esm_params, p["lora"], alpha)
+        hp = esm2.forward(merged, b["pep_ids"], b["pep_mask"], mcfg.esm)
+        hr = esm2.forward(merged, b["rec_ids"], b["rec_mask"], mcfg.esm)
+        pep = clip.encode_side(p["heads"], "pep", hp, b["pep_mask"], mcfg)
+        rec = clip.encode_side(p["heads"], "rec", hr, b["rec_mask"], mcfg)
+        return clip_infonce(pep, rec)
+
+    dloss, dgrads = jax.value_and_grad(direct)(params)
+    np.testing.assert_allclose(float(loss), float(dloss), rtol=1e-5)
+    a_norms = [float(jnp.abs(g["a"]).max())
+               for g in jax.tree.leaves(
+                   dgrads["lora"], is_leaf=lambda x: isinstance(x, dict)
+                   and "a" in x)]
+    assert max(a_norms) > 1e-8, "adapter grads must be nonzero"
+
+    expect = jax.tree.map(lambda p, g: p - lr * g, params, dgrads)
+    for got, want in zip(jax.tree.leaves(new_params),
+                         jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_lora_loss_decreases_and_base_frozen(tiny, rng):
+    mcfg, esm_params, params = tiny
+    base_copy = jax.tree.map(lambda a: np.asarray(a).copy(), esm_params)
+    b = _batch(rng, 8, 10)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2,
+                                   length_groups=1, learning_rate=3e-3,
+                                   backbone_lr=1e-3)
+    opt = lora.make_optimizer(cfg)
+    step = lora.make_train_step(cfg, opt)
+    opt_state = opt.init(params)
+    key = jax.random.key(0)
+    losses = []
+    for _ in range(6):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, esm_params, b, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    # adapters moved; the frozen base did not
+    b_norm = max(float(jnp.abs(ab["b"]).max())
+                 for ab in jax.tree.leaves(
+                     params["lora"],
+                     is_leaf=lambda x: isinstance(x, dict) and "b" in x))
+    assert b_norm > 0, "B matrices should move off zero"
+    for a, c in zip(jax.tree.leaves(base_copy), jax.tree.leaves(esm_params)):
+        np.testing.assert_array_equal(a, np.asarray(c))
+
+
+def test_lora_eval_step(tiny, rng):
+    mcfg, esm_params, params = tiny
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2,
+                                   length_groups=1)
+    ev = lora.make_eval_step(cfg, loss_fn=clip_infonce, alpha=8.0)
+    loss = ev(params, esm_params, _batch(rng, 8, 10))
+    assert np.isfinite(float(loss))
+
+
+def test_ffn_targets(tiny):
+    _, esm_params, _ = tiny
+    adapters = lora.init_lora(jax.random.key(0), esm_params, rank=2,
+                              targets=lora.ATTN_TARGETS + lora.FFN_TARGETS)
+    assert set(adapters) == {"attn/q", "attn/k", "attn/v", "attn/o",
+                             "ffn/wi", "ffn/wo"}
+    moved = lora.merge_lora(
+        esm_params, jax.tree.map(lambda a: a + 0.1, adapters), alpha=4.0)
+    assert np.abs(np.asarray(moved["layers"]["ffn"]["wi"]["w"])
+                  - np.asarray(esm_params["layers"]["ffn"]["wi"]["w"])).max() > 0
