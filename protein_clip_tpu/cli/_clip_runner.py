@@ -53,12 +53,10 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
     if finetuning and lora_rank:
         raise SystemExit("--finetune and --lora-rank are mutually "
                          "exclusive (full vs parameter-efficient)")
-    if finetuning and args.packed and getattr(args, "pack_tiers", 1) > 1:
-        raise SystemExit("--finetune --packed supports flat packing only "
-                         "(drop --pack-tiers)")
-    if lora_rank and args.packed:
-        raise SystemExit("--lora-rank trains on plain batches "
-                         "(drop --packed)")
+    if (finetuning or lora_rank) and args.packed \
+            and getattr(args, "pack_tiers", 1) > 1:
+        raise SystemExit("--finetune/--lora-rank with --packed support "
+                         "flat packing only (drop --pack-tiers)")
     if finetuning:
         from ..train import finetune
         # backbone joins the trainable params (f32 master copy); the

@@ -179,18 +179,28 @@ def _chunk_pack(pack, rows_per_chunk: int):
 
 
 def _packed_machinery(cfg: EngineConfig, loss_fn: Callable,
-                      rows_per_chunk: int):
+                      rows_per_chunk: int, esm_view: Callable | None = None):
     """Shared pieces of the packed finetune step: per-chunk partial-sums
     encoder, pass-1 scan, and the differentiable tail. Returns
     (chunk_sums, scan_sums, tail, prepare) closures; ``prepare`` turns a
-    wire batch + rng into ((chunks, rngs) per side, tail rngs)."""
+    wire batch + rng into ((chunks, rngs) per side, tail rngs).
+
+    esm_view(params, esm_params) -> the compute-dtype backbone tree the
+    chunks run on. Default: cast the finetune engine's f32 master copy
+    (esm_params ignored). LoRA overrides it with the adapter merge
+    (train/lora.py), giving packed parameter-efficient finetuning from
+    the same two passes."""
     from . import packed_engine as pe
 
     mcfg = cfg.model
     n_seqs = cfg.global_batch
+    if esm_view is None:
+        def esm_view(params, esm_params):
+            del esm_params  # the backbone lives inside params
+            return _cast_esm(params["esm"], mcfg.esm.compute_dtype)
 
-    def chunk_sums(params, side, ids, seg, pos, owner, rng):
-        esm_c = _cast_esm(params["esm"], mcfg.esm.compute_dtype)
+    def chunk_sums(params, esm_params, side, ids, seg, pos, owner, rng):
+        esm_c = esm_view(params, esm_params)
         mask = (seg > 0).astype(jnp.int32)
         h = esm2.forward(esm_c, ids, mask, mcfg.esm, remat=cfg.remat,
                          segment_ids=seg, positions=pos)
@@ -199,10 +209,10 @@ def _packed_machinery(cfg: EngineConfig, loss_fn: Callable,
             n_seqs, dropout_rate=mcfg.dropout, train=True, rng=rng,
             activation=mcfg.activation)
 
-    def scan_sums(params, side, chunks, rngs, emb_dim):
+    def scan_sums(params, esm_params, side, chunks, rngs, emb_dim):
         def body(carry, x):
-            s, c = chunk_sums(params, side, x["ids"], x["seg"], x["pos"],
-                              x["owner"], x["rng"])
+            s, c = chunk_sums(params, esm_params, side, x["ids"], x["seg"],
+                              x["pos"], x["owner"], x["rng"])
             return (carry[0] + s, carry[1] + c), None
         init = (jnp.zeros((n_seqs, emb_dim), jnp.float32),
                 jnp.zeros((n_seqs,), jnp.float32))
@@ -247,25 +257,28 @@ def _packed_machinery(cfg: EngineConfig, loss_fn: Callable,
 
 
 def make_packed_loss(cfg: EngineConfig, loss_fn: Callable | None = None,
-                     rows_per_chunk: int | None = None):
-    """Monolithic (single-graph) packed finetune loss: loss(params, batch,
-    rng). The SAME math as make_train_step_packed's two passes — same
-    chunking, same per-chunk dropout keys — differentiated in one piece.
-    Exists so tests can assert the two-pass grads exactly (and as the
-    simple form for small problems where activation memory fits)."""
+                     rows_per_chunk: int | None = None,
+                     esm_view: Callable | None = None):
+    """Monolithic (single-graph) packed finetune loss: loss(params,
+    esm_params, batch, rng). The SAME math as make_train_step_packed's two
+    passes — same chunking, same per-chunk dropout keys — differentiated
+    in one piece. Exists so tests can assert the two-pass grads exactly
+    (and as the simple form for small problems where activation memory
+    fits)."""
     from .packed_engine import _default_rows_per_chunk
 
     loss_fn = loss_fn or default_loss_fn()
     rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
     _, scan_sums, tail, prepare = _packed_machinery(cfg, loss_fn,
-                                                    rows_per_chunk)
+                                                    rows_per_chunk, esm_view)
 
-    def loss(params, batch, rng):
+    def loss(params, esm_params, batch, rng):
         sides = prepare(batch, rng)
         emb_dim = params["heads"]["pep"]["projection"]["w"].shape[1]
         pools = {}
         for side, (chunks, rngs, _) in sides.items():
-            pools[side] = scan_sums(params, side, chunks, rngs, emb_dim)
+            pools[side] = scan_sums(params, esm_params, side, chunks, rngs,
+                                    emb_dim)
         return tail(params, *pools["pep"], *pools["rec"],
                     sides["pep"][2], sides["rec"][2])
 
@@ -276,7 +289,8 @@ def make_train_step_packed(cfg: EngineConfig,
                            optimizer: optax.GradientTransformation,
                            loss_fn: Callable | None = None,
                            rows_per_chunk: int | None = None,
-                           donate: bool = False):
+                           donate: bool = False,
+                           esm_view: Callable | None = None):
     """jit'd unfrozen train step over tokenize_packed wire batches.
 
     Three phases inside one jit:
@@ -297,14 +311,15 @@ def make_train_step_packed(cfg: EngineConfig,
     loss_fn = loss_fn or default_loss_fn()
     rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
     chunk_sums, scan_sums, tail, prepare = _packed_machinery(
-        cfg, loss_fn, rows_per_chunk)
+        cfg, loss_fn, rows_per_chunk, esm_view)
     n_seqs = cfg.global_batch
 
-    def replay(params, side, chunks, rngs, d_sums, acc):
+    def replay(params, esm_params, side, chunks, rngs, d_sums, acc):
         def body(acc, x):
             _, vjp = jax.vjp(
-                lambda p: chunk_sums(p, side, x["ids"], x["seg"], x["pos"],
-                                     x["owner"], x["rng"])[0], params)
+                lambda p: chunk_sums(p, esm_params, side, x["ids"], x["seg"],
+                                     x["pos"], x["owner"], x["rng"])[0],
+                params)
             (pg,) = vjp(d_sums)
             return jax.tree.map(jnp.add, acc, pg), None
         xs = dict(chunks)
@@ -313,7 +328,6 @@ def make_train_step_packed(cfg: EngineConfig,
         return acc
 
     def step(params, opt_state, esm_params, batch, rng):
-        del esm_params  # the backbone lives inside params
         _validate_packed_batch(batch, n_seqs)
         sides = prepare(batch, rng)
         emb_dim = params["heads"]["pep"]["projection"]["w"].shape[1]
@@ -321,17 +335,17 @@ def make_train_step_packed(cfg: EngineConfig,
         pools = {}
         for side, (chunks, rngs, _) in sides.items():
             pools[side] = jax.lax.stop_gradient(
-                scan_sums(params, side, chunks, rngs, emb_dim))
+                scan_sums(params, esm_params, side, chunks, rngs, emb_dim))
 
         (loss, (grads, d_sp, d_sr)) = jax.value_and_grad(
             tail, argnums=(0, 1, 3))(
                 params, *pools["pep"], *pools["rec"],
                 sides["pep"][2], sides["rec"][2])
 
-        grads = replay(params, "pep", sides["pep"][0], sides["pep"][1],
-                       d_sp, grads)
-        grads = replay(params, "rec", sides["rec"][0], sides["rec"][1],
-                       d_sr, grads)
+        grads = replay(params, esm_params, "pep", sides["pep"][0],
+                       sides["pep"][1], d_sp, grads)
+        grads = replay(params, esm_params, "rec", sides["rec"][0],
+                       sides["rec"][1], d_sr, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

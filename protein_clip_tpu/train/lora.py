@@ -132,24 +132,19 @@ def make_train_step(cfg: EngineConfig,
     (params, opt_state, loss). esm_params = the FROZEN compute-dtype
     backbone; alpha defaults to 2*rank (PCT_LORA_ALPHA overrides)."""
     loss_fn = loss_fn or default_loss_fn()
-    if cfg.packed or cfg.length_groups > 1:
+    if cfg.packed:
+        return make_train_step_packed(cfg, optimizer, loss_fn, alpha=alpha)
+    if cfg.length_groups > 1:
         raise ValueError(
-            "LoRA v1 trains on plain single-bucket batches "
-            "(tokenize_pair_batch); packed/grouped LoRA is not wired")
+            "LoRA trains on plain (tokenize_pair_batch) or packed "
+            "(cfg.packed) batches; length-grouped LoRA is not wired")
     mcfg = cfg.model
     n = cfg.num_chunks
 
-    def scale(params):
-        if alpha is not None:
-            return alpha
-        env = os.environ.get("PCT_LORA_ALPHA")
-        if env is not None:
-            return float(env)
-        return 2.0 * next(iter(params["lora"].values()))["a"].shape[-1]
-
     def encode(side, esm_params):
         def fn(params, chunk):
-            merged = merge_lora(esm_params, params["lora"], scale(params))
+            merged = merge_lora(esm_params, params["lora"],
+                                _resolve_alpha(params, alpha))
             h = esm2.forward(merged, chunk["ids"], chunk["mask"], mcfg.esm,
                              remat=cfg.remat)
             return clip.encode_side(params["heads"], side,
@@ -172,6 +167,34 @@ def make_train_step(cfg: EngineConfig,
     return jax.jit(step)
 
 
+def _resolve_alpha(params, alpha):
+    if alpha is not None:
+        return alpha
+    env = os.environ.get("PCT_LORA_ALPHA")
+    if env is not None:
+        return float(env)
+    return 2.0 * next(iter(params["lora"].values()))["a"].shape[-1]
+
+
+def make_train_step_packed(cfg: EngineConfig,
+                           optimizer: optax.GradientTransformation,
+                           loss_fn: Callable | None = None,
+                           rows_per_chunk: int | None = None,
+                           alpha: float | None = None):
+    """Packed-row LoRA: the packed finetune two-pass (train/finetune.py
+    make_train_step_packed) with the backbone view swapped for the
+    adapter merge — esm_params carries the FROZEN compute-dtype base and
+    gradients reach only adapters + heads."""
+    from .finetune import make_train_step_packed as ft_packed
+
+    def esm_view(params, esm_params):
+        return merge_lora(esm_params, params["lora"],
+                          _resolve_alpha(params, alpha))
+
+    return ft_packed(cfg, optimizer, loss_fn, rows_per_chunk,
+                     esm_view=esm_view)
+
+
 def make_eval_step(cfg: EngineConfig, loss_fn: Callable | None = None,
                    alpha: float | None = None):
     """Eval: merge once, run the frozen-engine eval step on the effective
@@ -183,12 +206,8 @@ def make_eval_step(cfg: EngineConfig, loss_fn: Callable | None = None,
 
     @jax.jit
     def step(params, esm_params, batch):
-        a = alpha
-        if a is None:
-            env = os.environ.get("PCT_LORA_ALPHA")
-            a = (float(env) if env is not None
-                 else 2.0 * next(iter(params["lora"].values()))["a"].shape[-1])
-        merged = merge_lora(esm_params, params["lora"], a)
+        merged = merge_lora(esm_params, params["lora"],
+                            _resolve_alpha(params, alpha))
         return base(params["heads"], merged, batch)
 
     return step

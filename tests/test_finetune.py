@@ -168,7 +168,8 @@ def test_packed_finetune_matches_monolithic_grads(tiny, packed_batch):
 
     mono = finetune.make_packed_loss(cfg, loss_fn=clip_infonce,
                                      rows_per_chunk=4)
-    dloss, dgrads = jax.value_and_grad(mono)(params, packed_batch, key)
+    dloss, dgrads = jax.value_and_grad(mono)(params, {}, packed_batch,
+                                            key)
     np.testing.assert_allclose(float(loss), float(dloss), rtol=1e-5)
 
     esm_grad_norms = [float(jnp.abs(g).max())
@@ -194,7 +195,8 @@ def test_packed_finetune_matches_plain_finetune(tiny, packed_batch, rng):
                                    accumulated_batches=1, packed=True)
     mono = finetune.make_packed_loss(cfg, loss_fn=clip_infonce,
                                      rows_per_chunk=4)
-    packed_loss = float(mono(params, packed_batch, jax.random.key(0)))
+    packed_loss = float(mono(params, {}, packed_batch,
+                             jax.random.key(0)))
 
     plain = clip_engine.tokenize_pair_batch(EsmTokenizer(), SEQS_A, SEQS_B)
     plain = clip_engine.expand_batch(plain)

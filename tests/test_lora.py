@@ -141,6 +141,46 @@ def test_lora_eval_step(tiny, rng):
     assert np.isfinite(float(loss))
 
 
+def test_packed_lora_matches_monolithic_grads(tiny):
+    """Packed LoRA (the esm_view hook over the packed finetune two-pass):
+    one SGD step == the monolithic packed loss with the merged backbone,
+    adapters and heads only — the frozen base gets no grads by
+    construction (it is not in params)."""
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.train import finetune
+    from protein_clip_tpu.train.packed_engine import tokenize_packed
+
+    mcfg, esm_params, params = tiny
+    params = jax.tree.map(lambda a: a + 0.01 if a.ndim == 3 else a, params)
+    peps = ["MKTAYIAKQR", "GDSLEHA", "MKV", "AAAAPPPLLLWWYY", "MST",
+            "GGHHKLMNPQRSTVW", "MKTAYI", "PLLH"]
+    recs = ["MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ", "GDS", "KVALDE", "AACD",
+            "MSTNPKRRE", "GGHH", "MKTWYEE", "PLPLPLPL"]
+    batch = tokenize_packed(EsmTokenizer(), peps, recs)
+    lr, alpha = 1e-2, 8.0
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, packed=True,
+                                   remat=True)
+    opt = optax.sgd(lr)
+    step = lora.make_train_step_packed(cfg, opt, loss_fn=clip_infonce,
+                                       rows_per_chunk=4, alpha=alpha)
+    key = jax.random.key(7)
+    new_params, _, loss = step(params, opt.init(params), esm_params, batch,
+                               key)
+
+    mono = finetune.make_packed_loss(
+        cfg, loss_fn=clip_infonce, rows_per_chunk=4,
+        esm_view=lambda p, e: lora.merge_lora(e, p["lora"], alpha))
+    dloss, dgrads = jax.value_and_grad(mono)(params, esm_params, batch, key)
+    np.testing.assert_allclose(float(loss), float(dloss), rtol=1e-5)
+
+    expect = jax.tree.map(lambda p, g: p - lr * g, params, dgrads)
+    for got, want in zip(jax.tree.leaves(new_params),
+                         jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_ffn_targets(tiny):
     _, esm_params, _ = tiny
     adapters = lora.init_lora(jax.random.key(0), esm_params, rank=2,
