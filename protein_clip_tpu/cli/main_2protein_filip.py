@@ -58,12 +58,13 @@ def filip_similarity_viz(params, esm_params, mcfg, tokenizer):
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     finetuning = getattr(args, "finetune", False)
-    if getattr(args, "lora_rank", 0):
-        raise SystemExit("--lora-rank is a CLIP-engine feature; the FILIP "
-                         "entry supports --finetune (full) only")
-    if finetuning and (args.packed or args.length_groups > 1):
-        raise SystemExit("FILIP --finetune trains on plain batches "
-                         "(drop --packed / --length-groups)")
+    lora_rank = getattr(args, "lora_rank", 0)
+    if finetuning and lora_rank:
+        raise SystemExit("--finetune and --lora-rank are mutually "
+                         "exclusive (full vs parameter-efficient)")
+    if (finetuning or lora_rank) and (args.packed or args.length_groups > 1):
+        raise SystemExit("FILIP --finetune/--lora-rank train on plain "
+                         "batches (drop --packed / --length-groups)")
     from pathlib import Path
     rng = prng.set_seed(args.seed)
     resume = args.resume_dir is not None
@@ -85,15 +86,26 @@ def main(argv=None) -> int:
         from ..train import filip_finetune
         params = filip_finetune.init_params(esm_params, params)
         esm_params = {}
+    elif lora_rank:
+        from ..train import lora as lora_mod
+        rng, lrng = jax.random.split(rng)
+        params = lora_mod.init_params(
+            lora_mod.init_lora(lrng, esm_params, lora_rank), params)
+        # esm_params stays: the frozen base the adapters merge into
 
     def _eval_view(p):
         """(head_params, backbone_params) for the viz hooks, either
         engine's pytree (the f32 master backbone casts to the compute
-        dtype, matching load_esm's contract)."""
+        dtype, matching load_esm's contract; LoRA merges adapters into
+        the frozen base)."""
         if finetuning:
             from ..models import esm2
             return p["heads"], esm2.cast_params(p["esm"],
                                                 mcfg.esm.compute_dtype)
+        if lora_rank:
+            from ..train import lora as lora_mod
+            return p["heads"], lora_mod.merge_lora(esm_params, p["lora"],
+                                                   2.0 * lora_rank)
         return p, esm_params
 
     data_dir = common.ensure_data(args, "protein1", "protein2")
@@ -140,6 +152,8 @@ def main(argv=None) -> int:
     engine = filip_engine
     if finetuning:
         from ..train import filip_finetune as engine
+    elif lora_rank:
+        from ..train import filip_lora as engine
     result = loop.fit(
         run_dir, cfg, params, esm_params, train_loader, val_loader, tokenizer,
         args.epochs, rng=rng, use_gradcache=False, test_loader=test_loader,

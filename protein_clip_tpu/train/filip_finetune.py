@@ -53,13 +53,22 @@ __all__ = ["init_params", "make_optimizer", "make_train_step",
            "make_eval_step"]
 
 
-def _token_machinery(cfg: EngineConfig, sim_fn: Callable, use_dcl: bool):
+def _token_machinery(cfg: EngineConfig, sim_fn: Callable, use_dcl: bool,
+                     esm_view: Callable | None = None):
     """(encode_chunk, chunk_batch, tail) closures shared by the two-pass
-    step and the monolithic loss."""
-    mcfg = cfg.model
+    step and the monolithic loss.
 
-    def encode_chunk(params, chunk):
-        esm_c = _cast_esm(params["esm"], mcfg.esm.compute_dtype)
+    esm_view(params, esm_params) -> the compute-dtype backbone the chunks
+    run on; default casts the full-finetune f32 masters (esm_params
+    ignored), LoRA overrides with the adapter merge (train/lora.py)."""
+    mcfg = cfg.model
+    if esm_view is None:
+        def esm_view(params, esm_params):
+            del esm_params  # the backbone lives inside params
+            return _cast_esm(params["esm"], mcfg.esm.compute_dtype)
+
+    def encode_chunk(params, esm_params, chunk):
+        esm_c = esm_view(params, esm_params)
         rp, rr = jax.random.split(chunk["rng"])
         hp = esm2.forward(esm_c, chunk["pep_ids"], chunk["pep_mask"],
                           mcfg.esm, remat=cfg.remat)
@@ -94,21 +103,23 @@ def _token_machinery(cfg: EngineConfig, sim_fn: Callable, use_dcl: bool):
 
 
 def make_token_loss(cfg: EngineConfig, similarity_fn: Callable | None = None,
-                    use_dcl: bool | None = None):
-    """Monolithic loss(params, batch, rng) — the same math as
+                    use_dcl: bool | None = None,
+                    esm_view: Callable | None = None):
+    """Monolithic loss(params, esm_params, batch, rng) — the same math as
     make_train_step's two passes differentiated in one graph; exists for
     the exact-grad parity test."""
     use_dcl = cfg.filip_use_dcl if use_dcl is None else use_dcl
     sim_fn = similarity_fn or default_similarity_fn()
-    encode_chunk, chunk_batch, tail = _token_machinery(cfg, sim_fn, use_dcl)
+    encode_chunk, chunk_batch, tail = _token_machinery(cfg, sim_fn, use_dcl,
+                                                       esm_view)
     n = _snap_chunks(cfg.batch_size, cfg.num_chunks)
 
-    def loss(params, batch, rng):
+    def loss(params, esm_params, batch, rng):
         batch = expand_batch(batch)
         chunks = chunk_batch(batch, n, rng)
 
         def body(_, c):
-            return None, encode_chunk(params, c)
+            return None, encode_chunk(params, esm_params, c)
         _, (HA, HB) = jax.lax.scan(body, None, chunks)
         return tail(params, HA, HB, batch["pep_mask"], batch["rec_mask"])
 
@@ -118,9 +129,12 @@ def make_token_loss(cfg: EngineConfig, similarity_fn: Callable | None = None,
 def make_train_step(cfg: EngineConfig,
                     optimizer: optax.GradientTransformation,
                     similarity_fn: Callable | None = None,
-                    use_dcl: bool | None = None):
-    """jit'd unfrozen FILIP step: (params, opt_state, _, batch, rng) ->
-    (params, opt_state, loss) over tokenize_pair_batch batches."""
+                    use_dcl: bool | None = None,
+                    esm_view: Callable | None = None):
+    """jit'd unfrozen FILIP step: (params, opt_state, esm_params, batch,
+    rng) -> (params, opt_state, loss) over tokenize_pair_batch batches.
+    esm_params is ignored by the default full finetune (backbone inside
+    params) and carries the frozen base under an esm_view override."""
     if cfg.packed or cfg.length_groups > 1:
         raise ValueError(
             "FILIP finetune v1 trains on plain single-bucket batches "
@@ -128,16 +142,16 @@ def make_train_step(cfg: EngineConfig,
             "not wired")
     use_dcl = cfg.filip_use_dcl if use_dcl is None else use_dcl
     sim_fn = similarity_fn or default_similarity_fn()
-    encode_chunk, chunk_batch, tail = _token_machinery(cfg, sim_fn, use_dcl)
+    encode_chunk, chunk_batch, tail = _token_machinery(cfg, sim_fn, use_dcl,
+                                                       esm_view)
     n = _snap_chunks(cfg.batch_size, cfg.num_chunks)
 
     def step(params, opt_state, esm_params, batch, rng):
-        del esm_params  # the backbone lives inside params
         batch = expand_batch(batch)
         chunks = chunk_batch(batch, n, rng)
 
         def body(_, c):
-            return None, encode_chunk(params, c)
+            return None, encode_chunk(params, esm_params, c)
         _, (HA, HB) = jax.lax.scan(body, None, chunks)
         HA = jax.lax.stop_gradient(HA)
         HB = jax.lax.stop_gradient(HB)
@@ -148,7 +162,8 @@ def make_train_step(cfg: EngineConfig,
 
         def body2(acc, x):
             c, ga, gb = x
-            _, vjp = jax.vjp(lambda p: encode_chunk(p, c), params)
+            _, vjp = jax.vjp(lambda p: encode_chunk(p, esm_params, c),
+                             params)
             (pg,) = vjp((ga, gb))
             return jax.tree.map(jnp.add, acc, pg), None
 

@@ -278,7 +278,7 @@ def test_filip_finetune_matches_monolithic_grads(tiny_filip, rng):
     new_params, _, loss = step(params, opt.init(params), {}, b, key)
 
     mono = filip_finetune.make_token_loss(cfg)
-    dloss, dgrads = jax.value_and_grad(mono)(params, b, key)
+    dloss, dgrads = jax.value_and_grad(mono)(params, {}, b, key)
     np.testing.assert_allclose(float(loss), float(dloss), rtol=1e-5)
 
     esm_grad_norms = [float(jnp.abs(g).max())

@@ -181,6 +181,45 @@ def test_packed_lora_matches_monolithic_grads(tiny):
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_filip_lora_matches_monolithic_grads(tiny, rng):
+    """FILIP + LoRA (train/filip_lora.py): the token-level two-pass with
+    the adapter-merge backbone view — one SGD step == monolithic grads,
+    temperature included."""
+    from protein_clip_tpu.models import filip as filip_model
+    from protein_clip_tpu.train import filip_finetune, filip_lora
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    fcfg = filip_model.FILIPConfig(input_dim=esm_cfg.hidden_size,
+                                   embedding_dim=16, h1=2, h2=2,
+                                   dropout=0.0, esm=esm_cfg)
+    _, esm_params, _ = tiny
+    heads = filip_model.init_params(jax.random.key(5), fcfg)
+    adapters = lora.init_lora(jax.random.key(6), esm_params, rank=4)
+    params = filip_lora.init_params(adapters, heads)
+    params = jax.tree.map(lambda a: a + 0.01 if a.ndim == 3 else a, params)
+
+    b = _batch(rng, 8, 12)
+    lr, alpha = 1e-2, 8.0
+    cfg = clip_engine.EngineConfig(model=fcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=4,
+                                   length_groups=1, remat=True)
+    opt = optax.sgd(lr)
+    step = filip_lora.make_train_step(cfg, opt, alpha=alpha)
+    key = jax.random.key(3)
+    new_params, _, loss = step(params, opt.init(params), esm_params, b, key)
+
+    mono = filip_finetune.make_token_loss(
+        cfg, esm_view=lambda p, e: lora.merge_lora(e, p["lora"], alpha))
+    dloss, dgrads = jax.value_and_grad(mono)(params, esm_params, b, key)
+    np.testing.assert_allclose(float(loss), float(dloss), rtol=1e-5)
+
+    expect = jax.tree.map(lambda p, g: p - lr * g, params, dgrads)
+    for got, want in zip(jax.tree.leaves(new_params),
+                         jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_ffn_targets(tiny):
     _, esm_params, _ = tiny
     adapters = lora.init_lora(jax.random.key(0), esm_params, rank=2,
