@@ -59,21 +59,84 @@ def main(argv=None) -> int:
     val_loader = PairLoader(val_ds, args.batch_size, shuffle=False,
                             drop_last=True, seed=args.seed)
 
+    finetuning = getattr(args, "finetune", False)
+    lora_rank = getattr(args, "lora_rank", 0)
+    if finetuning and lora_rank:
+        raise SystemExit("--finetune and --lora-rank are mutually exclusive")
+    if args.dp > 1 and (finetuning or lora_rank):
+        raise SystemExit("MLM --finetune/--lora-rank are single-chip for "
+                         "now (drop --dp)")
+
     total = len(train_loader) * args.epochs
     optimizer = opt_mod.build(args.lr, weight_decay=args.weight_decay,
                               warmup_steps=args.warmup_steps,
                               schedule=args.lr_schedule, total_steps=total)
-    opt_state = optimizer.init(lm_head)
 
-    if args.dp > 1:
+    if finetuning or lora_rank:
+        # continued pretraining: the masked-CE gradient reaches the
+        # backbone — full (f32 masters, in-step cast) or via LoRA
+        # adapters over the frozen base. Per-token CE has no cross-batch
+        # coupling, so plain value_and_grad + remat suffices (no
+        # gradcache needed at MLM batch sizes).
+        bb_lr = getattr(args, "backbone_lr", None) or (
+            1e-4 if lora_rank else 1e-5)
+        backbone_opt = opt_mod.build(
+            bb_lr, weight_decay=args.weight_decay,
+            warmup_steps=args.warmup_steps, schedule=args.lr_schedule,
+            total_steps=total)
+        if finetuning:
+            from ..train.finetune import _cast_esm, init_params as _fp
+            trainable = {"esm": _fp(esm_params, {})["esm"], "head": lm_head}
+            esm_view = lambda t, _e: _cast_esm(t["esm"],
+                                               esm_cfg.compute_dtype)
+        else:
+            from ..train import lora as lora_mod
+            rng, lrng = jax.random.split(rng)
+            trainable = {
+                "lora": lora_mod.init_lora(lrng, esm_params, lora_rank),
+                "head": lm_head}
+            esm_view = lambda t, e: lora_mod.merge_lora(e, t["lora"],
+                                                        2.0 * lora_rank)
+        group = "esm" if finetuning else "lora"
+        optimizer = optax.multi_transform(
+            {group: backbone_opt, "head": optimizer},
+            lambda t: jax.tree.map_with_path(
+                lambda path, _: str(getattr(path[0], "key", "head")), t))
+        opt_state = optimizer.init(trainable)
+
+        @jax.jit
+        def train_step(trainable, opt_state, esm_p, ids, mask, key):
+            masked, labels = mlm.mask_tokens(key, ids, mask, args.mask_prob)
+
+            def loss_of(t):
+                return mlm.mlm_loss(esm_view(t, esm_p), t["head"], masked,
+                                    mask, labels, esm_cfg, remat=True)
+
+            loss, grads = jax.value_and_grad(loss_of)(trainable)
+            updates, opt_state = optimizer.update(grads, opt_state,
+                                                  trainable)
+            return (optax.apply_updates(trainable, updates), opt_state,
+                    loss)
+
+        @jax.jit
+        def eval_step(trainable, esm_p, ids, mask, key):
+            masked, labels = mlm.mask_tokens(key, ids, mask, args.mask_prob)
+            return mlm.mlm_loss(esm_view(trainable, esm_p),
+                                trainable["head"], masked, mask, labels,
+                                esm_cfg)
+
+        lm_head = trainable
+    elif args.dp > 1:
         from ..parallel import mesh as mesh_mod
         from ..parallel.mlm_step import (make_sharded_mlm_eval_step,
                                          make_sharded_mlm_train_step)
         mesh = mesh_mod.make_mesh(data=args.dp, model=1)
+        opt_state = optimizer.init(lm_head)
         train_step = make_sharded_mlm_train_step(esm_cfg, optimizer, mesh,
                                                  args.mask_prob)
         eval_step = make_sharded_mlm_eval_step(esm_cfg, mesh, args.mask_prob)
     else:
+        opt_state = optimizer.init(lm_head)
         @jax.jit
         def train_step(lm_head, opt_state, esm_p, ids, mask, key):
             masked, labels = mlm.mask_tokens(key, ids, mask, args.mask_prob)

@@ -55,20 +55,22 @@ def mask_tokens(key: jax.Array, input_ids: jax.Array,
 
 
 def mlm_loss(esm_params, lm_head, masked_ids, attention_mask, labels,
-             cfg: esm2.ESM2Config) -> jax.Array:
+             cfg: esm2.ESM2Config, remat: bool = False) -> jax.Array:
     """Masked cross-entropy at masked positions only."""
     s, c = mlm_loss_terms(esm_params, lm_head, masked_ids, attention_mask,
-                          labels, cfg)
+                          labels, cfg, remat=remat)
     return s / jnp.maximum(c, 1.0)
 
 
 def mlm_loss_terms(esm_params, lm_head, masked_ids, attention_mask, labels,
-                   cfg: esm2.ESM2Config) -> tuple[jax.Array, jax.Array]:
+                   cfg: esm2.ESM2Config, remat: bool = False
+                   ) -> tuple[jax.Array, jax.Array]:
     """(sum of masked-position CE, masked count) — the shard-local terms a
     data-parallel step psums before dividing (parallel/mlm_step.py), so the
     global loss is the true mean over ALL masked positions regardless of
     how many landed on each shard."""
-    hidden = esm2.forward(esm_params, masked_ids, attention_mask, cfg)
+    hidden = esm2.forward(esm_params, masked_ids, attention_mask, cfg,
+                          remat=remat)
     logits = esm2.lm_logits(esm_params, lm_head, hidden, cfg)
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)

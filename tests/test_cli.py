@@ -274,6 +274,30 @@ def test_retrieve_entry(workdir, trained_run):
     assert hits / len(records) > 0.7, top1
 
 
+@pytest.mark.parametrize("mode", ["--finetune", "--lora-rank"])
+def test_mlm_unfrozen_entries(workdir, trained_run, mode):
+    """MLM continued pretraining through the real CLI: --finetune trains
+    the backbone itself (combined {esm, head} checkpoint), --lora-rank
+    trains adapters over the frozen base ({lora, head})."""
+    from protein_clip_tpu.cli.mlm_train import main
+    extra = [mode] if mode == "--finetune" else [mode, "4"]
+    rc = main(TINY + [
+        "--epochs", "1", "--batch-size", "4", "--mask-prob", "0.2",
+        "--backbone-lr", "1e-4", "--data-dir", "data",
+        "--prefix-a", "protein1", "--prefix-b", "protein2",
+        "--runs-dir", f"runs_mlm_{mode.strip('-')}",
+    ] + extra)
+    assert rc == 0
+    run = sorted(Path(f"runs_mlm_{mode.strip('-')}").iterdir())[-1]
+    csv = (run / "losses_per_epoch.txt").read_text().strip().split("\n")
+    _, tr, va = csv[1].split(",")
+    assert np.isfinite(float(tr)) and np.isfinite(float(va))
+    ckpt = np.load(run / "best_model.npz")
+    want = "esm/" if mode == "--finetune" else "lora/"
+    assert any(k.startswith(want) for k in ckpt.files)
+    assert any(k.startswith("head/") for k in ckpt.files)
+
+
 def test_lora_training_entry(workdir, trained_run, capsys):
     """--lora-rank through the real CLI: adapters train against the frozen
     base, best_model.npz carries {lora, heads}, and topk auto-detects it
