@@ -47,12 +47,20 @@ from .step import tp_safe_model_config
 
 
 def make_sharded_finetune_step(cfg, optimizer: optax.GradientTransformation,
-                               mesh, loss_fn=clip_infonce):
+                               mesh, loss_fn=clip_infonce,
+                               esm_view=None):
     """jit(shard_map(step)): (params, opt_state, esm_params, batch, rng) ->
     (params, opt_state, loss). Batch leaves (B_global, T) sharded over
-    'data'; params/opt_state replicated. esm_params slot ignored (the
-    backbone lives inside params, as in train/finetune.py)."""
+    'data'; params/opt_state replicated. esm_params slot ignored by the
+    default full finetune (the backbone lives inside params, as in
+    train/finetune.py); an esm_view(params, esm_params) override selects
+    a different backbone — LoRA passes the adapter merge over the frozen
+    base riding that slot (make_sharded_lora_step)."""
     mcfg = tp_safe_model_config(cfg.model, mesh)
+    if esm_view is None:
+        def esm_view(params, esm_params):
+            del esm_params
+            return _cast_esm(params["esm"], mcfg.esm.compute_dtype)
     n_data = mesh.shape[DATA_AXIS]
     if cfg.global_batch % n_data:
         raise ValueError(f"global batch {cfg.global_batch} not divisible by "
@@ -63,9 +71,9 @@ def make_sharded_finetune_step(cfg, optimizer: optax.GradientTransformation,
         raise ValueError(f"local batch {local_batch} not divisible by local "
                          f"chunk count {n_local}")
 
-    def encode(side):
+    def encode(side, esm_params):
         def fn(params, chunk):
-            esm_c = _cast_esm(params["esm"], mcfg.esm.compute_dtype)
+            esm_c = esm_view(params, esm_params)
             h = esm2.forward(esm_c, chunk["ids"], chunk["mask"], mcfg.esm,
                              remat=cfg.remat)
             return clip.encode_side(params["heads"], side,
@@ -88,13 +96,13 @@ def make_sharded_finetune_step(cfg, optimizer: optax.GradientTransformation,
         return embs  # (n_local, b, D)
 
     def local_step(params, opt_state, esm_params, batch, rng):
-        del esm_params
         batch = expand_batch(batch)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         rp, rr = jax.random.split(rng)
         chunks_x = chunked(batch, "pep", rp)
         chunks_y = chunked(batch, "rec", rr)
-        enc_p, enc_r = encode("pep"), encode("rec")
+        enc_p = encode("pep", esm_params)
+        enc_r = encode("rec", esm_params)
 
         embs_x = jax.lax.stop_gradient(scan_encode(enc_p, params, chunks_x))
         embs_y = jax.lax.stop_gradient(scan_encode(enc_r, params, chunks_y))
@@ -144,3 +152,21 @@ def make_sharded_finetune_step(cfg, optimizer: optax.GradientTransformation,
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_sharded_lora_step(cfg, optimizer: optax.GradientTransformation,
+                           mesh, loss_fn=clip_infonce,
+                           alpha: float | None = None):
+    """DP LoRA: the sharded finetune two-pass with the adapter merge as
+    the backbone view. The frozen base replicates over 'data' (it is
+    gradient-free), adapters + heads train from pmean'd grads — the
+    state that replicates per chip is megabytes, so this scales LoRA to
+    the mesh with no sharding of optimizer state needed."""
+    from ..train.lora import _resolve_alpha, merge_lora
+
+    def esm_view(params, esm_params):
+        return merge_lora(esm_params, params["lora"],
+                          _resolve_alpha(params, alpha))
+
+    return make_sharded_finetune_step(cfg, optimizer, mesh, loss_fn,
+                                      esm_view=esm_view)

@@ -220,6 +220,36 @@ def test_filip_lora_matches_monolithic_grads(tiny, rng):
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_dp_lora_matches_single_device(tiny, rng):
+    """8-way DP LoRA == the single-device LoRA step at equal global batch
+    (SGD, the scale-sensitive probe for the pmean cotangent fix)."""
+    from protein_clip_tpu.parallel import mesh as mesh_mod
+    from protein_clip_tpu.parallel.finetune_step import make_sharded_lora_step
+    from protein_clip_tpu.parallel.step import shard_batch
+
+    mcfg, esm_params, params = tiny
+    params = jax.tree.map(lambda a: a + 0.01 if a.ndim == 3 else a, params)
+    b = _batch(rng, 16, 12)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=2,
+                                   accumulated_batches=8, num_chunks=8,
+                                   length_groups=1, remat=False)
+    opt = optax.sgd(5e-2)
+    opt0 = opt.init(params)
+    key = jax.random.key(9)
+
+    p1, _, l1 = lora.make_train_step(cfg, opt, alpha=8.0)(
+        params, opt0, esm_params, b, key)
+
+    m = mesh_mod.make_mesh()  # data=8
+    step = make_sharded_lora_step(cfg, opt, m, alpha=8.0)
+    p2, _, l2 = step(params, opt0, esm_params, shard_batch(m, b), key)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_ffn_targets(tiny):
     _, esm_params, _ = tiny
     adapters = lora.init_lora(jax.random.key(0), esm_params, rank=2,
