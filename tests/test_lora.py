@@ -250,6 +250,40 @@ def test_dp_lora_matches_single_device(tiny, rng):
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_merge_lora_weights_tool(tiny, tmp_path):
+    """tools/merge_lora_weights.py: bakes adapters into a standalone
+    backbone npz equal to merge_lora, splitting the heads out."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import merge_lora_weights
+
+    from protein_clip_tpu.train.checkpoint import export_npz, load_npz
+
+    mcfg, esm_params, params = tiny
+    params = jax.tree.map(lambda a: a + 0.05 if a.ndim == 3 else a, params)
+    base_path = tmp_path / "base.npz"
+    ckpt_path = tmp_path / "best_model.npz"
+    export_npz(base_path, esm_params)
+    export_npz(ckpt_path, {"lora": params["lora"], "heads": params["heads"]})
+
+    out_esm = tmp_path / "merged.npz"
+    out_heads = tmp_path / "heads.npz"
+    rc = merge_lora_weights.main([
+        "--checkpoint", str(ckpt_path), "--esm-weights", str(base_path),
+        "--config", "tiny", "--out-esm", str(out_esm),
+        "--out-heads", str(out_heads)])
+    assert rc == 0
+
+    merged = load_npz(out_esm, esm_params)
+    want = lora.merge_lora(esm_params, params["lora"], alpha=8.0)  # 2*rank
+    for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    heads = load_npz(out_heads, params["heads"])
+    for a, b in zip(jax.tree.leaves(heads),
+                    jax.tree.leaves(params["heads"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_ffn_targets(tiny):
     _, esm_params, _ = tiny
     adapters = lora.init_lora(jax.random.key(0), esm_params, rank=2,
