@@ -33,6 +33,13 @@ MODES: dict[str, dict[str, str]] = {
     "clip_650M": {"PCT_ESM_CONFIG": "t33_650M"},
     "clip_650M_int8": {"PCT_ESM_CONFIG": "t33_650M",
                        "PCT_ESM_DTYPE": "int8"},
+    "eval": {"PCT_BENCH_MODE": "eval"},
+    # unfrozen-backbone training (train/finetune.py): packed rows
+    # (default) and the plain single-bucket path
+    "finetune_packed": {"PCT_BENCH_MODE": "finetune"},
+    "finetune_plain": {"PCT_BENCH_MODE": "finetune",
+                       "PCT_FINETUNE_PACKED": "0"},
+    "finetune_filip": {"PCT_BENCH_MODE": "finetune_filip"},
 }
 
 
