@@ -327,6 +327,44 @@ def test_filip_finetune_eval_step(tiny_filip, rng):
     assert np.isfinite(float(loss))
 
 
+def test_dp_tp_finetune_matches_single_device(tiny, rng):
+    """data=4 x model=2: the f32 master backbone INSIDE params carries
+    Megatron column/row shardings over the GSPMD 'model' auto axis while
+    the two-pass gradcache runs manual DP — one Adam step must match the
+    single-device finetune step (tp_safe_model_config forces eager
+    attention under a real model axis)."""
+    from protein_clip_tpu.parallel import mesh as mesh_mod
+    from protein_clip_tpu.parallel import sharding as shard_mod
+    from protein_clip_tpu.parallel.finetune_step import (
+        make_sharded_finetune_step)
+    from protein_clip_tpu.parallel.step import shard_batch
+
+    mcfg, params = tiny
+    b = _batch(rng, 16, 12)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=4,
+                                   accumulated_batches=4, num_chunks=4,
+                                   length_groups=1, remat=False)
+    optimizer = optax.adam(1e-3)
+    opt0 = optimizer.init(params)
+    key = jax.random.key(9)
+
+    p1, _, l1 = finetune.make_train_step(cfg, optimizer)(
+        params, opt0, {}, b, key)
+
+    m = mesh_mod.make_mesh(model=2)  # data=4, model=2
+    sharded_params = dict(params)
+    sharded_params["esm"] = shard_mod.shard_params(
+        m, params["esm"], shard_mod.esm_param_specs(params["esm"]))
+    step = make_sharded_finetune_step(cfg, optimizer, m)
+    p2, _, l2 = step(sharded_params, optimizer.init(sharded_params), {},
+                     shard_batch(m, b), key)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=2e-4)
+
+
 def test_packed_finetune_loss_decreases(tiny, packed_batch):
     mcfg, params = tiny
     cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
