@@ -71,7 +71,8 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "Backbone master weights train in f32 at "
                         "--backbone-lr. CLIP entries compose with --packed "
                         "(flat rows); the FILIP entry caches token tensors "
-                        "(train/filip_finetune.py, plain batches)")
+                        "(train/filip_finetune.py, plain or --packed "
+                        "batches)")
     p.add_argument("--backbone-lr", type=float, default=1e-5,
                    help="with --finetune: backbone learning rate (heads "
                         "stay at --lr)")

@@ -62,9 +62,13 @@ def main(argv=None) -> int:
     if finetuning and lora_rank:
         raise SystemExit("--finetune and --lora-rank are mutually "
                          "exclusive (full vs parameter-efficient)")
-    if (finetuning or lora_rank) and (args.packed or args.length_groups > 1):
-        raise SystemExit("FILIP --finetune/--lora-rank train on plain "
-                         "batches (drop --packed / --length-groups)")
+    if (finetuning or lora_rank) and args.length_groups > 1:
+        raise SystemExit("FILIP --finetune/--lora-rank train on plain or "
+                         "--packed batches (drop --length-groups)")
+    if (finetuning or lora_rank) and args.packed and args.pack_tiers > 1:
+        raise SystemExit("packed FILIP --finetune/--lora-rank supports flat "
+                         "packing only (drop --pack-tiers; --scatter-tiers "
+                         "compose)")
     from pathlib import Path
     rng = prng.set_seed(args.seed)
     resume = args.resume_dir is not None

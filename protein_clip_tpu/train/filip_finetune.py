@@ -29,8 +29,16 @@ Params pytree, optimizer, and step signature match train/finetune.py:
 ``{"esm": f32 masters, "heads": filip params}``, two-group Adam via
 ``make_optimizer`` (re-exported), ``loop.fit`` drives it unchanged with
 ``use_gradcache=False`` (FILIP trains per-batch, as the reference).
-Plain single-bucket batches only (v1): packed/grouped FILIP finetune is
-not wired.
+
+Packed FILIP finetune (``cfg.packed``, make_train_step_packed): the same
+two passes over packed ROW chunks (train/packed_engine wire). Pass 1
+scans chunks through backbone + token head + L2-normalise into a cached
+(R, L, D) token tensor per side; the differentiable tail is the frozen
+packed path's scatter (flat or scatter-tiers) + fused max-sim + InfoNCE
+(train/filip_packed helpers); pass 2 replays each chunk with its own
+(r, L, D) cotangent slice — the scatter is a permutation, so slicing the
+cached tensor's cotangent by rows IS the per-chunk cotangent. Grouped
+batches remain unwired (packing supersedes grouping).
 """
 
 from __future__ import annotations
@@ -50,7 +58,7 @@ from .finetune import _cast_esm, init_params, make_optimizer
 Params = dict[str, Any]
 
 __all__ = ["init_params", "make_optimizer", "make_train_step",
-           "make_eval_step"]
+           "make_train_step_packed", "make_eval_step"]
 
 
 def _token_machinery(cfg: EngineConfig, sim_fn: Callable, use_dcl: bool,
@@ -135,10 +143,13 @@ def make_train_step(cfg: EngineConfig,
     rng) -> (params, opt_state, loss) over tokenize_pair_batch batches.
     esm_params is ignored by the default full finetune (backbone inside
     params) and carries the frozen base under an esm_view override."""
-    if cfg.packed or cfg.length_groups > 1:
+    if cfg.packed:
+        return make_train_step_packed(cfg, optimizer, similarity_fn,
+                                      use_dcl, esm_view=esm_view)
+    if cfg.length_groups > 1:
         raise ValueError(
-            "FILIP finetune v1 trains on plain single-bucket batches "
-            "(tokenize_pair_batch); packed/grouped FILIP finetune is "
+            "FILIP finetune trains on plain (tokenize_pair_batch) or "
+            "packed (cfg.packed) batches; grouped FILIP finetune is "
             "not wired")
     use_dcl = cfg.filip_use_dcl if use_dcl is None else use_dcl
     sim_fn = similarity_fn or default_similarity_fn()
@@ -175,13 +186,189 @@ def make_train_step(cfg: EngineConfig,
     return jax.jit(step)
 
 
+def _packed_token_machinery(cfg: EngineConfig, sim_fn: Callable,
+                            use_dcl: bool, rows_per_chunk: int,
+                            esm_view: Callable | None = None):
+    """Shared pieces of the packed FILIP finetune: per-chunk token encoder,
+    pass-1 scan, the scatter+max-sim+InfoNCE tail, and batch preparation.
+    Chunking follows the CLIP packed finetune (constant TOKENS per chunk
+    across the two sides' row widths)."""
+    from ..models import heads
+    from . import packed_engine as pe
+    from .filip_packed import (_l2_normalize_tokens, _scatter_side,
+                               _sim_from_tiers)
+    from .finetune import _chunk_pack
+
+    mcfg = cfg.model
+    n_seqs = cfg.batch_size  # FILIP: no grad accumulation (reference)
+    if esm_view is None:
+        def esm_view(params, esm_params):
+            del esm_params  # the backbone lives inside params
+            return _cast_esm(params["esm"], mcfg.esm.compute_dtype)
+
+    def chunk_tokens(params, esm_params, side, ids, seg, pos, rng):
+        esm_c = esm_view(params, esm_params)
+        mask = (seg > 0).astype(jnp.int32)
+        h = esm2.forward(esm_c, ids, mask, mcfg.esm, remat=cfg.remat,
+                         segment_ids=seg, positions=pos)
+        x = heads.encode_tokens(params["heads"][side],
+                                h.astype(jnp.float32),
+                                dropout_rate=mcfg.dropout, train=True,
+                                rng=rng, activation=mcfg.activation)
+        return _l2_normalize_tokens(x)
+
+    def scan_tokens(params, esm_params, side, chunks, rngs):
+        def body(_, x):
+            return None, chunk_tokens(params, esm_params, side, x["ids"],
+                                      x["seg"], x["pos"], x["rng"])
+        xs = {k: chunks[k] for k in ("ids", "seg", "pos")}
+        xs["rng"] = rngs
+        _, X = jax.lax.scan(body, None, xs)
+        return X  # (n_chunks, r, L, D), row order = the pack's row order
+
+    def tail(params, Xp, Xr, packs, stiers):
+        tiers = {}
+        for side, X in (("pep", Xp), ("rec", Xr)):
+            x = X.reshape(-1, *X.shape[2:])  # (R, L, D), original rows
+            tiers[side] = _scatter_side(x, packs[side], stiers[side],
+                                        n_seqs, mcfg.embedding_dim)
+        sim_a, sim_b = _sim_from_tiers(tiers["pep"], tiers["rec"],
+                                       params["heads"]["temperature"],
+                                       sim_fn, n_seqs)
+        return filip_loss(sim_a, sim_b, use_dcl)
+
+    def prepare(batch, rng):
+        batch = pe.expand_packed_batch(batch)
+        if "pep_packs" in batch or "rec_packs" in batch:
+            raise ValueError(
+                "packed FILIP finetune supports flat packing only "
+                "(packed_tiers=1; scatter_tiers compose); width-tiered "
+                "finetune is not wired")
+        l_max = max(batch["pep_ids"].shape[1], batch["rec_ids"].shape[1])
+        sides, packs, stiers = {}, {}, {}
+        for side, r in zip(("pep", "rec"), jax.random.split(rng)):
+            pack = {k: batch[f"{side}_{k}"]
+                    for k in ("ids", "seg", "pos", "owner")}
+            rpc = rows_per_chunk * (l_max // pack["ids"].shape[1])
+            chunks, n = _chunk_pack(pack, rpc)
+            sides[side] = (chunks, jax.random.split(r, n))
+            packs[side] = pack
+            stiers[side] = batch.get(f"{side}_stiers")
+        return sides, packs, stiers
+
+    return chunk_tokens, scan_tokens, tail, prepare
+
+
+def make_packed_token_loss(cfg: EngineConfig,
+                           similarity_fn: Callable | None = None,
+                           use_dcl: bool | None = None,
+                           rows_per_chunk: int | None = None,
+                           esm_view: Callable | None = None):
+    """Monolithic packed FILIP finetune loss(params, esm_params, batch,
+    rng) — the same math as make_train_step_packed's two passes (same
+    chunking, same per-chunk dropout keys) differentiated in one graph;
+    exists for the exact-grad parity test."""
+    from .packed_engine import _default_rows_per_chunk
+
+    use_dcl = cfg.filip_use_dcl if use_dcl is None else use_dcl
+    sim_fn = similarity_fn or default_similarity_fn()
+    rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
+    _, scan_tokens, tail, prepare = _packed_token_machinery(
+        cfg, sim_fn, use_dcl, rows_per_chunk, esm_view)
+
+    def loss(params, esm_params, batch, rng):
+        sides, packs, stiers = prepare(batch, rng)
+        X = {side: scan_tokens(params, esm_params, side, *sides[side])
+             for side in ("pep", "rec")}
+        return tail(params, X["pep"], X["rec"], packs, stiers)
+
+    return loss
+
+
+def make_train_step_packed(cfg: EngineConfig,
+                           optimizer: optax.GradientTransformation,
+                           similarity_fn: Callable | None = None,
+                           use_dcl: bool | None = None,
+                           rows_per_chunk: int | None = None,
+                           esm_view: Callable | None = None,
+                           donate: bool = False):
+    """jit'd unfrozen FILIP step over tokenize_packed wire batches
+    (train/filip_packed.tokenize_packed, scatter_tiers supported).
+
+    Three phases inside one jit:
+      pass 1   scan packed row-chunks -> cached (n, r, L, D) normalised
+               token tensors per side, stop_gradient;
+      tail     value_and_grad of scatter -> fused max-sim -> InfoNCE
+               w.r.t. (params, X_pep, X_rec) — temperature grads land
+               here;
+      pass 2   re-scan chunks under jax.vjp (remat'd forward, flash
+               attention backward), each chunk fed its own row slice of
+               the cached tensor's cotangent (the scatter is a
+               permutation of valid tokens; gap/pad cotangents are 0)."""
+    from .packed_engine import _default_rows_per_chunk, packed_side_count
+
+    use_dcl = cfg.filip_use_dcl if use_dcl is None else use_dcl
+    sim_fn = similarity_fn or default_similarity_fn()
+    rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
+    chunk_tokens, scan_tokens, tail, prepare = _packed_token_machinery(
+        cfg, sim_fn, use_dcl, rows_per_chunk, esm_view)
+    n_seqs = cfg.batch_size
+
+    def replay(params, esm_params, side, chunks, rngs, dX, acc):
+        def body(acc, x):
+            _, vjp = jax.vjp(
+                lambda p: chunk_tokens(p, esm_params, side, x["ids"],
+                                       x["seg"], x["pos"], x["rng"]),
+                params)
+            (pg,) = vjp(x["dx"])
+            return jax.tree.map(jnp.add, acc, pg), None
+        xs = {k: chunks[k] for k in ("ids", "seg", "pos")}
+        xs["rng"] = rngs
+        xs["dx"] = dX
+        acc, _ = jax.lax.scan(body, acc, xs)
+        return acc
+
+    def step(params, opt_state, esm_params, batch, rng):
+        if not any(k in batch for k in ("pep_operm", "pep_seg", "pep_packs")):
+            raise ValueError(
+                "packed FILIP finetune step needs tokenize_packed batches")
+        for side in ("pep", "rec"):
+            got = packed_side_count(batch, side)
+            if got != n_seqs:
+                raise ValueError(
+                    f"packed batch has {got} {side} sequences but "
+                    f"batch_size={n_seqs}")
+        sides, packs, stiers = prepare(batch, rng)
+
+        X = {side: jax.lax.stop_gradient(
+                scan_tokens(params, esm_params, side, *sides[side]))
+             for side in ("pep", "rec")}
+
+        loss, (grads, dXp, dXr) = jax.value_and_grad(
+            tail, argnums=(0, 1, 2))(params, X["pep"], X["rec"], packs,
+                                     stiers)
+
+        grads = replay(params, esm_params, "pep", *sides["pep"], dXp, grads)
+        grads = replay(params, esm_params, "rec", *sides["rec"], dXr, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
 def make_eval_step(cfg: EngineConfig, similarity_fn: Callable | None = None,
                    use_dcl: bool | None = None):
-    """FILIP eval over the combined pytree: the frozen-engine eval fed the
-    finetuned backbone, cast in-jit to the compute dtype."""
-    from . import filip_engine
+    """FILIP eval over the combined pytree: the frozen-engine eval
+    (packed or plain, matching cfg) fed the finetuned backbone, cast
+    in-jit to the compute dtype."""
+    from . import filip_engine, filip_packed
 
-    base = filip_engine.make_eval_step(cfg, similarity_fn, use_dcl)
+    if cfg.packed:
+        base = filip_packed.make_eval_step_packed_filip(cfg, similarity_fn,
+                                                        use_dcl)
+    else:
+        base = filip_engine.make_eval_step(cfg, similarity_fn, use_dcl)
 
     @jax.jit
     def step(params, esm_params, batch):

@@ -5,7 +5,8 @@ view swapped for the adapter merge (train/lora.py): the frozen
 compute-dtype base rides the esm_params slot, gradients reach only the
 adapters + FILIP token heads, and the temperature grad flows through the
 tail as in full finetune. Engine-shaped module so ``loop.fit`` drives it
-unchanged (plain batches, per-batch training like the reference FILIP).
+unchanged (per-batch training like the reference FILIP; plain or packed
+batches — cfg.packed rides the packed two-pass via the esm_view hook).
 """
 
 from __future__ import annotations
@@ -44,9 +45,13 @@ def make_eval_step(cfg: EngineConfig, similarity_fn: Callable | None = None,
                    use_dcl: bool | None = None, alpha: float | None = None):
     import jax
 
-    from . import filip_engine
+    from . import filip_engine, filip_packed
 
-    base = filip_engine.make_eval_step(cfg, similarity_fn, use_dcl)
+    if cfg.packed:
+        base = filip_packed.make_eval_step_packed_filip(cfg, similarity_fn,
+                                                        use_dcl)
+    else:
+        base = filip_engine.make_eval_step(cfg, similarity_fn, use_dcl)
 
     @jax.jit
     def step(params, esm_params, batch):

@@ -112,6 +112,55 @@ def _side_packs(batch, side: str) -> list[dict]:
     return [{k: batch[f"{side}_{k}"] for k in ("ids", "seg", "pos", "owner")}]
 
 
+def _l2_normalize_tokens(x):
+    """L2-normalise token embeddings BEFORE any scatter so empty slots stay
+    exact zeros (normalising after would divide 0/0)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)),
+                            axis=-1, keepdims=True)
+                    + jnp.finfo(jnp.float32).tiny)
+    return (x.astype(jnp.float32) / norm).astype(x.dtype)
+
+
+def _scatter_side(x, pk, stiers, n_seqs: int, emb_dim: int):
+    """One flat pack's normalised tokens -> tier list for _sim_from_tiers:
+    per-length-tier buffers when stiers is set, else one global
+    (n_seqs, L, D) buffer."""
+    if stiers:
+        return _scatter_by_tiers(x, pk, stiers, n_seqs, emb_dim)
+    L = pk["ids"].shape[1]
+    out = jnp.zeros((n_seqs + 1, L, emb_dim), jnp.float32)
+    mask = jnp.zeros((n_seqs + 1, L), jnp.int32)
+    out, mask = _scatter_tokens_into(out, mask, x, pk["seg"], pk["pos"],
+                                     pk["owner"], n_seqs)
+    return [(out[:n_seqs], mask[:n_seqs], None)]
+
+
+def _sim_from_tiers(tiers_pep, tiers_rec, t, sim_fn, n_seqs: int):
+    """(sim_a, sim_b) (n_seqs, n_seqs) from per-side tier lists of
+    (tokens (B_t, W_t, D), mask (B_t, W_t), operm-or-None)."""
+    if len(tiers_pep) == 1 and len(tiers_rec) == 1:
+        (ha, mask_a, _), (hb, mask_b, _) = tiers_pep[0], tiers_rec[0]
+        return sim_fn(ha, hb, mask_a, mask_b, t)
+    # Assemble into an (n+1, n+1) buffer and slice: scatter-tier operms pad
+    # to shape-stable counts with the sentinel index n_seqs, and the DUMP
+    # row/col keeps those writes IN BOUNDS. An out-of-bounds scatter would
+    # drop them on the forward — but its transpose is a gather whose
+    # out-of-bounds FILL is NaN, and the fused kernel's hand-written
+    # backward multiplies (not selects) by the pad mask, so NaN * 0 = NaN
+    # poisoned every gradient (bench params went NaN after one step; the
+    # lax path hid it because jnp.where's select blocks NaN).
+    sim_a = jnp.zeros((n_seqs + 1, n_seqs + 1), jnp.float32)
+    sim_b = jnp.zeros((n_seqs + 1, n_seqs + 1), jnp.float32)
+    for ha, mask_a, ixa in tiers_pep:
+        ia = jnp.arange(n_seqs) if ixa is None else ixa
+        for hb, mask_b, ixb in tiers_rec:
+            ib = jnp.arange(n_seqs) if ixb is None else ixb
+            sa, sb = sim_fn(ha, hb, mask_a, mask_b, t)
+            sim_a = sim_a.at[ia[:, None], ib[None, :]].set(sa)
+            sim_b = sim_b.at[ia[:, None], ib[None, :]].set(sb)
+    return sim_a[:n_seqs, :n_seqs], sim_b[:n_seqs, :n_seqs]
+
+
 def filip_sim_packed(params: Params, esm_params: Params, batch,
                      cfg: filip.FILIPConfig, n_seqs: int, *,
                      rows_per_chunk: int = 16, remat: bool = True,
@@ -153,53 +202,27 @@ def filip_sim_packed(params: Params, esm_params: Params, batch,
             x = heads.encode_tokens(params[side], h.astype(jnp.float32),
                                     dropout_rate=cfg.dropout, train=train,
                                     rng=rk, activation=cfg.activation)
-            norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)),
-                                    axis=-1, keepdims=True)
-                            + jnp.finfo(jnp.float32).tiny)
-            x = (x.astype(jnp.float32) / norm).astype(x.dtype)
-            if len(packs) == 1 and stiers:
-                # scatter-tier path (VERDICT r2 #2): ONE flat backbone pack
-                # at full fill, but tokens scatter into per-length-tier
-                # (B_t, W_t, D) buffers — the (B, B) score then assembles
-                # from tier-pair kernel blocks whose work tracks true
-                # lengths, not the global row width.
-                tiers = _scatter_by_tiers(x, pk, stiers, n_seqs,
-                                          cfg.embedding_dim)
-                break
+            x = _l2_normalize_tokens(x)
             if len(packs) == 1:
-                n_t, owner, ix = n_seqs, pk["owner"], None
-            else:
-                n_t = pk["operm"].shape[0]
-                owner, ix = pk["local_owner"], pk["operm"]
+                # scatter-tier path (VERDICT r2 #2) when stiers is set: ONE
+                # flat backbone pack at full fill, but tokens scatter into
+                # per-length-tier (B_t, W_t, D) buffers — the (B, B) score
+                # then assembles from tier-pair kernel blocks whose work
+                # tracks true lengths, not the global row width.
+                tiers = _scatter_side(x, pk, stiers, n_seqs,
+                                      cfg.embedding_dim)
+                break
+            n_t = pk["operm"].shape[0]
             L = pk["ids"].shape[1]
             out = jnp.zeros((n_t + 1, L, cfg.embedding_dim), jnp.float32)
             mask = jnp.zeros((n_t + 1, L), jnp.int32)
             out, mask = _scatter_tokens_into(out, mask, x, pk["seg"],
-                                             pk["pos"], owner, n_t)
-            tiers.append((out[:n_t], mask[:n_t], ix))
+                                             pk["pos"], pk["local_owner"],
+                                             n_t)
+            tiers.append((out[:n_t], mask[:n_t], pk["operm"]))
         sides[side] = tiers
-    t = params["temperature"]
-    if len(sides["pep"]) == 1 and len(sides["rec"]) == 1:
-        (ha, mask_a, _), (hb, mask_b, _) = sides["pep"][0], sides["rec"][0]
-        return sim_fn(ha, hb, mask_a, mask_b, t)
-    # Assemble into an (n+1, n+1) buffer and slice: scatter-tier operms pad
-    # to shape-stable counts with the sentinel index n_seqs, and the DUMP
-    # row/col keeps those writes IN BOUNDS. An out-of-bounds scatter would
-    # drop them on the forward — but its transpose is a gather whose
-    # out-of-bounds FILL is NaN, and the fused kernel's hand-written
-    # backward multiplies (not selects) by the pad mask, so NaN * 0 = NaN
-    # poisoned every gradient (bench params went NaN after one step; the
-    # lax path hid it because jnp.where's select blocks NaN).
-    sim_a = jnp.zeros((n_seqs + 1, n_seqs + 1), jnp.float32)
-    sim_b = jnp.zeros((n_seqs + 1, n_seqs + 1), jnp.float32)
-    for ha, mask_a, ixa in sides["pep"]:
-        ia = jnp.arange(n_seqs) if ixa is None else ixa
-        for hb, mask_b, ixb in sides["rec"]:
-            ib = jnp.arange(n_seqs) if ixb is None else ixb
-            sa, sb = sim_fn(ha, hb, mask_a, mask_b, t)
-            sim_a = sim_a.at[ia[:, None], ib[None, :]].set(sa)
-            sim_b = sim_b.at[ia[:, None], ib[None, :]].set(sb)
-    return sim_a[:n_seqs, :n_seqs], sim_b[:n_seqs, :n_seqs]
+    return _sim_from_tiers(sides["pep"], sides["rec"], params["temperature"],
+                           sim_fn, n_seqs)
 
 
 def make_eval_step_packed_filip(cfg: EngineConfig,

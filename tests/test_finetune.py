@@ -327,6 +327,105 @@ def test_filip_finetune_eval_step(tiny_filip, rng):
     assert np.isfinite(float(loss))
 
 
+def test_packed_filip_finetune_matches_monolithic_grads(tiny_filip,
+                                                        packed_batch):
+    """Packed token-level two-pass == monolithic packed FILIP
+    differentiation: one SGD step must match p - lr * grad exactly —
+    pass-2's per-chunk row-slice cotangents reproduce the backbone grads
+    through the scatter (train/filip_finetune.make_train_step_packed)."""
+    from protein_clip_tpu.train import filip_finetune
+
+    mcfg, params = tiny_filip
+    lr = 1e-2
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, packed=True,
+                                   remat=True)
+    opt = optax.sgd(lr)
+    step = filip_finetune.make_train_step(cfg, opt)  # dispatches packed
+    key = jax.random.key(5)
+    new_params, _, loss = step(params, opt.init(params), {}, packed_batch,
+                               key)
+
+    mono = filip_finetune.make_packed_token_loss(cfg)
+    dloss, dgrads = jax.value_and_grad(mono)(params, {}, packed_batch, key)
+    np.testing.assert_allclose(float(loss), float(dloss), rtol=1e-5)
+
+    esm_grad_norms = [float(jnp.abs(g).max())
+                      for g in jax.tree.leaves(dgrads["esm"])]
+    assert max(esm_grad_norms) > 1e-6, "backbone grads must be nonzero"
+    assert float(jnp.abs(dgrads["heads"]["temperature"]).max()) > 1e-8, \
+        "temperature grad must flow through the tail"
+
+    expect = jax.tree.map(lambda p, g: p - lr * g, params, dgrads)
+    for got, want in zip(jax.tree.leaves(new_params),
+                         jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_packed_filip_finetune_matches_plain(tiny_filip):
+    """Packed and plain FILIP finetune compute the same objective: with
+    dropout off, the packed monolithic loss equals the plain token loss
+    on the same pairs (packing changes layout, not math)."""
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.train import filip_finetune
+
+    mcfg, params = tiny_filip
+    cfg_packed = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                          accumulated_batches=1, packed=True)
+    from protein_clip_tpu.train.packed_engine import tokenize_packed
+    pb = tokenize_packed(EsmTokenizer(), SEQS_A, SEQS_B)
+    key = jax.random.key(0)
+    packed_loss = float(filip_finetune.make_packed_token_loss(cfg_packed)(
+        params, {}, pb, key))
+
+    cfg_plain = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                         accumulated_batches=1,
+                                         num_chunks=4, length_groups=1)
+    plain = clip_engine.tokenize_pair_batch(EsmTokenizer(), SEQS_A, SEQS_B)
+    plain_loss = float(filip_finetune.make_token_loss(cfg_plain)(
+        params, {}, plain, key))
+    np.testing.assert_allclose(packed_loss, plain_loss, rtol=2e-4)
+
+
+def test_packed_filip_finetune_scatter_tiers(tiny_filip):
+    """scatter_tiers composes with the packed finetune: the tier-pair
+    assembly computes the same loss as the flat scatter, and a step runs
+    finitely."""
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.train import filip_finetune
+    from protein_clip_tpu.train.packed_engine import tokenize_packed
+
+    mcfg, params = tiny_filip
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, packed=True,
+                                   scatter_tiers=2)
+    tok = EsmTokenizer()
+    flat = tokenize_packed(tok, SEQS_A, SEQS_B)
+    tiered = tokenize_packed(tok, SEQS_A, SEQS_B, scatter_tiers=2)
+    key = jax.random.key(1)
+    mono = filip_finetune.make_packed_token_loss(cfg)
+    np.testing.assert_allclose(float(mono(params, {}, flat, key)),
+                               float(mono(params, {}, tiered, key)),
+                               rtol=1e-5)
+
+    opt = optax.sgd(1e-2)
+    step = filip_finetune.make_train_step_packed(cfg, opt)
+    _, _, loss = step(params, opt.init(params), {}, tiered, key)
+    assert np.isfinite(float(loss))
+
+
+def test_packed_filip_finetune_eval_step(tiny_filip, packed_batch):
+    from protein_clip_tpu.train import filip_finetune
+
+    mcfg, params = tiny_filip
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, packed=True)
+    ev = filip_finetune.make_eval_step(cfg)
+    loss = ev(params, {}, packed_batch)
+    assert np.isfinite(float(loss))
+
+
 def test_dp_tp_finetune_matches_single_device(tiny, rng):
     """data=4 x model=2: the f32 master backbone INSIDE params carries
     Megatron column/row shardings over the GSPMD 'model' auto axis while

@@ -36,6 +36,6 @@ def test_dryrun_multichip_reexec_path(tmp_path):
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        env=env, cwd=repo, capture_output=True, text=True, timeout=600)
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1200)
     assert proc.returncode == 0, proc.stderr
     assert "FILIP token-gather DP" in proc.stdout
