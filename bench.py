@@ -284,7 +284,9 @@ def bench_finetune():
 def bench_finetune_filip():
     """UNFROZEN-backbone FILIP training (train/filip_finetune.py): token-
     level two-pass gradcache at batch 128 — the reference's FILIP is
-    frozen-only AND walled at batch 10."""
+    frozen-only AND walled at batch 10. Packed rows + scatter-tiers by
+    default (the frozen FILIP bench profile); PCT_FINETUNE_PACKED=0
+    measures the plain single-bucket path."""
     import os
 
     import jax
@@ -301,10 +303,13 @@ def bench_finetune_filip():
         esm2.init_params(jax.random.key(0), esm_cfg, dtype=jnp.float32),
         filip.init_params(jax.random.key(1), mcfg))
     batch_size = int(os.environ.get("PCT_FILIP_BATCH", "128"))
+    packed = os.environ.get("PCT_FINETUNE_PACKED", "1") != "0"
+    sct = int(os.environ.get("PCT_FILIP_SCATTER_TIERS", "4"))
     cfg = clip_engine.EngineConfig(
         model=mcfg, batch_size=batch_size, accumulated_batches=1,
         num_chunks=batch_size // 16, length_groups=1, remat=True,
-        backbone_lr=1e-5)
+        backbone_lr=1e-5, packed=packed,
+        scatter_tiers=sct if packed else 1)
     optimizer = filip_finetune.make_optimizer(cfg)
     opt_state = optimizer.init(params)
     step = filip_finetune.make_train_step(cfg, optimizer)
@@ -319,7 +324,12 @@ def bench_finetune_filip():
                 for _ in range(batch_size)]
         recs = ["".join(rng.choice(aas, _rec_len(rng)))
                 for _ in range(batch_size)]
-        batches.append(tokenize_pair_batch(tokenizer, peps, recs))
+        if packed:
+            from protein_clip_tpu.train.filip_packed import tokenize_packed
+            batches.append(tokenize_packed(tokenizer, peps, recs,
+                                           scatter_tiers=sct))
+        else:
+            batches.append(tokenize_pair_batch(tokenizer, peps, recs))
     batches = [jax.device_put(b) for b in batches]
     for b in batches:
         for leaf in jax.tree.leaves(b):
@@ -346,6 +356,255 @@ def bench_finetune_filip():
         "value": round(n_steps * batch_size / dt, 2),
         "unit": "pairs/s",
         "batch": batch_size,
+        "packed": packed,
+    }))
+
+
+def bench_lora():
+    """Parameter-efficient finetune throughput (train/lora.py): low-rank
+    adapters on the attention projections over a FROZEN compute-dtype
+    base, packed rows, global batch 256. Same backward FLOPs as full
+    finetune (LoRA buys optimizer state, not compute) — the interesting
+    numbers are throughput at rank r and the 650M case where full-f32
+    masters pressure HBM (PCT_ESM_CONFIG=t33_650M)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import clip, esm2
+    from protein_clip_tpu.train import clip_engine, lora
+
+    family = os.environ.get("PCT_ESM_CONFIG", "t30_150M")
+    rank = int(os.environ.get("PCT_LORA_RANK", "8"))
+    esm_cfg = getattr(esm2.ESM2Config, family)(compute_dtype=jnp.bfloat16)
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
+                                  dtype=jnp.bfloat16)
+    params = lora.init_params(
+        lora.init_lora(jax.random.key(2), esm_params, rank),
+        clip.init_params(jax.random.key(1), mcfg))
+    cfg = clip_engine.EngineConfig(
+        model=mcfg, batch_size=16, accumulated_batches=16, num_chunks=16,
+        length_groups=1, remat=True, backbone_lr=1e-4, packed=True)
+    optimizer = lora.make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    step = lora.make_train_step(cfg, optimizer)
+
+    tokenizer = EsmTokenizer()
+    rng = np.random.default_rng(42)
+    n_steps = 6
+    batches = make_batches(rng, n_steps + 1, cfg.global_batch, tokenizer,
+                           "packed")
+    batches = [jax.device_put(b) for b in batches]
+    for b in batches:
+        for leaf in jax.tree.leaves(b):
+            float(jnp.sum(leaf.astype(jnp.int32)))
+
+    key = jax.random.key(0)
+    for b in batches:  # one warm step per packed composition
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, esm_params, b, sub)
+        float(loss)
+
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, esm_params,
+                                       batches[i + 1], sub)
+        losses.append(loss)
+    vals = [float(l) for l in losses]
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(v) for v in vals), vals
+    print(json.dumps({
+        "metric": "lora_pairs_per_sec_per_chip",
+        "value": round(n_steps * cfg.global_batch / dt, 2),
+        "unit": "pairs/s",
+        "rank": rank,
+        "esm_config": family,
+        "global_batch": cfg.global_batch,
+    }))
+
+
+def bench_mlm():
+    """MLM training throughput in tokens/s (cli/mlm_train.py's step):
+    masked-token CE over the t30_150M backbone. PCT_MLM_MODE=head trains
+    the tied-decoder LM head over the frozen backbone (the notebook-N1
+    capability); PCT_MLM_MODE=finetune is continued pretraining — the CE
+    gradient reaches f32 backbone masters (cast to bf16 in-step)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import esm2, mlm
+    from protein_clip_tpu.train import optimizer as opt_mod
+
+    mode = os.environ.get("PCT_MLM_MODE", "head")
+    batch = int(os.environ.get("PCT_MLM_BATCH", "64"))
+    mask_prob = 0.15
+    esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16)
+    lm_head = esm2.init_lm_head(jax.random.key(1), esm_cfg)
+    optimizer = opt_mod.adam(1e-3)
+
+    if mode == "finetune":
+        from protein_clip_tpu.train.finetune import _cast_esm
+        esm_params = {}
+        trainable = {"esm": esm2.init_params(jax.random.key(0), esm_cfg,
+                                             dtype=jnp.float32),
+                     "head": lm_head}
+
+        def loss_of(t, esm_p, masked, attn, labels):
+            del esm_p
+            return mlm.mlm_loss(_cast_esm(t["esm"], esm_cfg.compute_dtype),
+                                t["head"], masked, attn, labels, esm_cfg,
+                                remat=True)
+    else:
+        esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
+                                      dtype=jnp.bfloat16)
+        trainable = lm_head
+
+        def loss_of(t, esm_p, masked, attn, labels):
+            return mlm.mlm_loss(esm_p, t, masked, attn, labels, esm_cfg)
+
+    opt_state = optimizer.init(trainable)
+
+    @jax.jit
+    def step(trainable, opt_state, esm_p, ids, attn, key):
+        masked, labels = mlm.mask_tokens(key, ids, attn, mask_prob)
+        loss, grads = jax.value_and_grad(loss_of)(trainable, esm_p, masked,
+                                                  attn, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        return optax.apply_updates(trainable, updates), opt_state, loss
+
+    tokenizer = EsmTokenizer()
+    rng = np.random.default_rng(42)
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    n_steps = 8
+    encs, tokens = [], 0
+    for i in range(n_steps + 1):
+        seqs = ["".join(rng.choice(aas, _rec_len(rng))) for _ in range(batch)]
+        enc = tokenizer(seqs)
+        if i > 0:
+            tokens += int(np.asarray(enc["attention_mask"]).sum())
+        encs.append((jnp.asarray(enc["input_ids"]),
+                     jnp.asarray(enc["attention_mask"])))
+    encs = [jax.device_put(e) for e in encs]
+    for ids, attn in encs:
+        float(jnp.sum(ids.astype(jnp.int32)) + jnp.sum(attn))
+
+    key = jax.random.key(0)
+    for ids, attn in encs:  # one warm step per pad-bucket composition
+        key, sub = jax.random.split(key)
+        trainable, opt_state, loss = step(trainable, opt_state, esm_params,
+                                          ids, attn, sub)
+        float(loss)
+
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        trainable, opt_state, loss = step(trainable, opt_state, esm_params,
+                                          *encs[i + 1], sub)
+        losses.append(loss)
+    vals = [float(l) for l in losses]
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(v) for v in vals), vals
+    print(json.dumps({
+        "metric": "mlm_tokens_per_sec_per_chip",
+        "value": round(tokens / dt, 1),
+        "unit": "tokens/s",
+        "mode": mode,
+        "batch": batch,
+        "seqs_per_sec": round(n_steps * batch / dt, 2),
+    }))
+
+
+def bench_serve():
+    """Online-serving latency through the real HTTP endpoint (cli/serve.py):
+    single-sequence /embed p50, batch-32 /embed throughput, /topk p50
+    against a 1024-candidate index. The reference's only retrieval path is
+    a 10h offline SLURM job (topk.py)."""
+    import json as _json
+    import tempfile
+    import threading
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+
+    from protein_clip_tpu.cli.serve import build_argparser, make_server
+    from protein_clip_tpu.models import clip, esm2
+    from protein_clip_tpu.train.checkpoint import export_npz
+
+    tmp = tempfile.mkdtemp(prefix="pct_serve_bench_")
+    esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16)
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
+    export_npz(f"{tmp}/best_model.npz",
+               clip.init_params(jax.random.key(1), mcfg))
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((1024, mcfg.embedding_dim)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    np.savez(f"{tmp}/index.npz",
+             ids=np.array([f"cand{i}" for i in range(1024)]),
+             embeddings=corpus)
+
+    args = build_argparser().parse_args([
+        "--checkpoint", f"{tmp}/best_model.npz",
+        "--index", f"{tmp}/index.npz", "--port", "0", "--batch-size", "32"])
+    server = make_server(args)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return _json.loads(r.read())
+
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    seq_of = lambda n: "".join(rng.choice(aas, n))
+    # warm every pad bucket the timed lengths map to (embed_sequences
+    # length-sorts into bucket batches; each distinct shape compiles once:
+    # lengths 100-500 aa span the 128..512 buckets in steps of 64)
+    for n in (110, 170, 230, 300, 360, 430, 490):
+        post("/embed", {"sequences": [seq_of(n)], "side": "pep"})
+    post("/embed", {"sequences": [seq_of(_rec_len(rng))
+                                  for _ in range(32)], "side": "pep"})
+    post("/topk", {"queries": [seq_of(300)], "side": "pep", "k": 10})
+
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        post("/embed", {"sequences": [seq_of(int(rng.integers(100, 500)))],
+                        "side": "pep"})
+        lat.append((time.perf_counter() - t0) * 1e3)
+    t0 = time.perf_counter()
+    n_req = 8
+    for _ in range(n_req):
+        post("/embed", {"sequences": [seq_of(_rec_len(rng))
+                                      for _ in range(32)], "side": "pep"})
+    qps = n_req * 32 / (time.perf_counter() - t0)
+    tlat = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        post("/topk", {"queries": [seq_of(int(rng.integers(100, 500)))],
+                       "side": "pep", "k": 10})
+        tlat.append((time.perf_counter() - t0) * 1e3)
+    server.shutdown()
+    print(json.dumps({
+        "metric": "serve_embed_p50_ms",
+        "value": round(float(np.percentile(lat, 50)), 2),
+        "unit": "ms",
+        "embed_p95_ms": round(float(np.percentile(lat, 95)), 2),
+        "embed_seqs_per_sec_batch32": round(qps, 2),
+        "topk_p50_ms": round(float(np.percentile(tlat, 50)), 2),
     }))
 
 
@@ -368,6 +627,12 @@ def main():
         return bench_finetune()
     if os.environ.get("PCT_BENCH_MODE") == "finetune_filip":
         return bench_finetune_filip()
+    if os.environ.get("PCT_BENCH_MODE") == "lora":
+        return bench_lora()
+    if os.environ.get("PCT_BENCH_MODE") == "mlm":
+        return bench_mlm()
+    if os.environ.get("PCT_BENCH_MODE") == "serve":
+        return bench_serve()
 
     import jax.numpy as jnp
 
@@ -392,9 +657,16 @@ def main():
     params = clip.init_params(jax.random.key(1), mcfg)
 
     # PCT_REMAT=0: drop the jax.checkpoint wrap on the (frozen,
-    # stop-gradient) backbone layers — no backward exists to remat for
+    # stop-gradient) backbone layers — no backward exists to remat for.
+    # PCT_GLOBAL_BATCH (default 256, the baseline metric): negative-pool
+    # scaling sweep — the tiled InfoNCE kernel carries pools to 4096.
+    gb = int(os.environ.get("PCT_GLOBAL_BATCH", "256"))
+    if gb % 16 or gb > 4096:
+        raise SystemExit(f"PCT_GLOBAL_BATCH must be a multiple of 16 "
+                         f"<= 4096, got {gb}")
     cfg = clip_engine.EngineConfig(
-        model=mcfg, batch_size=16, accumulated_batches=16, num_chunks=16,
+        model=mcfg, batch_size=16, accumulated_batches=gb // 16,
+        num_chunks=16,
         remat=os.environ.get("PCT_REMAT", "1") != "0", packed=True)
     optimizer = opt_mod.adam(cfg.learning_rate)
     opt_state = optimizer.init(params)

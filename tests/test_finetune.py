@@ -426,6 +426,94 @@ def test_packed_filip_finetune_eval_step(tiny_filip, packed_batch):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.parametrize("opt_name", ["adam", "sgd"])
+def test_dp_packed_finetune_matches_single_device(tiny, rng, opt_name):
+    """DP x packed x finetune == the single-device packed finetune at
+    equal global batch: pass-2 replays cover disjoint LOCAL row chunks
+    and the tail pools only local sequences, yet pmean'd grads must equal
+    the monolithic gradient (sgd is the scale probe; InfoNCE is
+    permutation-symmetric, so the host's pair-to-shard dealing doesn't
+    change the loss)."""
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.parallel.finetune_step import (
+        make_sharded_packed_finetune_step)
+    from protein_clip_tpu.parallel.mesh import make_mesh
+    from protein_clip_tpu.parallel.packed_step import tokenize_packed_sharded
+    from protein_clip_tpu.train.packed_engine import tokenize_packed
+
+    mcfg, params = tiny
+    assert mcfg.dropout == 0.0  # exactness needs the deterministic path
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=2,
+                                   accumulated_batches=8, packed=True,
+                                   remat=False)
+    optimizer = (optax.adam(1e-3) if opt_name == "adam"
+                 else optax.sgd(5e-2))
+    opt0 = optimizer.init(params)
+    tok = EsmTokenizer()
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    seqs = lambda n, lo, hi: ["".join(rng.choice(aas, int(L)))
+                              for L in rng.integers(lo, hi, n)]
+    peps, recs = seqs(16, 5, 15), seqs(16, 10, 60)
+    key = jax.random.key(4)
+
+    single = finetune.make_train_step_packed(cfg, optimizer,
+                                             loss_fn=clip_infonce,
+                                             rows_per_chunk=1)
+    sb = tokenize_packed(tok, peps, recs, pep_row_len=32, rec_row_len=64)
+    p1, _, l1 = single(params, opt0, {}, sb, key)
+
+    mesh = make_mesh()  # data=8
+    step = make_sharded_packed_finetune_step(cfg, optimizer, mesh,
+                                             loss_fn=clip_infonce,
+                                             rows_per_chunk=1)
+    db = tokenize_packed_sharded(tok, peps, recs, 8, pep_row_len=32,
+                                 rec_row_len=64)
+    p2, _, l2 = step(params, opt0, {}, db, key)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_dp_packed_lora_step(tiny, rng):
+    """DP x packed x LoRA smoke: adapters move, the frozen base rides the
+    esm_params slot untouched, loss finite."""
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import clip as clip_mod
+    from protein_clip_tpu.parallel.finetune_step import (
+        make_sharded_packed_lora_step)
+    from protein_clip_tpu.parallel.mesh import make_mesh
+    from protein_clip_tpu.parallel.packed_step import tokenize_packed_sharded
+    from protein_clip_tpu.train import lora as lora_mod
+
+    mcfg, _ = tiny
+    esm_params = esm2.init_params(jax.random.key(1), mcfg.esm)
+    params = lora_mod.init_params(
+        lora_mod.init_lora(jax.random.key(3), esm_params, rank=2),
+        clip_mod.init_params(jax.random.key(2), mcfg))
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=2,
+                                   accumulated_batches=8, packed=True,
+                                   remat=False, backbone_lr=1e-2)
+    opt = lora_mod.make_optimizer(cfg)
+    mesh = make_mesh()
+    step = make_sharded_packed_lora_step(cfg, opt, mesh)
+    tok = EsmTokenizer()
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    seqs = lambda n, lo, hi: ["".join(rng.choice(aas, int(L)))
+                              for L in rng.integers(lo, hi, n)]
+    db = tokenize_packed_sharded(tok, seqs(16, 5, 15), seqs(16, 10, 60), 8,
+                                 pep_row_len=32, rec_row_len=64)
+    new, _, loss = step(params, opt.init(params), esm_params, db,
+                        jax.random.key(0))
+    assert np.isfinite(float(loss))
+    moved = any(
+        float(jnp.max(jnp.abs(ab["b"]))) > 0
+        for ab in jax.tree.leaves(
+            new["lora"], is_leaf=lambda x: isinstance(x, dict) and "b" in x))
+    assert moved, "adapters must move"
+
+
 def test_dp_tp_finetune_matches_single_device(tiny, rng):
     """data=4 x model=2: the f32 master backbone INSIDE params carries
     Megatron column/row shardings over the GSPMD 'model' auto axis while

@@ -40,6 +40,21 @@ MODES: dict[str, dict[str, str]] = {
     "finetune_plain": {"PCT_BENCH_MODE": "finetune",
                        "PCT_FINETUNE_PACKED": "0"},
     "finetune_filip": {"PCT_BENCH_MODE": "finetune_filip"},
+    "finetune_filip_plain": {"PCT_BENCH_MODE": "finetune_filip",
+                             "PCT_FINETUNE_PACKED": "0"},
+    # negative-pool scaling: the tiled InfoNCE kernel carries the global
+    # batch past the single-shot VMEM wall
+    "clip_gb512": {"PCT_GLOBAL_BATCH": "512"},
+    "clip_gb1024": {"PCT_GLOBAL_BATCH": "1024"},
+    # masked-LM objective (cli/mlm_train.py): head-only and continued
+    # pretraining (f32 backbone masters)
+    "mlm_head": {"PCT_BENCH_MODE": "mlm"},
+    "mlm_finetune": {"PCT_BENCH_MODE": "mlm", "PCT_MLM_MODE": "finetune"},
+    # online HTTP serving (cli/serve.py): latency + QPS
+    "serve": {"PCT_BENCH_MODE": "serve"},
+    # parameter-efficient finetuning (train/lora.py), packed rows
+    "lora": {"PCT_BENCH_MODE": "lora"},
+    "lora_650M": {"PCT_BENCH_MODE": "lora", "PCT_ESM_CONFIG": "t33_650M"},
 }
 
 
