@@ -39,17 +39,20 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
-def embed_sequences(params, esm_params, seqs, side, mcfg, tokenizer,
-                    batch_size: int = 64):
-    """Encode sequences -> (N, D) float32, length-sorted internally so each
-    jit shape is a (batch, bucket) pair; results return in input order."""
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _encode_fn(side: str, mcfg):
+    """jit'd encoder SHARED across embed_sequences calls (configs are
+    frozen/hashable dataclasses). A fresh ``@jax.jit`` inside each call
+    is a new cache key, so every call retraces — measured as the serving
+    latency bug: 1.78 s p50 per single-sequence /embed request before
+    hoisting (docs/PERF.md)."""
     import jax.numpy as jnp
 
     from ..data.tokenizer import PAD_ID
     from ..models import esm2 as esm2_mod
-
-    order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
-    out = np.zeros((len(seqs), mcfg.embedding_dim), np.float32)
 
     @jax.jit
     def encode(params, esm_params, ids):
@@ -58,6 +61,19 @@ def embed_sequences(params, esm_params, seqs, side, mcfg, tokenizer,
         hidden = esm2_mod.forward(esm_params, ids, mask, mcfg.esm)
         return clip.encode_side(params, side, hidden.astype(jnp.float32),
                                 mask, mcfg, train=False)
+
+    return encode
+
+
+def embed_sequences(params, esm_params, seqs, side, mcfg, tokenizer,
+                    batch_size: int = 64):
+    """Encode sequences -> (N, D) float32, length-sorted internally so each
+    jit shape is a (batch, bucket) pair; results return in input order."""
+    import jax.numpy as jnp
+
+    order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
+    out = np.zeros((len(seqs), mcfg.embedding_dim), np.float32)
+    encode = _encode_fn(side, mcfg)
 
     for start in range(0, len(order), batch_size):
         idx = order[start:start + batch_size]
