@@ -33,6 +33,8 @@ MODES: dict[str, dict[str, str]] = {
     "clip_650M": {"PCT_ESM_CONFIG": "t33_650M"},
     "clip_650M_int8": {"PCT_ESM_CONFIG": "t33_650M",
                        "PCT_ESM_DTYPE": "int8"},
+    "clip_3B": {"PCT_ESM_CONFIG": "t36_3B"},
+    "clip_3B_int8": {"PCT_ESM_CONFIG": "t36_3B", "PCT_ESM_DTYPE": "int8"},
     "eval": {"PCT_BENCH_MODE": "eval"},
     # unfrozen-backbone training (train/finetune.py): packed rows
     # (default) and the plain single-bucket path
