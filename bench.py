@@ -229,7 +229,8 @@ def bench_finetune():
     from protein_clip_tpu.models import clip, esm2
     from protein_clip_tpu.train import clip_engine, finetune
 
-    esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16)
+    family = os.environ.get("PCT_ESM_CONFIG", "t30_150M")
+    esm_cfg = getattr(esm2.ESM2Config, family)(compute_dtype=jnp.bfloat16)
     mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
     params = finetune.init_params(
         esm2.init_params(jax.random.key(0), esm_cfg, dtype=jnp.float32),
@@ -278,6 +279,7 @@ def bench_finetune():
         "unit": "pairs/s",
         "global_batch": cfg.global_batch,
         "packed": packed,
+        "esm_config": family,
     }))
 
 

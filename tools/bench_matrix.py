@@ -41,6 +41,10 @@ MODES: dict[str, dict[str, str]] = {
     "finetune_packed": {"PCT_BENCH_MODE": "finetune"},
     "finetune_plain": {"PCT_BENCH_MODE": "finetune",
                        "PCT_FINETUNE_PACKED": "0"},
+    # full 650M finetune fits one v5e with donated buffers (7.8 GB
+    # params+Adam); compare lora_650M (faster, ~MBs of state)
+    "finetune_650M": {"PCT_BENCH_MODE": "finetune",
+                      "PCT_ESM_CONFIG": "t33_650M"},
     "finetune_filip": {"PCT_BENCH_MODE": "finetune_filip"},
     "finetune_filip_plain": {"PCT_BENCH_MODE": "finetune_filip",
                              "PCT_FINETUNE_PACKED": "0"},
