@@ -30,3 +30,15 @@ def build_case():
         "rec_mask": np.ones((CASE_BATCH, CASE_T), np.int32),
     }
     return mcfg, esm_params, params, batch
+
+
+def build_packed_pairs():
+    """Deterministic pair strings for the packed 2-process case (both the
+    workers and the single-process oracle tokenize these)."""
+    rng = np.random.default_rng(11)
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    peps = ["".join(rng.choice(aas, int(L)))
+            for L in rng.integers(5, 15, CASE_BATCH)]
+    recs = ["".join(rng.choice(aas, int(L)))
+            for L in rng.integers(10, 60, CASE_BATCH)]
+    return peps, recs

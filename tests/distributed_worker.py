@@ -12,7 +12,10 @@ batch rows are split so each process only ever materialises ITS OWN rows
 (`jax.make_array_from_process_local_data`) — the negatives it sees from the
 other process travel through the all_gather, as on a real pod.
 
-Usage: python distributed_worker.py <pid> <nproc> <port> <out.npz>
+Usage: python distributed_worker.py <pid> <nproc> <port> <out.npz> [mode]
+mode: "plain" (default, unpacked DP step) or "packed" (packed rows over
+the same cross-process mesh via tokenize_packed_sharded — each rank
+materialises only its own shards' rows).
 """
 
 import os
@@ -22,6 +25,7 @@ import sys
 def main():
     pid, nproc, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
                                   sys.argv[3], sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "plain"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
@@ -54,25 +58,54 @@ def main():
     mcfg, esm_params, params, batch = build_case()
     cfg = clip_engine.EngineConfig(model=mcfg, batch_size=2,
                                    accumulated_batches=4, num_chunks=4,
-                                   remat=False)
+                                   remat=False, packed=(mode == "packed"))
     # sgd: scale-sensitive — an n_data-x gradient bug fails the test
     optimizer = optax.sgd(5e-2)
     opt0 = optimizer.init(params)
 
     mesh = mesh_mod.make_mesh(data=2 * nproc, model=1)
-    rows = CASE_BATCH // nproc
-    sharding = NamedSharding(mesh, P("data"))
-    gbatch = {
-        k: jax.make_array_from_process_local_data(
-            sharding, v[pid * rows:(pid + 1) * rows], v.shape)
-        for k, v in batch.items()
-    }
+    n_shards = 2 * nproc
+    if mode == "packed":
+        from protein_clip_tpu.data.tokenizer import EsmTokenizer
+        from protein_clip_tpu.parallel.packed_step import (
+            make_sharded_packed_train_step, tokenize_packed_sharded)
+        from tests.distributed_case import build_packed_pairs
+
+        peps, recs = build_packed_pairs()
+        wire = jax.tree.map(np.asarray, tokenize_packed_sharded(
+            EsmTokenizer(), peps, recs, n_shards, pep_row_len=32,
+            rec_row_len=64))
+        local = 2  # shards owned by this process (2 local devices)
+        gbatch = {}
+        for k, v in wire.items():
+            if k == "pair_shard_order":
+                gbatch[k] = jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, P()), v, v.shape)
+            elif k.endswith("_ids"):
+                r = v.shape[0] // n_shards  # shard-major rows
+                sl = v[pid * local * r:(pid + 1) * local * r]
+                gbatch[k] = jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, P("data")), sl, v.shape)
+            else:  # (n_shards, B_local) operms
+                sl = v[pid * local:(pid + 1) * local]
+                gbatch[k] = jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, P("data")), sl, v.shape)
+        step = make_sharded_packed_train_step(cfg, optimizer, mesh,
+                                              rows_per_chunk=1)
+    else:
+        rows = CASE_BATCH // nproc
+        sharding = NamedSharding(mesh, P("data"))
+        gbatch = {
+            k: jax.make_array_from_process_local_data(
+                sharding, v[pid * rows:(pid + 1) * rows], v.shape)
+            for k, v in batch.items()
+        }
+        step = make_sharded_train_step(cfg, optimizer, mesh)
     # params/opt_state as host numpy: uncommitted inputs are treated as
     # replicated-and-identical across processes (they are, by construction)
     params_h = jax.tree.map(np.asarray, params)
     opt_h = jax.tree.map(np.asarray, opt0)
 
-    step = make_sharded_train_step(cfg, optimizer, mesh)
     p1, _, loss = step(params_h, opt_h, jax.tree.map(np.asarray, esm_params),
                        gbatch, jax.random.key(CASE_SEED))
     loss = float(loss)

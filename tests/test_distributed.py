@@ -37,16 +37,16 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_step_matches_single_process(tmp_path):
+def _run_workers(tmp_path, mode: str):
     port = _free_port()
-    out = tmp_path / "rank0.npz"
+    out = tmp_path / f"rank0_{mode}.npz"
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = str(_WORKER.parent.parent)
     procs = [
         subprocess.Popen(
             [sys.executable, str(_WORKER), str(pid), "2", str(port),
-             str(out)],
+             str(out), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
         for pid in range(2)
@@ -54,7 +54,7 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
     outputs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=300)
+            stdout, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -63,6 +63,11 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
     for p, stdout in zip(procs, outputs):
         assert p.returncode == 0, f"worker failed:\n{stdout[-3000:]}"
     assert out.exists(), outputs[0][-2000:]
+    return out
+
+
+def test_two_process_dp_step_matches_single_process(tmp_path):
+    out = _run_workers(tmp_path, "plain")
 
     # single-process oracle at the same global batch (this process runs on
     # the suite's 8 fake devices; plain single-device engine step)
@@ -73,6 +78,40 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
     optimizer = optax.sgd(5e-2)
     step = clip_engine.make_train_step(cfg, optimizer)
     p1, _, loss1 = step(params, optimizer.init(params), esm_params, batch,
+                        jax.random.key(CASE_SEED))
+
+    from protein_clip_tpu.train.checkpoint import load_npz
+    got = load_npz(out, {"params": jax.tree.map(np.asarray, p1),
+                         "loss": np.float32(0)})
+    np.testing.assert_allclose(float(got["loss"]), float(loss1), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(got["params"]), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_two_process_packed_dp_step_matches_single_process(tmp_path):
+    """The PACKED production path across a real process boundary: two
+    jax.distributed ranks each materialise only their own shards' packed
+    rows (tokenize_packed_sharded wire), negatives cross processes
+    through the all_gather, and the SGD-updated params must match the
+    single-process packed step on the same pairs."""
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.train.packed_engine import (make_train_step_packed,
+                                                      tokenize_packed)
+    from tests.distributed_case import build_packed_pairs
+
+    out = _run_workers(tmp_path, "packed")
+
+    mcfg, esm_params, params, _ = build_case()
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=2,
+                                   accumulated_batches=4, remat=False,
+                                   packed=True)
+    optimizer = optax.sgd(5e-2)
+    peps, recs = build_packed_pairs()
+    sb = tokenize_packed(EsmTokenizer(), peps, recs, pep_row_len=32,
+                         rec_row_len=64)
+    step = make_train_step_packed(cfg, optimizer, rows_per_chunk=1)
+    p1, _, loss1 = step(params, optimizer.init(params), esm_params, sb,
                         jax.random.key(CASE_SEED))
 
     from protein_clip_tpu.train.checkpoint import load_npz
