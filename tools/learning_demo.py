@@ -25,8 +25,10 @@ def main():
     args = ap.parse_args()
 
     import jax
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # "tpu": leave the ambient platform (the axon plugin registers under
+    # its own name and auto-selects; forcing "tpu" fails on the tunnel)
     import numpy as np
 
     from protein_clip_tpu.data import synthetic
