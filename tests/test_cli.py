@@ -239,6 +239,28 @@ def test_filip_training_entry_packed(workdir, trained_run):
     assert np.isfinite(float(tr)) and np.isfinite(float(va))
 
 
+def test_filip_training_entry_packed_finetune(workdir, trained_run):
+    """FILIP CLI with --finetune --packed (the packed token-level
+    two-pass, train/filip_finetune.make_train_step_packed): runs end to
+    end in bf16, checkpoint carries the combined {heads, esm} pytree."""
+    from protein_clip_tpu.cli.main_2protein_filip import main
+    rc = main([
+        "--esm-config", "tiny", "--esm-dtype", "bfloat16",
+        "--epochs", "1", "--batch-size", "4", "--finetune",
+        "--backbone-lr", "1e-4", "--packed",
+        "--data-dir", "data", "--runs-dir", "runs_filip_ft",
+    ])
+    assert rc == 0
+    run = sorted(Path("runs_filip_ft").iterdir())[-1]
+    csv = (run / "losses_per_epoch.txt").read_text().strip().split("\n")
+    assert len(csv) == 2 and csv[1].startswith("1,")
+    _, tr, va = csv[1].split(",")
+    assert np.isfinite(float(tr)) and np.isfinite(float(va))
+    ckpt = np.load(run / "best_model.npz")
+    assert any(k.startswith("heads/") for k in ckpt.files)
+    assert any(k.startswith("esm/") for k in ckpt.files)
+
+
 def test_retrieve_entry(workdir, trained_run):
     """Retrieval CLI: index via cli.embed, query it, check self-retrieval
     (same side + same sequences => top-1 hit is the query itself) and the
