@@ -85,8 +85,8 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
                                                 mcfg.esm.compute_dtype)
         if lora_rank:
             from ..train import lora as lora_mod
-            return p["heads"], lora_mod.merge_lora(esm_params, p["lora"],
-                                                   2.0 * lora_rank)
+            return p["heads"], lora_mod.merge_lora(
+                esm_params, p["lora"], lora_mod.default_alpha(lora_rank))
         return p, esm_params
 
     data_dir = common.ensure_data(args, prefix_a, prefix_b)

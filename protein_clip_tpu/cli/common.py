@@ -73,9 +73,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "(flat rows); the FILIP entry caches token tensors "
                         "(train/filip_finetune.py, plain or --packed "
                         "batches)")
-    p.add_argument("--backbone-lr", type=float, default=1e-5,
+    p.add_argument("--backbone-lr", type=float, default=None,
                    help="with --finetune: backbone learning rate (heads "
-                        "stay at --lr)")
+                        "stay at --lr). Default None resolves per mode: "
+                        "1e-5 for full finetune, 1e-4 for LoRA adapters "
+                        "(zero-init adapters want a hotter rate)")
     p.add_argument("--lora-rank", type=int, default=0,
                    help="> 0: LoRA parameter-efficient finetuning "
                         "(train/lora.py) — low-rank adapters on the "
@@ -145,10 +147,8 @@ def load_clip_checkpoint(path, mcfg, esm_params):
         rank = next(iter(tree["lora"].values()))["a"].shape[-1]
         print(f"[checkpoint] LoRA adapters found (rank {rank}) — merging "
               "into the loaded backbone")
-        import os
-        alpha = float(os.environ.get("PCT_LORA_ALPHA", 2.0 * rank))
-        return tree["heads"], lora_mod.merge_lora(esm_params, tree["lora"],
-                                                  alpha)
+        return tree["heads"], lora_mod.merge_lora(
+            esm_params, tree["lora"], lora_mod.default_alpha(rank))
     if combined:
         from ..train import finetune
         tree = load_npz(path, finetune.init_params(esm_params, head_like))

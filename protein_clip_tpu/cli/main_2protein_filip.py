@@ -93,8 +93,10 @@ def main(argv=None) -> int:
     elif lora_rank:
         from ..train import lora as lora_mod
         rng, lrng = jax.random.split(rng)
+        targets = lora_mod.ATTN_TARGETS + (
+            lora_mod.FFN_TARGETS if getattr(args, "lora_ffn", False) else ())
         params = lora_mod.init_params(
-            lora_mod.init_lora(lrng, esm_params, lora_rank), params)
+            lora_mod.init_lora(lrng, esm_params, lora_rank, targets), params)
         # esm_params stays: the frozen base the adapters merge into
 
     def _eval_view(p):
@@ -108,8 +110,8 @@ def main(argv=None) -> int:
                                                 mcfg.esm.compute_dtype)
         if lora_rank:
             from ..train import lora as lora_mod
-            return p["heads"], lora_mod.merge_lora(esm_params, p["lora"],
-                                                   2.0 * lora_rank)
+            return p["heads"], lora_mod.merge_lora(
+                esm_params, p["lora"], lora_mod.default_alpha(lora_rank))
         return p, esm_params
 
     data_dir = common.ensure_data(args, "protein1", "protein2")

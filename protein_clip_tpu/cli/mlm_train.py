@@ -92,11 +92,15 @@ def main(argv=None) -> int:
         else:
             from ..train import lora as lora_mod
             rng, lrng = jax.random.split(rng)
+            targets = lora_mod.ATTN_TARGETS + (
+                lora_mod.FFN_TARGETS if getattr(args, "lora_ffn", False)
+                else ())
+            alpha = lora_mod.default_alpha(lora_rank)
             trainable = {
-                "lora": lora_mod.init_lora(lrng, esm_params, lora_rank),
+                "lora": lora_mod.init_lora(lrng, esm_params, lora_rank,
+                                           targets),
                 "head": lm_head}
-            esm_view = lambda t, e: lora_mod.merge_lora(e, t["lora"],
-                                                        2.0 * lora_rank)
+            esm_view = lambda t, e: lora_mod.merge_lora(e, t["lora"], alpha)
         group = "esm" if finetuning else "lora"
         optimizer = optax.multi_transform(
             {group: backbone_opt, "head": optimizer},

@@ -223,7 +223,20 @@ def tiled_row_block(b: int) -> int | None:
     for rb in (512, 256, 128):
         if b % rb == 0 and 4 * rb * b * 4 <= cap:
             return rb
-    return 128 if b % 128 == 0 and b <= 4096 else None
+    # No rb fits the budget (tiny-VMEM generation or a lowered
+    # PCT_INFONCE_TILE_BUDGET): tell the dispatcher to fall back to the
+    # lax path rather than hand Mosaic an over-budget tile set.
+    return None
+
+
+def _require_row_block(b: int, row_block: int | None) -> int:
+    rb = row_block or tiled_row_block(b)
+    if rb is None:
+        raise ValueError(
+            f"no tiled row block fits the VMEM tile budget at pool size "
+            f"{b} (see ops/tpu_budgets.infonce_tile_budget); use the lax "
+            "InfoNCE path instead")
+    return rb
 
 
 def _full_spec():
@@ -301,14 +314,14 @@ def fused_infonce_tiled(x: jax.Array, y: jax.Array,
 
     x, y: (B, D) with B divisible by the row block (tiled_row_block picks
     512/256/128). VMEM working set is O(B*D + rb*B) instead of O(B*B)."""
-    rb = row_block or tiled_row_block(x.shape[0])
+    rb = _require_row_block(x.shape[0], row_block)
     if interpret is None:
         interpret = not _on_tpu()
     return _fwd_tiled_call(x, y, rb, interpret)
 
 
 def _vjp_tiled_fwd(x, y, row_block, interpret):
-    rb = row_block or tiled_row_block(x.shape[0])
+    rb = _require_row_block(x.shape[0], row_block)
     if interpret is None:
         interpret = not _on_tpu()
     return _fwd_tiled_call(x, y, rb, interpret), (x, y)
@@ -316,7 +329,7 @@ def _vjp_tiled_fwd(x, y, row_block, interpret):
 
 def _vjp_tiled_bwd(row_block, interpret, res, g):
     x, y = res
-    rb = row_block or tiled_row_block(x.shape[0])
+    rb = _require_row_block(x.shape[0], row_block)
     if interpret is None:
         interpret = not _on_tpu()
     dx, dy = _bwd_tiled_call(x, y, g, rb, interpret)

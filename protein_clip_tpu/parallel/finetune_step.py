@@ -41,7 +41,7 @@ from jax.sharding import PartitionSpec as P
 from ..models import clip, esm2
 from ..ops.infonce import clip_infonce
 from ..train.clip_engine import expand_batch
-from ..train.finetune import _cast_esm
+from ..train.finetune import _cast_esm, _chunked
 from .mesh import DATA_AXIS
 from .step import tp_safe_model_config
 
@@ -82,12 +82,7 @@ def make_sharded_finetune_step(cfg, optimizer: optax.GradientTransformation,
         return fn
 
     def chunked(batch, side, rng):
-        ids = batch[f"{side}_ids"]
-        mask = batch[f"{side}_mask"]
-        B, T = ids.shape
-        return {"ids": ids.reshape(n_local, B // n_local, T),
-                "mask": mask.reshape(n_local, B // n_local, T),
-                "rng": jax.random.split(rng, n_local)}
+        return _chunked(batch, side, n_local, rng)
 
     def scan_encode(fn, params, chunks):
         def body(_, c):

@@ -40,6 +40,7 @@ import optax
 
 from ..models import clip, esm2
 from .clip_engine import EngineConfig, default_loss_fn, expand_batch
+from .finetune import _chunked
 from .gradcache import gradcache_value_and_grad
 
 Params = dict[str, Any]
@@ -113,15 +114,14 @@ def make_optimizer(cfg: EngineConfig) -> optax.GradientTransformation:
         })
 
 
-def _chunked(batch, side: str, n: int, rng):
-    ids = batch[f"{side}_ids"]
-    mask = batch[f"{side}_mask"]
-    B, T = ids.shape
-    if B % n:
-        raise ValueError(f"global batch {B} not divisible by num_chunks {n}")
-    return {"ids": ids.reshape(n, B // n, T),
-            "mask": mask.reshape(n, B // n, T),
-            "rng": jax.random.split(rng, n)}
+def default_alpha(rank: int) -> float:
+    """The alpha the engines use when none is passed explicitly:
+    PCT_LORA_ALPHA if set, else the 2*rank convention. Any consumer
+    merging adapters OUTSIDE the engines (viz hooks, eval views,
+    checkpoint loaders) must resolve alpha through this so the plotted/
+    evaluated model matches the trained one."""
+    env = os.environ.get("PCT_LORA_ALPHA")
+    return float(env) if env is not None else 2.0 * rank
 
 
 def make_train_step(cfg: EngineConfig,
@@ -170,10 +170,7 @@ def make_train_step(cfg: EngineConfig,
 def _resolve_alpha(params, alpha):
     if alpha is not None:
         return alpha
-    env = os.environ.get("PCT_LORA_ALPHA")
-    if env is not None:
-        return float(env)
-    return 2.0 * next(iter(params["lora"].values()))["a"].shape[-1]
+    return default_alpha(next(iter(params["lora"].values()))["a"].shape[-1])
 
 
 def make_train_step_packed(cfg: EngineConfig,

@@ -23,6 +23,7 @@ compiled shapes repeat across batches like the length-group compositions.
 
 from __future__ import annotations
 
+import functools
 import os
 import warnings
 from typing import Any, Callable
@@ -51,21 +52,22 @@ def _row_len_for(max_len: int, explicit: int | None,
     return min(cap, max(128, -(-max_len // 128) * 128))
 
 
-def _tier_widths(row_len: int) -> list[int]:
-    """Quarter-points of the row length rounded up to 128-multiples.
+def _tier_widths(row_len: int, n: int = 4) -> list[int]:
+    """n-way split points of the row length rounded up to 128-multiples.
 
-    512 -> [128, 256, 384, 512]; 128 -> [128]; 2048 -> [512, 1024, 1536,
-    2048]. Attention cost per token scales with its row width, so short
-    sequences riding narrower rows skip the masked cross-segment work the
-    dense kernel would otherwise burn (docs/PERF.md: ~50% of score work in
-    a 512-wide Propedia receptor row is masked waste).
+    n=4: 512 -> [128, 256, 384, 512]; 128 -> [128]; 2048 -> [512, 1024,
+    1536, 2048]. Attention cost per token scales with its row width, so
+    short sequences riding narrower rows skip the masked cross-segment
+    work the dense kernel would otherwise burn (docs/PERF.md: ~50% of
+    score work in a 512-wide Propedia receptor row is masked waste).
 
     row_len itself is always a member (even when an explicit row_len is not
-    a 128-multiple, where the floored quarter-points all fall below it), so
-    every sequence that fits the row fits a tier.
+    a 128-multiple, where the floored split points all fall below it), so
+    every sequence that fits the row fits a tier. Nearby widths collapse
+    (set semantics), so the tier count is AT MOST n.
     """
-    return sorted({min(row_len, max(128, -(-row_len * q // 4) // 128 * 128))
-                   for q in (1, 2, 3, 4)} | {row_len})
+    return sorted({min(row_len, max(128, -(-row_len * q // n) // 128 * 128))
+                   for q in range(1, n + 1)} | {row_len})
 
 
 def scan_order_operm(packed, idx: np.ndarray) -> np.ndarray:
@@ -134,7 +136,7 @@ def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
             warnings.warn(
                 f"tokenize_packed: {clamped} {side} sequence(s) longer than "
                 f"row_len={row_len} were truncated (eos kept)", stacklevel=2)
-        widths = _tier_widths(row_len) if tiers > 1 else [row_len]
+        widths = _tier_widths(row_len, tiers) if tiers > 1 else [row_len]
         groups: dict[int, list] = {w: [] for w in widths}
         gidx: dict[int, list] = {w: [] for w in widths}
         for j, e in enumerate(encs):
@@ -148,7 +150,7 @@ def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
             out[f"{side}_operm"] = packs[0]["operm"]
             if scatter_tiers > 1:
                 # narrowest fitting tier per sequence
-                swidths = _tier_widths(row_len)
+                swidths = _tier_widths(row_len, scatter_tiers)
                 sgroups: dict[int, list[int]] = {w: [] for w in swidths}
                 for j, e in enumerate(encs):
                     w = next(w for w in swidths if len(e) <= w)
@@ -477,12 +479,12 @@ def make_eval_step_packed(cfg: EngineConfig,
     return step
 
 
-def embed_packed(params, esm_params, batch, mcfg,
-                 rows_per_chunk: int | None = None):
-    """(pep_emb, rec_emb) for a packed batch, inference mode — the packed
-    fast path for eval/retrieval.encode_candidates. Embeddings come out in
-    original pair order (owner maps carry global indices)."""
-    rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
+@functools.lru_cache(maxsize=None)
+def _embed_packed_fn(mcfg, rows_per_chunk: int):
+    """jit'd packed embedder SHARED across embed_packed calls (configs
+    are frozen/hashable dataclasses). A fresh ``@jax.jit`` inside each
+    call would be a new cache key — every call retraces (the serving
+    retrace bug pattern, cli/embed._encode_fn)."""
 
     @jax.jit
     def run(params, esm_params, batch):
@@ -492,5 +494,14 @@ def embed_packed(params, esm_params, batch, mcfg,
         return _pooled_sides(params, h_lists, pack_lists, n_seqs, mcfg,
                              train=False, rng=None)
 
+    return run
+
+
+def embed_packed(params, esm_params, batch, mcfg,
+                 rows_per_chunk: int | None = None):
+    """(pep_emb, rec_emb) for a packed batch, inference mode — the packed
+    fast path for eval/retrieval.encode_candidates. Embeddings come out in
+    original pair order (owner maps carry global indices)."""
+    rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
     _validate_packed_batch(batch, None)
-    return run(params, esm_params, batch)
+    return _embed_packed_fn(mcfg, rows_per_chunk)(params, esm_params, batch)

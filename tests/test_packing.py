@@ -304,6 +304,43 @@ def test_tiered_explicit_odd_row_len(rng):
     assert found
 
 
+def test_tier_count_honored(rng):
+    """--pack-tiers/--scatter-tiers N must produce AT MOST N width tiers
+    (the integer was previously dead beyond the >1 test)."""
+    from protein_clip_tpu.train.packed_engine import (_tier_widths,
+                                                      tokenize_packed)
+
+    assert _tier_widths(2048, 2) == [1024, 2048]
+    assert _tier_widths(2048, 4) == [512, 1024, 1536, 2048]
+    assert len(_tier_widths(2048, 8)) <= 8
+
+    tok = EsmTokenizer()
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    peps = _sequences(rng, 8, lo=5, hi=15)
+    recs = ["".join(rng.choice(aas, L))
+            for L in (30, 120, 250, 380, 30, 120, 250, 380)]
+    b2 = tokenize_packed(tok, peps, recs, rec_row_len=512, tiers=2)
+    assert len(b2["rec_packs"]) <= 2
+    s2 = tokenize_packed(tok, peps, recs, rec_row_len=512, scatter_tiers=2)
+    assert len(s2["rec_stiers"]) <= 2
+    widths2 = [t["wmark"].shape[0] for t in s2["rec_stiers"]]
+    assert set(widths2) <= {256, 512}
+
+
+def test_lora_default_alpha_consistent(monkeypatch):
+    """PCT_LORA_ALPHA must reach every merge site through the same
+    resolver — eval/viz consumers previously hardcoded 2*rank while the
+    train step honored the env var."""
+    from protein_clip_tpu.train import lora as lora_mod
+
+    assert lora_mod.default_alpha(8) == 16.0
+    monkeypatch.setenv("PCT_LORA_ALPHA", "32")
+    assert lora_mod.default_alpha(8) == 32.0
+    params = {"lora": {"attn/q": {"a": jnp.zeros((1, 4, 8))}}}
+    assert lora_mod._resolve_alpha(params, None) == 32.0
+    assert lora_mod._resolve_alpha(params, 4.0) == 4.0
+
+
 def test_expanded_tiered_batch_refeeds(rng):
     """expand_packed_batch output (tiered) must pass the packed step's
     validation and expand idempotently — matching the flat path."""
