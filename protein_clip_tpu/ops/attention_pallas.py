@@ -64,6 +64,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .tpu_budgets import on_tpu as _on_tpu
+
 _NEG = float(jnp.finfo(jnp.float32).min)
 
 # One program handles this many lanes of heads (4 heads at dh=32): the
@@ -86,8 +88,8 @@ _ROWS_ENV = _os.environ.get("PCT_ATTN_ROWS_PER_PROGRAM")
 
 def _choose_rows_per_program(batch: int, T: int, itemsize: int) -> int:
     if _ROWS_ENV:
-        want = int(_ROWS_ENV)
-        return want if batch % max(want, 1) == 0 else 1
+        want = max(int(_ROWS_ENV), 1)  # 0/negative override falls back to 1
+        return want if batch % want == 0 else 1
     from .tpu_budgets import attn_rows_byte_budget
 
     cap = max(1, attn_rows_byte_budget() // (T * itemsize))
@@ -156,18 +158,26 @@ def _kernel(s_ref, sc_ref, q_ref, k_ref, v_ref, o_ref, *, dh: int,
                 jax.lax.fori_loop(0, n_q, qloop, 0)
 
 
-def _choose_q_block(T: int) -> int:
-    """One block when the (T, T) f32 score tile is small enough (~2 MB);
+def _pick_q_block(T: int, budget_elems: int) -> int:
+    """One block when the (T, T) f32 score tile fits the element budget;
     otherwise the largest 128-multiple divisor of T under the cap, so
     dynamic LANE slices stay 128-aligned (Mosaic rejects other offsets —
     the 192/320/448 pad buckets broke a plain min(T, cap) choice) AND tile
     T exactly. T without such a divisor runs single-block (bounded by
     ESM2Config.fused_max_seq_len)."""
-    limit = max(128, (1 << 19) // T)
+    limit = max(128, budget_elems // T)
     if T <= limit:
         return T
     return max((c for c in range(128, limit + 1, 128) if T % c == 0),
                default=T)
+
+
+def _choose_q_block(T: int) -> int:
+    """Forward q-block under the per-generation score-tile budget (v5e:
+    2^19 f32 elements ~ 2 MB; ops/tpu_budgets.attn_score_budget_elems)."""
+    from .tpu_budgets import attn_score_budget_elems
+
+    return _pick_q_block(T, attn_score_budget_elems())
 
 
 def _attention_call(q, k, v, segments):
@@ -194,7 +204,7 @@ def _attention_call(q, k, v, segments):
                   qkv_spec, qkv_spec, qkv_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
-        interpret=jax.default_backend() != "tpu",
+        interpret=not _on_tpu(),
     )(seg32[:, None, :], seg32[:, :, None], q3, k3, v3)
     return out.swapaxes(1, 2).reshape(B, T, NH, DH)
 
@@ -203,11 +213,9 @@ def _bwd_q_block(T: int) -> int:
     """Backward q-block: half the forward's score-tile budget — the
     backward holds FOUR (QB, T) f32 tiles (s, p, dp, ds) plus the f32
     dk/dv accumulators, where the forward holds two."""
-    limit = max(128, (1 << 18) // T)
-    if T <= limit:
-        return T
-    return max((c for c in range(128, limit + 1, 128) if T % c == 0),
-               default=T)
+    from .tpu_budgets import attn_score_budget_elems
+
+    return _pick_q_block(T, attn_score_budget_elems() // 2)
 
 
 def _bwd_kernel(s_ref, sc_ref, q_ref, k_ref, v_ref, do_ref,
@@ -309,7 +317,7 @@ def _attention_bwd_call(q, k, v, segments, do):
                   qkv_spec, qkv_spec, qkv_spec, qkv_spec],
         out_specs=(qkv_spec, qkv_spec, qkv_spec),
         out_shape=(out_shape, out_shape, out_shape),
-        interpret=jax.default_backend() != "tpu",
+        interpret=not _on_tpu(),
     )(seg32[:, None, :], seg32[:, :, None], t_minor(q), t_minor(k),
       t_minor(v), t_minor(do.astype(q.dtype)))
 

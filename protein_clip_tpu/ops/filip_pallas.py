@@ -27,8 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = float(jnp.finfo(jnp.float32).min)
 
 
-def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+from .tpu_budgets import on_tpu as _on_tpu
 
 
 def _maxsim_kernel(ha_ref, hb_ref, ma_ref, mb_ref, oa_ref, ob_ref,

@@ -24,8 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+from .tpu_budgets import on_tpu as _on_tpu
 
 
 def _fwd_kernel(x_ref, y_ref, loss_ref):
@@ -236,6 +235,11 @@ def _require_row_block(b: int, row_block: int | None) -> int:
             f"no tiled row block fits the VMEM tile budget at pool size "
             f"{b} (see ops/tpu_budgets.infonce_tile_budget); use the lax "
             "InfoNCE path instead")
+    if b % rb:
+        # a non-dividing explicit row_block would silently truncate the
+        # grid: trailing rows never enter the logsumexp and their dx
+        # blocks are never written
+        raise ValueError(f"row_block {rb} does not divide pool size {b}")
     return rb
 
 

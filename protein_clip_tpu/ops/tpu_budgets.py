@@ -24,12 +24,13 @@ the precision, the scales only track hardware generations.
 
 from __future__ import annotations
 
-import functools
 import os
 
 __all__ = [
     "device_generation",
+    "on_tpu",
     "attn_rows_byte_budget",
+    "attn_score_budget_elems",
     "infonce_vmem_budget",
     "infonce_tile_budget",
     "filip_bwd_budget_elems",
@@ -63,16 +64,35 @@ def _scales_for_kind(kind: str) -> tuple[float, float]:
     return best[1] if best else (1.0, 1.0)
 
 
-@functools.cache
+# cache ONLY a successful probe: a transient backend failure (the axon
+# tunnel's "init UNAVAILABLE" flakiness) must not pin the (1.0, 1.0)
+# fallback for the process lifetime — on v2/v3 that would leave VMEM
+# budgets 8x too large (Mosaic compile failures), on v5p/v6e it would
+# halve the FILIP backward's HBM block budget.
+_GEN_CACHE: tuple[float, float] | None = None
+
+
 def device_generation() -> tuple[float, float]:
     """(vmem_scale, hbm_scale) for the default JAX device."""
+    global _GEN_CACHE
+    if _GEN_CACHE is not None:
+        return _GEN_CACHE
     try:
         import jax
 
         kind = jax.devices()[0].device_kind
-    except Exception:  # no backend at import/probe time
+    except Exception:  # no backend THIS call — fall back, retry next call
         return (1.0, 1.0)
-    return _scales_for_kind(kind)
+    _GEN_CACHE = _scales_for_kind(kind)
+    return _GEN_CACHE
+
+
+def on_tpu() -> bool:
+    """Shared backend probe: every Pallas kernel in this package keys its
+    interpret-mode fallback on this one predicate."""
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def _scaled(env: str, base: int, scale: float) -> int:
@@ -87,6 +107,16 @@ def attn_rows_byte_budget() -> int:
     (ops/attention_pallas._choose_rows_per_program). v5e ceiling: R=8 at
     T=512 bf16. Override: PCT_ATTN_ROWS_BYTE_BUDGET."""
     return _scaled("PCT_ATTN_ROWS_BYTE_BUDGET", 8 * 512 * 2,
+                   device_generation()[0])
+
+
+def attn_score_budget_elems() -> int:
+    """f32 elements of the (q_block, T) score tile one fused-attention
+    FORWARD program may hold (ops/attention_pallas q-block choosers; the
+    backward uses half — it keeps four tiles live where the forward keeps
+    two). v5e base: 2^19 elements = 2 MiB f32. Override:
+    PCT_ATTN_SCORE_BUDGET_ELEMS."""
+    return _scaled("PCT_ATTN_SCORE_BUDGET_ELEMS", 1 << 19,
                    device_generation()[0])
 
 

@@ -159,3 +159,70 @@ def test_tpu_budget_generation_scaling(monkeypatch):
 
     monkeypatch.setenv("PCT_INFONCE_VMEM_BUDGET", "4096")
     assert tb.infonce_vmem_budget() == 4096
+
+    # attention score-tile ceiling rides the same vmem scale
+    assert tb.attn_score_budget_elems() == 1 << 19
+    monkeypatch.setenv("PCT_ATTN_SCORE_BUDGET_ELEMS", str(1 << 16))
+    assert tb.attn_score_budget_elems() == 1 << 16
+
+
+def test_tpu_budget_probe_failure_not_cached(monkeypatch):
+    """A transient backend failure must NOT pin the (1.0, 1.0) fallback
+    for the process lifetime (the axon tunnel's init flakiness): the next
+    successful probe is cached instead."""
+    from protein_clip_tpu.ops import tpu_budgets as tb
+
+    class _Dev:
+        device_kind = "TPU v3"
+
+    monkeypatch.setattr(tb, "_GEN_CACHE", None)
+    import jax as _jax
+
+    def boom():
+        raise RuntimeError("backend init UNAVAILABLE")
+
+    monkeypatch.setattr(_jax, "devices", boom)
+    assert tb.device_generation() == (1.0, 1.0)   # fallback this call
+    assert tb._GEN_CACHE is None                  # ... but not cached
+    monkeypatch.setattr(_jax, "devices", lambda: [_Dev()])
+    assert tb.device_generation() == (0.125, 1.0)
+    assert tb._GEN_CACHE == (0.125, 1.0)
+    monkeypatch.setattr(tb, "_GEN_CACHE", None)   # leave clean
+
+
+def test_attention_q_block_honors_budget(monkeypatch):
+    """q-block choosers route through the per-generation score budget
+    (they previously hard-coded v5e's 2^19/2^18 element ceilings)."""
+    from protein_clip_tpu.ops.attention_pallas import (_bwd_q_block,
+                                                       _choose_q_block)
+
+    assert _choose_q_block(512) == 512          # fits the v5e ceiling
+    assert _bwd_q_block(1024) == 256            # half the forward budget
+    monkeypatch.setenv("PCT_ATTN_SCORE_BUDGET_ELEMS", str(1 << 16))
+    assert _choose_q_block(512) == 128          # 2^16 // 512 = 128
+    assert _bwd_q_block(512) == 128             # floor stays 128-aligned
+
+
+def test_attention_rows_env_zero_falls_back(monkeypatch):
+    """PCT_ATTN_ROWS_PER_PROGRAM=0 must fall back to 1, not divide by
+    zero in the grid."""
+    import protein_clip_tpu.ops.attention_pallas as ap
+
+    monkeypatch.setattr(ap, "_ROWS_ENV", "0")
+    assert ap._choose_rows_per_program(16, 512, 2) == 1
+    monkeypatch.setattr(ap, "_ROWS_ENV", "4")
+    assert ap._choose_rows_per_program(16, 512, 2) == 4
+    assert ap._choose_rows_per_program(15, 512, 2) == 1  # non-dividing
+
+
+def test_tiled_infonce_rejects_bad_row_block():
+    """An explicit row_block that does not divide B must raise (it used
+    to silently truncate the grid and compute a wrong loss)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from protein_clip_tpu.ops.infonce_pallas import fused_infonce_tiled
+
+    x = jnp.zeros((192, 32), jnp.float32)
+    with pytest.raises(ValueError, match="does not divide"):
+        fused_infonce_tiled(x, x, row_block=128)
