@@ -28,7 +28,13 @@ def initialize(coordinator_address: str | None = None,
             process_id=process_id,
         )
     except (RuntimeError, ValueError) as e:
-        if "already initialized" in str(e).lower():
+        msg = str(e).lower()
+        if "already initialized" in msg:
+            return
+        if coordinator_address is None and "coordinator_address" in msg:
+            # single-process environment, nothing auto-detected: the
+            # documented no-op, so one script serves single- and
+            # multi-host launches unconditionally
             return
         raise
 

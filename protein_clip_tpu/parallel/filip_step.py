@@ -24,6 +24,17 @@ from ..models.filip import filip_similarity
 from .mesh import DATA_AXIS
 
 
+def _diag_mask(b_local: int, b_global: int):
+    """(b_local, b_global) boolean: True where the column index equals the
+    row's GLOBAL position (shard*b_local + i) — the one place the
+    all-gather column-order rule lives."""
+    shard = jax.lax.axis_index(DATA_AXIS)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b_local, b_global), 1)
+    row_global = (jax.lax.broadcasted_iota(jnp.int32, (b_local, b_global), 0)
+                  + shard * b_local)
+    return col == row_global
+
+
 def _row_direction_loss_sum(logits_rows, diag_rows, use_dcl=False):
     """Sum (not mean) of per-row CE terms for locally-owned rows.
 
@@ -32,13 +43,8 @@ def _row_direction_loss_sum(logits_rows, diag_rows, use_dcl=False):
     """
     logits_rows = logits_rows.astype(jnp.float32)
     if use_dcl:
-        b_local, b_global = logits_rows.shape
-        shard = jax.lax.axis_index(DATA_AXIS)
-        col = jax.lax.broadcasted_iota(jnp.int32, (b_local, b_global), 1)
-        row_global = (jax.lax.broadcasted_iota(jnp.int32,
-                                               (b_local, b_global), 0)
-                      + shard * b_local)
-        logits_rows = jnp.where(col == row_global, -jnp.inf, logits_rows)
+        logits_rows = jnp.where(_diag_mask(*logits_rows.shape), -jnp.inf,
+                                logits_rows)
     lse = jax.nn.logsumexp(logits_rows, axis=1)
     return jnp.sum(lse - diag_rows)
 
@@ -47,23 +53,37 @@ def local_diagonals(sim_rows, b_local: int, b_global: int):
     """Positive logits of locally-owned rows: row i's positive sits at
     global column shard*b_local + i. Shared by the unpacked and packed
     (parallel/packed_step.py) sharded FILIP steps."""
-    shard = jax.lax.axis_index(DATA_AXIS)
-    col = jax.lax.broadcasted_iota(jnp.int32, (b_local, b_global), 1)
-    row_global = (jax.lax.broadcasted_iota(jnp.int32, (b_local, b_global), 0)
-                  + shard * b_local)
-    return jnp.sum(jnp.where(col == row_global, sim_rows, 0.0), axis=1)
+    return jnp.sum(jnp.where(_diag_mask(b_local, b_global), sim_rows, 0.0),
+                   axis=1)
 
 
 def make_sharded_filip_train_step(cfg, optimizer: optax.GradientTransformation,
-                                  mesh, use_dcl: bool = False):
+                                  mesh, use_dcl: bool | None = None,
+                                  similarity_fn=None):
     """jit(shard_map) FILIP step; batch sharded over 'data', params
-    replicated (TP over 'model' via GSPMD as in parallel/step.py)."""
+    replicated (TP over 'model' via GSPMD as in parallel/step.py).
+
+    use_dcl defaults to cfg.filip_use_dcl (matching the single-device and
+    packed-sharded steps). similarity_fn defaults to the fused Pallas
+    kernel on TPU — the lax einsum materialises the (b_local, B_global,
+    TA, TB) score tensor, which does not survive real batch sizes — except
+    under a real 'model' axis, where GSPMD cannot partition the custom
+    call (same rule as tp_safe_model_config)."""
     from ..models import esm2 as esm2_mod
     from ..train.clip_engine import expand_batch
+    from .mesh import MODEL_AXIS
     from .step import tp_safe_model_config
 
     mcfg = tp_safe_model_config(cfg.model, mesh)
     n_data = mesh.shape[DATA_AXIS]
+    if use_dcl is None:
+        use_dcl = getattr(cfg, "filip_use_dcl", False)
+    if similarity_fn is None:
+        if dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
+            similarity_fn = filip_similarity
+        else:
+            from ..train.filip_engine import default_similarity_fn
+            similarity_fn = default_similarity_fn()
 
     def local_step(params, opt_state, esm_params, batch, rng):
         batch = expand_batch(batch)
@@ -93,8 +113,8 @@ def make_sharded_filip_train_step(cfg, optimizer: optax.GradientTransformation,
             t = p["temperature"]
             # local-A-vs-global-B gives complete rows of BOTH matrices:
             # sim_a[i,j] reduces over A's tokens, sim_b[i,j] over B's.
-            sim_a_rows, sim_b_rows = filip_similarity(ha, hb_all, ma, mb_all,
-                                                      t)
+            sim_a_rows, sim_b_rows = similarity_fn(ha, hb_all, ma, mb_all,
+                                                   t)
 
             diag_a = local_diagonals(sim_a_rows, b_local, b_global)
             diag_b = local_diagonals(sim_b_rows, b_local, b_global)

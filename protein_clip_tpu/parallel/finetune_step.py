@@ -42,6 +42,7 @@ from ..models import clip, esm2
 from ..ops.infonce import clip_infonce
 from ..train.clip_engine import expand_batch
 from ..train.finetune import _cast_esm, _chunked
+from ..train.gradcache import gradcache_value_and_grad
 from .mesh import DATA_AXIS
 from .step import tp_safe_model_config
 
@@ -66,10 +67,10 @@ def make_sharded_finetune_step(cfg, optimizer: optax.GradientTransformation,
         raise ValueError(f"global batch {cfg.global_batch} not divisible by "
                          f"data axis {n_data}")
     local_batch = cfg.global_batch // n_data
-    n_local = max(1, cfg.num_chunks // n_data)
-    if local_batch % n_local:
-        raise ValueError(f"local batch {local_batch} not divisible by local "
-                         f"chunk count {n_local}")
+    # snap to a divisor of the LOCAL batch (the single-device engines'
+    # _snap_chunks rule) instead of rejecting configs that work there
+    from ..train.filip_engine import _snap_chunks
+    n_local = _snap_chunks(local_batch, max(1, cfg.num_chunks // n_data))
 
     def encode(side, esm_params):
         def fn(params, chunk):
@@ -81,58 +82,31 @@ def make_sharded_finetune_step(cfg, optimizer: optax.GradientTransformation,
                                     mcfg, train=True, rng=chunk["rng"])
         return fn
 
-    def chunked(batch, side, rng):
-        return _chunked(batch, side, n_local, rng)
-
-    def scan_encode(fn, params, chunks):
-        def body(_, c):
-            return None, fn(params, c)
-        _, embs = jax.lax.scan(body, None, chunks)
-        return embs  # (n_local, b, D)
+    def gathered_loss(ex, ey):
+        # negatives span the mesh: gather pooled embeddings over ICI
+        pep = jax.lax.all_gather(ex, DATA_AXIS, axis=0, tiled=True)
+        rec = jax.lax.all_gather(ey, DATA_AXIS, axis=0, tiled=True)
+        return loss_fn(pep, rec)
 
     def local_step(params, opt_state, esm_params, batch, rng):
         batch = expand_batch(batch)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         rp, rr = jax.random.split(rng)
-        chunks_x = chunked(batch, "pep", rp)
-        chunks_y = chunked(batch, "rec", rr)
-        enc_p = encode("pep", esm_params)
-        enc_r = encode("rec", esm_params)
-
-        embs_x = jax.lax.stop_gradient(scan_encode(enc_p, params, chunks_x))
-        embs_y = jax.lax.stop_gradient(scan_encode(enc_r, params, chunks_y))
-        D = embs_x.shape[-1]
-
-        def global_loss(ex, ey):
-            pep = jax.lax.all_gather(ex.reshape(-1, D), DATA_AXIS,
-                                     axis=0, tiled=True)
-            rec = jax.lax.all_gather(ey.reshape(-1, D), DATA_AXIS,
-                                     axis=0, tiled=True)
-            return loss_fn(pep, rec)
-
-        loss, (gx, gy) = jax.value_and_grad(global_loss, argnums=(0, 1))(
-            embs_x, embs_y)
-
-        def replay(fn, chunks, cotangents, acc):
-            def body(acc, xg):
-                c, g = xg
-                _, vjp = jax.vjp(lambda p: fn(p, c), params)
-                (pg,) = vjp(g)
-                return jax.tree.map(jnp.add, acc, pg), None
-            acc, _ = jax.lax.scan(body, acc, (chunks, cotangents))
-            return acc
-
-        grads = replay(enc_p, chunks_x, gx,
-                       jax.tree.map(jnp.zeros_like, params))
-        grads = replay(enc_r, chunks_y, gy, grads)
-        # gx/gy are n_data x the true per-row cotangent: every replica
-        # differentiates its own copy of the replicated loss, and the
-        # all_gather transpose (psum_scatter) SUMS those identical
-        # cotangents across the mesh (the ADVICE-r2 scale trap, same as
-        # parallel/step.py). Each replica's replay therefore carries
-        # n_data x its disjoint-chunk contribution — pmean yields
-        # exactly sum-of-contributions = the true global-loss gradient.
-        # Pinned by the SGD parity test (a psum here measures 8x).
+        # the single-device two-pass, verbatim, with the all-gathered
+        # loss: its embedding cotangents arrive n_data x the true per-row
+        # value — every replica differentiates its own copy of the
+        # replicated loss, and the all_gather transpose (psum_scatter)
+        # SUMS those identical cotangents across the mesh (the ADVICE-r2
+        # scale trap, same as parallel/step.py). Each replica's replay
+        # therefore carries n_data x its disjoint-chunk contribution —
+        # pmean yields exactly sum-of-contributions = the true
+        # global-loss gradient. Pinned by the SGD parity test (a psum
+        # here measures 8x).
+        loss, grads = gradcache_value_and_grad(
+            encode("pep", esm_params), gathered_loss, params,
+            _chunked(batch, "pep", n_local, rp),
+            _chunked(batch, "rec", n_local, rr),
+            encode_fn_y=encode("rec", esm_params))
         grads = jax.lax.pmean(grads, DATA_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -188,9 +162,8 @@ def make_sharded_packed_finetune_step(cfg,
     recovers exactly the global-loss gradient, as in the plain sharded
     finetune above. DP-only like the frozen packed step (the fused
     attention custom call cannot split over a 'model' axis)."""
-    from ..train.finetune import _chunk_pack
-    from ..train.packed_engine import (_default_rows_per_chunk, _expand_pack,
-                                       _finish_pool, _token_sums)
+    from ..train.finetune import _packed_machinery
+    from ..train.packed_engine import _default_rows_per_chunk, _expand_pack
     from .mesh import MODEL_AXIS
     from .packed_step import _validated
 
@@ -205,83 +178,44 @@ def make_sharded_packed_finetune_step(cfg,
                          f"by data axis {n_data}")
     b_local = cfg.global_batch // n_data
     rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
-    if esm_view is None:
-        def esm_view(params, esm_params):
-            del esm_params  # the backbone lives inside params
-            return _cast_esm(params["esm"], mcfg.esm.compute_dtype)
 
-    def chunk_sums(params, esm_params, side, ids, seg, pos, owner, rng):
-        esm_c = esm_view(params, esm_params)
-        mask = (seg > 0).astype(jnp.int32)
-        h = esm2.forward(esm_c, ids, mask, mcfg.esm, remat=cfg.remat,
-                         segment_ids=seg, positions=pos)
-        return _token_sums(params["heads"][side], h.astype(jnp.float32),
-                           seg, owner, b_local, dropout_rate=mcfg.dropout,
-                           train=True, rng=rng, activation=mcfg.activation)
+    def gathered_loss(pep_l, rec_l):
+        # negatives span the mesh: gather pooled embeddings over ICI
+        pep = jax.lax.all_gather(pep_l, DATA_AXIS, axis=0, tiled=True)
+        rec = jax.lax.all_gather(rec_l, DATA_AXIS, axis=0, tiled=True)
+        return loss_fn(pep, rec)
+
+    def expand_sides(batch):
+        # sharded wire: per-shard (R_local, L) int8 rows + LOCAL operm
+        return {side: _expand_pack(batch[f"{side}_ids"],
+                                   batch[f"{side}_operm"][0], b_local)
+                for side in ("pep", "rec")}
+
+    # the single-device packed two-pass (train/finetune._packed_machinery)
+    # parameterized with the per-shard sequence count, the sharded wire's
+    # pack expansion, and the all-gathered loss
+    _, scan_sums, tail, prepare, replay = _packed_machinery(
+        cfg, gathered_loss, rows_per_chunk, esm_view,
+        n_seqs=b_local, expand_sides=expand_sides)
 
     def local_step(params, opt_state, esm_params, batch, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         emb_dim = params["heads"]["pep"]["projection"]["w"].shape[1]
-        l_max = max(batch["pep_ids"].shape[1], batch["rec_ids"].shape[1])
+        sides = prepare(batch, rng)
 
-        sides = {}
-        for side, r in zip(("pep", "rec"), jax.random.split(rng)):
-            ids = batch[f"{side}_ids"]          # (R_local, L) int8
-            operm = batch[f"{side}_operm"][0]   # (B_local,) local indices
-            pk = _expand_pack(ids, operm, b_local)
-            rpc = rows_per_chunk * (l_max // ids.shape[1])
-            chunks, n = _chunk_pack(pk, rpc)
-            rc, rt = jax.random.split(r)
-            sides[side] = (chunks, jax.random.split(rc, n), rt)
-
-        def scan_sums(side, chunks, rngs):
-            def body(carry, x):
-                s, c = chunk_sums(params, esm_params, side, x["ids"],
-                                  x["seg"], x["pos"], x["owner"], x["rng"])
-                return (carry[0] + s, carry[1] + c), None
-            init = (jnp.zeros((b_local, emb_dim), jnp.float32),
-                    jnp.zeros((b_local,), jnp.float32))
-            xs = dict(chunks)
-            xs["rng"] = rngs
-            (sums, cnt), _ = jax.lax.scan(body, init, xs)
-            return sums, cnt
-
-        pools = {side: jax.lax.stop_gradient(scan_sums(side, c, r))
+        pools = {side: jax.lax.stop_gradient(
+                     scan_sums(params, esm_params, side, c, r, emb_dim))
                  for side, (c, r, _) in sides.items()}
-
-        def tail(p, sums_p, cnt_p, sums_r, cnt_r, r2p, r2r):
-            t = p["heads"]["temperature"]
-            pep_l = _finish_pool(p["heads"]["pep"], sums_p, cnt_p, t,
-                                 dropout_rate=mcfg.dropout, train=True,
-                                 rng=r2p, activation=mcfg.activation)
-            rec_l = _finish_pool(p["heads"]["rec"], sums_r, cnt_r, t,
-                                 dropout_rate=mcfg.dropout, train=True,
-                                 rng=r2r, activation=mcfg.activation)
-            pep = jax.lax.all_gather(pep_l, DATA_AXIS, axis=0, tiled=True)
-            rec = jax.lax.all_gather(rec_l, DATA_AXIS, axis=0, tiled=True)
-            return loss_fn(pep, rec)
 
         loss, (grads, d_sp, d_sr) = jax.value_and_grad(
             tail, argnums=(0, 1, 3))(
                 params, *pools["pep"], *pools["rec"],
                 sides["pep"][2], sides["rec"][2])
 
-        def replay(side, chunks, rngs, d_sums, acc):
-            def body(acc, x):
-                _, vjp = jax.vjp(
-                    lambda p: chunk_sums(p, esm_params, side, x["ids"],
-                                         x["seg"], x["pos"], x["owner"],
-                                         x["rng"])[0],
-                    params)
-                (pg,) = vjp(d_sums)
-                return jax.tree.map(jnp.add, acc, pg), None
-            xs = dict(chunks)
-            xs["rng"] = rngs
-            acc, _ = jax.lax.scan(body, acc, xs)
-            return acc
-
-        grads = replay("pep", sides["pep"][0], sides["pep"][1], d_sp, grads)
-        grads = replay("rec", sides["rec"][0], sides["rec"][1], d_sr, grads)
+        grads = replay(params, esm_params, "pep", sides["pep"][0],
+                       sides["pep"][1], d_sp, grads)
+        grads = replay(params, esm_params, "rec", sides["rec"][0],
+                       sides["rec"][1], d_sr, grads)
         # n_data x cotangents -> pmean = true global gradient (see the
         # plain sharded finetune's scale note; SGD parity test pins it).
         grads = jax.lax.pmean(grads, DATA_AXIS)

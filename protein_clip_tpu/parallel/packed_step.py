@@ -37,7 +37,8 @@ from jax.sharding import PartitionSpec as P
 from ..data.tokenizer import EOS_ID, PAD_ID, EsmTokenizer
 from ..models import clip
 from ..ops.infonce import clip_infonce
-from ..train.packed_engine import (_encode_packed_chunked, _expand_pack,
+from ..train.packed_engine import (_default_rows_per_chunk,
+                                   _encode_packed_chunked, _expand_pack,
                                    _pool_packed, _row_len_for)
 from .mesh import DATA_AXIS, MODEL_AXIS
 
@@ -161,7 +162,7 @@ def tokenize_packed_sharded(tokenizer: EsmTokenizer, peps: list[str],
 def make_sharded_packed_train_step(cfg, optimizer:
                                    optax.GradientTransformation, mesh,
                                    loss_fn=clip_infonce,
-                                   rows_per_chunk: int = 16):
+                                   rows_per_chunk: int | None = None):
     """jit(shard_map) train step over ``tokenize_packed_sharded`` batches.
 
     Loss is invariant to the host's pair-to-shard dealing (InfoNCE is
@@ -171,6 +172,7 @@ def make_sharded_packed_train_step(cfg, optimizer:
     """
     mcfg = cfg.model
     n_data = mesh.shape[DATA_AXIS]
+    rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
     if dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
         raise ValueError(
             "packed sharding is DP-only; compose TP via parallel/step.py")
@@ -229,7 +231,7 @@ def make_sharded_packed_filip_step(cfg, optimizer:
                                    optax.GradientTransformation, mesh,
                                    use_dcl: bool | None = None,
                                    similarity_fn=None,
-                                   rows_per_chunk: int = 16):
+                                   rows_per_chunk: int | None = None):
     """Packed FILIP on a DP mesh: token-level gather over packed backbones.
 
     Each chip runs the packed backbone + per-token head on its shard's
@@ -241,11 +243,12 @@ def make_sharded_packed_filip_step(cfg, optimizer:
     """
     from ..models import heads
     from ..train.filip_engine import default_similarity_fn
-    from ..train.filip_packed import _scatter_tokens_into
+    from ..train.filip_packed import _l2_normalize_tokens, _scatter_side
     from .filip_step import _row_direction_loss_sum, local_diagonals
 
     mcfg = cfg.model
     n_data = mesh.shape[DATA_AXIS]
+    rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
     if dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
         raise ValueError(
             "packed sharding is DP-only; compose TP via parallel/step.py")
@@ -270,22 +273,15 @@ def make_sharded_packed_filip_step(cfg, optimizer:
                 h = _encode_packed_chunked(esm_params, pk["ids"],
                                            pk["seg"], pk["pos"], mcfg.esm,
                                            rows_per_chunk, cfg.remat)
-                x = heads.encode_tokens(p[side], h.astype(jnp.float32),
+                x = _l2_normalize_tokens(
+                    heads.encode_tokens(p[side], h.astype(jnp.float32),
                                         dropout_rate=mcfg.dropout,
                                         train=True, rng=r,
-                                        activation=mcfg.activation)
-                norm = jnp.sqrt(
-                    jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1,
-                            keepdims=True) + jnp.finfo(jnp.float32).tiny)
-                x = (x.astype(jnp.float32) / norm).astype(x.dtype)
-                L = pk["ids"].shape[1]
-                out = jnp.zeros((b_local + 1, L, mcfg.embedding_dim),
-                                jnp.float32)
-                mask = jnp.zeros((b_local + 1, L), jnp.int32)
-                out, mask = _scatter_tokens_into(out, mask, x, pk["seg"],
-                                                 pk["pos"], pk["owner"],
-                                                 b_local)
-                sides[side] = (out[:b_local], mask[:b_local])
+                                        activation=mcfg.activation))
+                # flat (no scatter tiers): one (b_local, L, D) buffer
+                ((out, mask, _),) = _scatter_side(x, pk, (), b_local,
+                                                  mcfg.embedding_dim)
+                sides[side] = (out, mask)
             (ha, ma), (hb, mb) = sides["pep"], sides["rec"]
             hb_all = jax.lax.all_gather(hb, DATA_AXIS, axis=0, tiled=True)
             mb_all = jax.lax.all_gather(mb, DATA_AXIS, axis=0, tiled=True)

@@ -19,6 +19,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models import clip
 from ..ops.infonce import clip_infonce
+from ..train.filip_engine import _snap_chunks
 from ..train.gradcache import encode_hidden_chunked
 from .mesh import DATA_AXIS, MODEL_AXIS
 
@@ -55,7 +56,10 @@ def make_sharded_train_step(cfg, optimizer: optax.GradientTransformation,
                          f"data axis {n_data}")
     local_batch = cfg.global_batch // n_data
     chunk = max(1, cfg.global_batch // cfg.num_chunks)
-    local_chunks = max(1, local_batch // chunk)
+    # snap to a divisor of the LOCAL batch (same rule as the single-device
+    # engines' _snap_chunks): configs valid single-device must not crash
+    # in encode_hidden_chunked just because n_data doesn't divide them
+    local_chunks = _snap_chunks(local_batch, max(1, local_batch // chunk))
 
     def local_step(params, opt_state, esm_params, batch, rng):
         from ..train.clip_engine import expand_batch

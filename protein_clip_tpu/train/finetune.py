@@ -178,22 +178,48 @@ def _chunk_pack(pack, rows_per_chunk: int):
             for k in ("ids", "seg", "pos", "owner")}, n
 
 
+def _default_expand_sides(batch):
+    """Single-device wire -> per-side expanded packs (flat packing only)."""
+    from . import packed_engine as pe
+
+    batch = pe.expand_packed_batch(batch)
+    if "pep_packs" in batch or "rec_packs" in batch:
+        raise ValueError(
+            "packed finetune supports flat packing only "
+            "(packed_tiers=1); width-tiered finetune is not wired")
+    return {side: {k: batch[f"{side}_{k}"]
+                   for k in ("ids", "seg", "pos", "owner")}
+            for side in ("pep", "rec")}
+
+
 def _packed_machinery(cfg: EngineConfig, loss_fn: Callable,
-                      rows_per_chunk: int, esm_view: Callable | None = None):
-    """Shared pieces of the packed finetune step: per-chunk partial-sums
-    encoder, pass-1 scan, and the differentiable tail. Returns
-    (chunk_sums, scan_sums, tail, prepare) closures; ``prepare`` turns a
-    wire batch + rng into ((chunks, rngs) per side, tail rngs).
+                      rows_per_chunk: int, esm_view: Callable | None = None,
+                      n_seqs: int | None = None,
+                      expand_sides: Callable | None = None):
+    """Shared pieces of the packed finetune two-pass: per-chunk
+    partial-sums encoder, pass-1 scan, the differentiable tail, and the
+    pass-2 cotangent replay. Returns (chunk_sums, scan_sums, tail,
+    prepare, replay) closures; ``prepare`` turns a wire batch + rng into
+    ((chunks, rngs) per side, tail rngs).
 
     esm_view(params, esm_params) -> the compute-dtype backbone tree the
     chunks run on. Default: cast the finetune engine's f32 master copy
     (esm_params ignored). LoRA overrides it with the adapter merge
     (train/lora.py), giving packed parameter-efficient finetuning from
-    the same two passes."""
+    the same two passes.
+
+    n_seqs / expand_sides parameterize the DP variant
+    (parallel/finetune_step.make_sharded_packed_finetune_step): per-shard
+    sequence count and the sharded wire's per-side pack expansion; its
+    loss_fn all-gathers the pooled embeddings so negatives span the mesh.
+    Defaults are the single-device step's."""
     from . import packed_engine as pe
 
     mcfg = cfg.model
-    n_seqs = cfg.global_batch
+    if n_seqs is None:
+        n_seqs = cfg.global_batch
+    if expand_sides is None:
+        expand_sides = _default_expand_sides
     if esm_view is None:
         def esm_view(params, esm_params):
             del esm_params  # the backbone lives inside params
@@ -232,28 +258,42 @@ def _packed_machinery(cfg: EngineConfig, loss_fn: Callable,
         return loss_fn(pep, rec)
 
     def prepare(batch, rng):
-        batch = pe.expand_packed_batch(batch)
-        if "pep_packs" in batch or "rec_packs" in batch:
-            raise ValueError(
-                "packed finetune supports flat packing only "
-                "(packed_tiers=1); width-tiered finetune is not wired")
+        packs = expand_sides(batch)
         # constant TOKENS per chunk across sides: narrower rows (the pep
         # side's 128 vs the receptors' 512) take proportionally more rows
         # per chunk, keeping per-chunk matmul shapes at the width the
         # rows_per_chunk sweep tuned (same rule as the frozen path's
         # _packs_and_hidden)
-        l_max = max(batch["pep_ids"].shape[1], batch["rec_ids"].shape[1])
+        l_max = max(p["ids"].shape[1] for p in packs.values())
         sides = {}
         for side, r in zip(("pep", "rec"), jax.random.split(rng)):
-            pack = {k: batch[f"{side}_{k}"]
-                    for k in ("ids", "seg", "pos", "owner")}
+            pack = packs[side]
             rpc = rows_per_chunk * (l_max // pack["ids"].shape[1])
             chunks, n = _chunk_pack(pack, rpc)
             rc, rt = jax.random.split(r)
             sides[side] = (chunks, jax.random.split(rc, n), rt)
         return sides
 
-    return chunk_sums, scan_sums, tail, prepare
+    def replay(params, esm_params, side, chunks, rngs, d_sums, acc):
+        # pass 2: re-scan chunks under jax.vjp, feeding EVERY chunk the
+        # same global d_sums — pooling is a scatter-add, so each chunk's
+        # cotangent is d_sums restricted by its own ownership, which the
+        # vjp applies for free. Counts carry no parameter dependence, so
+        # only the sums output is differentiated.
+        def body(acc, x):
+            _, vjp = jax.vjp(
+                lambda p: chunk_sums(p, esm_params, side, x["ids"],
+                                     x["seg"], x["pos"], x["owner"],
+                                     x["rng"])[0],
+                params)
+            (pg,) = vjp(d_sums)
+            return jax.tree.map(jnp.add, acc, pg), None
+        xs = dict(chunks)
+        xs["rng"] = rngs
+        acc, _ = jax.lax.scan(body, acc, xs)
+        return acc
+
+    return chunk_sums, scan_sums, tail, prepare, replay
 
 
 def make_packed_loss(cfg: EngineConfig, loss_fn: Callable | None = None,
@@ -269,8 +309,9 @@ def make_packed_loss(cfg: EngineConfig, loss_fn: Callable | None = None,
 
     loss_fn = loss_fn or default_loss_fn()
     rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
-    _, scan_sums, tail, prepare = _packed_machinery(cfg, loss_fn,
-                                                    rows_per_chunk, esm_view)
+    _, scan_sums, tail, prepare, _ = _packed_machinery(cfg, loss_fn,
+                                                       rows_per_chunk,
+                                                       esm_view)
 
     def loss(params, esm_params, batch, rng):
         sides = prepare(batch, rng)
@@ -310,22 +351,9 @@ def make_train_step_packed(cfg: EngineConfig,
 
     loss_fn = loss_fn or default_loss_fn()
     rows_per_chunk = _default_rows_per_chunk(rows_per_chunk)
-    chunk_sums, scan_sums, tail, prepare = _packed_machinery(
+    _, scan_sums, tail, prepare, replay = _packed_machinery(
         cfg, loss_fn, rows_per_chunk, esm_view)
     n_seqs = cfg.global_batch
-
-    def replay(params, esm_params, side, chunks, rngs, d_sums, acc):
-        def body(acc, x):
-            _, vjp = jax.vjp(
-                lambda p: chunk_sums(p, esm_params, side, x["ids"], x["seg"],
-                                     x["pos"], x["owner"], x["rng"])[0],
-                params)
-            (pg,) = vjp(d_sums)
-            return jax.tree.map(jnp.add, acc, pg), None
-        xs = dict(chunks)
-        xs["rng"] = rngs
-        acc, _ = jax.lax.scan(body, acc, xs)
-        return acc
 
     def step(params, opt_state, esm_params, batch, rng):
         _validate_packed_batch(batch, n_seqs)
