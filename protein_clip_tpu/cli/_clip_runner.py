@@ -119,7 +119,7 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
         packed_tiers=getattr(args, "pack_tiers", 1),
         backbone_lr=getattr(args, "backbone_lr", None),
         weight_decay=args.weight_decay, warmup_steps=args.warmup_steps,
-        lr_schedule=args.lr_schedule,
+        lr_schedule=args.lr_schedule, grad_clip=args.grad_clip,
         # optimizer-step horizon for the cosine schedule: steps/epoch is
         # the loader length over the accumulation factor (train_gc drops
         # the trailing partial global batch, matching the reference gate)

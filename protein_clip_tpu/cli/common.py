@@ -95,6 +95,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    default="constant",
                    help="cosine decays to 0 over the run's optimizer-step "
                         "horizon (computed from the train loader + epochs)")
+    p.add_argument("--grad-clip", type=float, default=0.0,
+                   help="> 0: clip gradients to this global L2 norm "
+                        "before Adam (whole-tree norm; with --finetune/"
+                        "--lora-rank the clip spans backbone + heads "
+                        "together). 0 = the reference's unclipped Adam")
     p.add_argument("--scatter-tiers", type=int, default=1,
                    help="FILIP with --packed: >1 scatters per-token head "
                         "outputs into per-length-tier buffers so max-sim "

@@ -140,7 +140,7 @@ def main(argv=None) -> int:
         filip_use_dcl=args.use_dcl,
         backbone_lr=getattr(args, "backbone_lr", None),
         weight_decay=args.weight_decay, warmup_steps=args.warmup_steps,
-        lr_schedule=args.lr_schedule,
+        lr_schedule=args.lr_schedule, grad_clip=args.grad_clip,
         total_steps=args.epochs * len(train_loader))
 
     def epoch_hook(epoch, best_params):

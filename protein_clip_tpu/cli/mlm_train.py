@@ -72,6 +72,14 @@ def main(argv=None) -> int:
                               warmup_steps=args.warmup_steps,
                               schedule=args.lr_schedule, total_steps=total)
 
+    def _clipped(opt):
+        # whole-tree global-norm clip, applied OUTSIDE the two-group
+        # multi_transform in the finetune/LoRA branch (same hoisting as
+        # train/finetune.make_optimizer)
+        gc = getattr(args, "grad_clip", 0.0)
+        return (optax.chain(optax.clip_by_global_norm(gc), opt)
+                if gc else opt)
+
     if finetuning or lora_rank:
         # continued pretraining: the masked-CE gradient reaches the
         # backbone — full (f32 masters, in-step cast) or via LoRA
@@ -102,10 +110,10 @@ def main(argv=None) -> int:
                 "head": lm_head}
             esm_view = lambda t, e: lora_mod.merge_lora(e, t["lora"], alpha)
         group = "esm" if finetuning else "lora"
-        optimizer = optax.multi_transform(
+        optimizer = _clipped(optax.multi_transform(
             {group: backbone_opt, "head": optimizer},
             lambda t: jax.tree.map_with_path(
-                lambda path, _: str(getattr(path[0], "key", "head")), t))
+                lambda path, _: str(getattr(path[0], "key", "head")), t)))
         opt_state = optimizer.init(trainable)
 
         @jax.jit
@@ -135,11 +143,13 @@ def main(argv=None) -> int:
         from ..parallel.mlm_step import (make_sharded_mlm_eval_step,
                                          make_sharded_mlm_train_step)
         mesh = mesh_mod.make_mesh(data=args.dp, model=1)
+        optimizer = _clipped(optimizer)
         opt_state = optimizer.init(lm_head)
         train_step = make_sharded_mlm_train_step(esm_cfg, optimizer, mesh,
                                                  args.mask_prob)
         eval_step = make_sharded_mlm_eval_step(esm_cfg, mesh, args.mask_prob)
     else:
+        optimizer = _clipped(optimizer)
         opt_state = optimizer.init(lm_head)
         @jax.jit
         def train_step(lm_head, opt_state, esm_p, ids, mask, key):

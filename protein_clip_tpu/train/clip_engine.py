@@ -110,6 +110,11 @@ class EngineConfig:
     warmup_steps: int = 0
     lr_schedule: str = "constant"
     total_steps: int | None = None
+    # > 0: clip gradients to this global L2 norm before Adam (whole-tree
+    # norm — the two-group finetune/LoRA optimizers hoist the clip around
+    # their multi_transform). Non-scale-invariant, like weight decay:
+    # safe under DP because the sharded steps pmean to the true gradient.
+    grad_clip: float = 0.0
 
     @property
     def global_batch(self) -> int:

@@ -83,13 +83,18 @@ def make_optimizer(cfg: EngineConfig) -> optax.GradientTransformation:
     from . import optimizer as opt_mod
 
     bb_lr = cfg.backbone_lr if cfg.backbone_lr is not None else 1e-5
-    return optax.multi_transform(
-        {"esm": opt_mod.from_config(cfg, lr=bb_lr),
-         "heads": opt_mod.from_config(cfg)},
+    opt = optax.multi_transform(
+        {"esm": opt_mod.from_config(cfg, lr=bb_lr, grad_clip=0.0),
+         "heads": opt_mod.from_config(cfg, grad_clip=0.0)},
         lambda params: {
             "esm": jax.tree.map(lambda _: "esm", params["esm"]),
             "heads": jax.tree.map(lambda _: "heads", params["heads"]),
         })
+    # clip by the WHOLE-tree global norm (backbone + heads together),
+    # not per group — hence hoisted outside the multi_transform
+    if cfg.grad_clip:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+    return opt
 
 
 def _cast_esm(esm_params: Params, dtype) -> Params:

@@ -105,13 +105,18 @@ def make_optimizer(cfg: EngineConfig) -> optax.GradientTransformation:
     from . import optimizer as opt_mod
 
     ad_lr = cfg.backbone_lr if cfg.backbone_lr is not None else 1e-4
-    return optax.multi_transform(
-        {"lora": opt_mod.from_config(cfg, lr=ad_lr),
-         "heads": opt_mod.from_config(cfg)},
+    opt = optax.multi_transform(
+        {"lora": opt_mod.from_config(cfg, lr=ad_lr, grad_clip=0.0),
+         "heads": opt_mod.from_config(cfg, grad_clip=0.0)},
         lambda params: {
             "lora": jax.tree.map(lambda _: "lora", params["lora"]),
             "heads": jax.tree.map(lambda _: "heads", params["heads"]),
         })
+    # whole-tree clip, hoisted outside the multi_transform (see
+    # finetune.make_optimizer)
+    if cfg.grad_clip:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+    return opt
 
 
 def default_alpha(rank: int) -> float:

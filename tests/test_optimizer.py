@@ -64,6 +64,77 @@ def test_weight_decay_shrinks_without_grads():
     assert float(p2) < 4.0
 
 
+def test_grad_clip_matches_manual_chain_and_binds():
+    """build(grad_clip=c) == optax.chain(clip_by_global_norm(c), adam).
+
+    Adam is invariant to a UNIFORM grad rescale (per step), so the binding
+    check uses a varying-norm gradient sequence — clipping step 1 (norm 10)
+    but not step 2 (norm 0.1) changes the moment mix and the trajectory."""
+    grads = [jnp.asarray(10.0), jnp.asarray(0.1)]
+
+    def run(opt):
+        p = jnp.zeros(())
+        s = opt.init(p)
+        for g in grads:
+            u, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, u)
+        return float(p)
+
+    got = run(opt_mod.build(1e-2, grad_clip=1.0))
+    want = run(optax.chain(optax.clip_by_global_norm(1.0),
+                           opt_mod.build(1e-2)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert abs(got - run(opt_mod.build(1e-2))) > 1e-5, \
+        "clip at 1.0 must bind on the norm-10 step"
+
+
+def test_two_group_clip_is_whole_tree():
+    """finetune.make_optimizer hoists the clip OUTSIDE the two-group
+    multi_transform: the norm spans backbone + heads together. Pinned by
+    exact equality with the manual hoisted chain AND divergence from the
+    per-group-clipped construction (group norms 30 vs 40 clip differently
+    per group than their joint norm 50)."""
+    import optax as _optax
+
+    from protein_clip_tpu.train import finetune
+    from protein_clip_tpu.train import optimizer as _opt
+    from protein_clip_tpu.train.clip_engine import EngineConfig
+
+    cfg = EngineConfig(model=None, grad_clip=5.0, backbone_lr=1e-3,
+                       learning_rate=1e-3)
+    params = {"esm": {"w": jnp.zeros((2,))}, "heads": {"w": jnp.zeros((2,))}}
+    grad_seq = [
+        {"esm": {"w": jnp.full((2,), 30.0 / np.sqrt(2))},
+         "heads": {"w": jnp.full((2,), 40.0 / np.sqrt(2))}},
+        {"esm": {"w": jnp.full((2,), 0.1)},
+         "heads": {"w": jnp.full((2,), 0.1)}},
+    ]
+
+    def run(opt):
+        p, s = params, opt.init(params)
+        for g in grad_seq:
+            u, s = opt.update(g, s, p)
+            p = _optax.apply_updates(p, u)
+        return p
+
+    def groups(grad_clip):
+        return _optax.multi_transform(
+            {"esm": _opt.from_config(cfg, lr=1e-3, grad_clip=grad_clip),
+             "heads": _opt.from_config(cfg, grad_clip=grad_clip)},
+            lambda t: {"esm": jax.tree.map(lambda _: "esm", t["esm"]),
+                       "heads": jax.tree.map(lambda _: "heads",
+                                             t["heads"])})
+
+    got = run(finetune.make_optimizer(cfg))
+    want = run(_optax.chain(_optax.clip_by_global_norm(5.0), groups(0.0)))
+    per_group = run(groups(5.0))
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    assert not np.allclose(np.asarray(got["esm"]["w"]),
+                           np.asarray(per_group["esm"]["w"]), atol=1e-7), \
+        "whole-tree clip must differ from per-group clip"
+
+
 def test_dp_adamw_matches_single_device(rng):
     """Weight decay is NOT scale-invariant — this is the transform the
     DP gradient-scale fix (pmean over 'data') exists for. One AdamW step
