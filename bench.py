@@ -616,10 +616,10 @@ def main():
     import jax
 
     # persistent compilation cache: the axon remote-compile path costs
-    # minutes per cold process; cache across bench invocations.
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    # minutes per cold process; cache across bench invocations
+    # (host-fingerprinted dir, utils/compcache.py).
+    from protein_clip_tpu.utils.compcache import enable_persistent_cache
+    enable_persistent_cache()
 
     if os.environ.get("PCT_BENCH_MODE") == "filip":
         return bench_filip()

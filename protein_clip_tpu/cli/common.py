@@ -14,10 +14,12 @@ import jax
 import jax.numpy as jnp
 
 # Persistent compilation cache: TPU compiles for the 150M backbone cost
-# 30-200s; cache them across runs.
-jax.config.update("jax_compilation_cache_dir",
-                  str(Path.home() / ".cache" / "jax_comp_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+# 30-200s; cache them across runs. Host-fingerprinted dir — a cache
+# written on a different CPU generation must never load here
+# (utils/compcache.py has the cpu_aot_loader post-mortem).
+from ..utils.compcache import enable_persistent_cache
+
+enable_persistent_cache()
 
 from ..data.tokenizer import EsmTokenizer
 from ..models import esm2

@@ -190,12 +190,13 @@ def test_embed_entry(workdir, trained_run):
 
 
 def test_packed_training_entry(workdir, trained_run):
-    """--packed path through the real CLI (fresh run dir)."""
+    """--packed path through the real CLI (fresh run dir); rides along
+    --grad-clip to keep the clipped-optimizer wiring covered end to end."""
     from protein_clip_tpu.cli.main_2protein import main
     rc = main(TINY + [
         "--epochs", "1", "--batch-size", "4", "--accumulated-batches", "2",
         "--num-chunks", "2", "--packed", "--data-dir", "data",
-        "--runs-dir", "runs_packed",
+        "--runs-dir", "runs_packed", "--grad-clip", "1.0",
     ])
     assert rc == 0
     run = sorted(Path("runs_packed").iterdir())[-1]

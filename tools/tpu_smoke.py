@@ -18,9 +18,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    from protein_clip_tpu.utils.compcache import enable_persistent_cache
+    enable_persistent_cache()
     assert jax.default_backend() == "tpu", jax.devices()
     rng = np.random.default_rng(0)
     failures = []
