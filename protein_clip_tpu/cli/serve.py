@@ -16,18 +16,23 @@ API (all JSON):
   POST /topk              {"queries": [...], "side": "pep", "k": 10}
                           -> {"hits": [[{"id", "score", "rank"}, ...], ...]}
 
-Requests batch internally through ``embed_sequences`` (length-sorted
-bucket batches, so repeated request shapes hit the jit cache); the
-stdlib ThreadingHTTPServer serializes encodes with a lock — device
-compute is the bottleneck, not Python. Finetuned (combined {heads, esm})
-checkpoints are auto-detected and served with their own backbone, like
-the offline eval CLIs.
+Requests batch two ways: within a request through ``embed_sequences``
+(length-sorted bucket batches, so repeated request shapes hit the jit
+cache), and ACROSS concurrent requests through an adaptive coalescer —
+one worker thread drains everything queued while the device was busy
+and encodes it as one batch (per side), so N concurrent single-sequence
+requests cost ~one dispatch instead of N serialized ones. At low load
+the queue is empty and a request runs alone: zero added latency, no
+tuning window. Finetuned (combined {heads, esm}) checkpoints are
+auto-detected and served with their own backbone, like the offline eval
+CLIs.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -55,6 +60,19 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+class _Work:
+    """One request's slice of a coalesced encode."""
+
+    __slots__ = ("seqs", "side", "event", "result", "error")
+
+    def __init__(self, seqs: list[str], side: str):
+        self.seqs = seqs
+        self.side = side
+        self.event = threading.Event()
+        self.result = None
+        self.error: Exception | None = None
+
+
 class ClipService:
     """Checkpoint + optional index, shared across requests."""
 
@@ -80,16 +98,52 @@ class ClipService:
                 raise ValueError(
                     f"index embedding dim {self.corpus.shape[1]} != model "
                     f"--embedding-dim {self.mcfg.embedding_dim}")
-        # one encode at a time: the device is the shared resource
-        self._lock = threading.Lock()
+        # adaptive request coalescing: one worker owns the device; it
+        # drains whatever queued while the previous encode ran and
+        # batches it. Self-sizing — no latency window to tune.
+        self._queue: queue.SimpleQueue[_Work] = queue.SimpleQueue()
+        self._worker = threading.Thread(target=self._encode_loop,
+                                        daemon=True)
+        self._worker.start()
 
     def embed(self, sequences: list[str], side: str) -> np.ndarray:
         if side not in ("pep", "rec"):
             raise ValueError(f"side must be 'pep' or 'rec', got {side!r}")
-        with self._lock:
-            return embed_sequences(self.params, self.esm_params, sequences,
-                                   side, self.mcfg, self.tokenizer,
-                                   batch_size=self.batch_size)
+        work = _Work(sequences, side)
+        self._queue.put(work)
+        work.event.wait()
+        if work.error is not None:
+            raise work.error
+        return work.result
+
+    def _encode_loop(self) -> None:
+        while True:
+            batch = [self._queue.get()]
+            while True:  # drain everything that arrived meanwhile
+                try:
+                    batch.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            by_side: dict[str, list[_Work]] = {}
+            for w in batch:
+                by_side.setdefault(w.side, []).append(w)
+            for side, works in by_side.items():
+                try:
+                    flat = [s for w in works for s in w.seqs]
+                    emb = embed_sequences(self.params, self.esm_params,
+                                          flat, side, self.mcfg,
+                                          self.tokenizer,
+                                          batch_size=self.batch_size)
+                    off = 0
+                    for w in works:
+                        w.result = emb[off:off + len(w.seqs)]
+                        off += len(w.seqs)
+                except Exception as e:  # noqa: BLE001 — fail the group,
+                    for w in works:    # keep the worker alive
+                        w.error = e
+                finally:
+                    for w in works:
+                        w.event.set()
 
     def topk(self, queries: list[str], side: str, k: int):
         if self.corpus is None:

@@ -413,6 +413,26 @@ def test_serve_entry(workdir, trained_run):
         top1 = sum(h[0]["id"] == r[0] for h, r in zip(hits, records))
         assert top1 >= len(seqs) - 1, [h[0] for h in hits]
 
+        # concurrent single-sequence requests: the adaptive coalescer must
+        # return each caller ITS rows (whatever batching happened), equal
+        # to the batch encode of the same sequences
+        results = [None] * len(seqs)
+        barrier = threading.Barrier(len(seqs))
+
+        def one(i):
+            barrier.wait()
+            out = call("/embed", {"sequences": [seqs[i]], "side": "pep"})
+            results[i] = np.asarray(out["embeddings"], np.float32)[0]
+
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(len(seqs))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert all(r is not None for r in results)
+        np.testing.assert_allclose(np.stack(results), want, atol=1e-5)
+
         err = call("/embed", {"sequences": []}, expect=400)
         assert "non-empty" in err["error"]
         err = call("/embed", {"sequences": ["MKV"], "side": "x"}, expect=400)
