@@ -599,6 +599,43 @@ def bench_serve():
         post("/topk", {"queries": [seq_of(int(rng.integers(100, 500)))],
                        "side": "pep", "k": 10})
         tlat.append((time.perf_counter() - t0) * 1e3)
+
+    # concurrent single-sequence clients: the serve-side coalescer drains
+    # everything queued during the in-flight encode into ONE batch (pow2-
+    # padded rows, so group sizes hit the warm jit cache). Lengths pinned
+    # to one bucket so the shape set is {1,2,4,8,16} x that bucket — warm
+    # each explicitly, then time n_cli closed-loop clients.
+    n_cli, per_cli = 16, 12
+    for n in (1, 2, 4, 8, 16):
+        post("/embed", {"sequences": [seq_of(int(rng.integers(260, 310)))
+                                      for _ in range(n)], "side": "pep"})
+    errs: list[Exception] = []
+    barrier = threading.Barrier(n_cli + 1)
+
+    def client(k):
+        r = np.random.default_rng(1000 + k)
+        try:
+            barrier.wait()
+            for _ in range(per_cli):
+                post("/embed",
+                     {"sequences": ["".join(r.choice(aas,
+                                                     int(r.integers(260, 310))))],
+                      "side": "pep"})
+        except Exception as e:  # noqa: BLE001 — surface in main thread
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(k,))
+               for k in range(n_cli)]
+    for th in threads:
+        th.start()
+    barrier.wait()
+    t0 = time.perf_counter()
+    for th in threads:
+        th.join()
+    conc = n_cli * per_cli / (time.perf_counter() - t0)
+    if errs:
+        raise errs[0]
+
     server.shutdown()
     print(json.dumps({
         "metric": "serve_embed_p50_ms",
@@ -607,6 +644,7 @@ def bench_serve():
         "embed_p95_ms": round(float(np.percentile(lat, 95)), 2),
         "embed_seqs_per_sec_batch32": round(qps, 2),
         "topk_p50_ms": round(float(np.percentile(tlat, 50)), 2),
+        "concurrent_seqs_per_sec_16cli": round(conc, 2),
     }))
 
 

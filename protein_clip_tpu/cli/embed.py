@@ -66,9 +66,20 @@ def _encode_fn(side: str, mcfg):
 
 
 def embed_sequences(params, esm_params, seqs, side, mcfg, tokenizer,
-                    batch_size: int = 64):
+                    batch_size: int = 64, pad_batch: bool = False):
     """Encode sequences -> (N, D) float32, length-sorted internally so each
-    jit shape is a (batch, bucket) pair; results return in input order."""
+    jit shape is a (batch, bucket) pair; results return in input order.
+
+    pad_batch: round each batch's ROW count up to the next power of two
+    (capped at batch_size) with empty-sequence filler rows, so the jit
+    shape set is {pow2 x bucket} instead of one program per exact request
+    size. Offline bulk encodes don't care (full batches + one tail), but
+    the serving path does: request/coalesced-group sizes vary freely, and
+    on TPU every unseen row count would stall a cold compile mid-request.
+    Filler rows are real (CLS, EOS) sequences — cheap, numerically inert,
+    sliced off before returning — rather than all-PAD rows, which would
+    hit the token-dropout true-length-0 division in the backbone.
+    """
     import jax.numpy as jnp
 
     order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
@@ -77,7 +88,13 @@ def embed_sequences(params, esm_params, seqs, side, mcfg, tokenizer,
 
     for start in range(0, len(order), batch_size):
         idx = order[start:start + batch_size]
-        enc = tokenizer([seqs[i] for i in idx])
+        batch_seqs = [seqs[i] for i in idx]
+        if pad_batch:
+            n = 1
+            while n < len(idx):
+                n *= 2
+            batch_seqs += [""] * (min(n, batch_size) - len(idx))
+        enc = tokenizer(batch_seqs)
         ids = jnp.asarray(enc["input_ids"].astype(np.int8))
         emb = np.asarray(encode(params, esm_params, ids), np.float32)
         out[idx] = emb[: len(idx)]

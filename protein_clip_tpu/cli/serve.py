@@ -17,15 +17,18 @@ API (all JSON):
                           -> {"hits": [[{"id", "score", "rank"}, ...], ...]}
 
 Requests batch two ways: within a request through ``embed_sequences``
-(length-sorted bucket batches, so repeated request shapes hit the jit
-cache), and ACROSS concurrent requests through an adaptive coalescer —
-one worker thread drains everything queued while the device was busy
-and encodes it as one batch (per side), so N concurrent single-sequence
-requests cost ~one dispatch instead of N serialized ones. At low load
-the queue is empty and a request runs alone: zero added latency, no
-tuning window. Finetuned (combined {heads, esm}) checkpoints are
-auto-detected and served with their own backbone, like the offline eval
-CLIs.
+(length-sorted bucket batches, pow2-padded row counts, so request shapes
+hit a finite jit cache), and ACROSS concurrent requests through an
+adaptive coalescer — one worker thread drains everything queued while
+the device was busy and encodes it as one batch (per side), so N
+concurrent single-sequence requests cost ~one dispatch instead of N
+serialized ones. Because closed-loop clients unblock together and their
+next requests trickle back through the HTTP stack, the worker adds a
+short collection window (a fraction of the measured encode time, <=5 ms)
+ONLY when the previous cycle already showed concurrency; a request
+arriving at a quiet server still dispatches immediately with zero added
+latency. Finetuned (combined {heads, esm}) checkpoints are auto-detected
+and served with their own backbone, like the offline eval CLIs.
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ import argparse
 import json
 import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -100,8 +104,17 @@ class ClipService:
                     f"--embedding-dim {self.mcfg.embedding_dim}")
         # adaptive request coalescing: one worker owns the device; it
         # drains whatever queued while the previous encode ran and
-        # batches it. Self-sizing — no latency window to tune.
+        # batches it. Drain-only coalescing oscillates under closed-loop
+        # load (all clients unblock together; the worker grabs the first
+        # re-arrival and encodes a batch of 1, then the stragglers as a
+        # second batch), so when the PREVIOUS cycle showed concurrency a
+        # short collection window — self-sized to a fraction of the
+        # measured encode time — lets the cohort re-form. A lone request
+        # after an idle/lone cycle still dispatches immediately: zero
+        # added latency at low load.
         self._queue: queue.SimpleQueue[_Work] = queue.SimpleQueue()
+        self._last_nreq = 1
+        self._encode_ema_s = 0.0
         self._worker = threading.Thread(target=self._encode_loop,
                                         daemon=True)
         self._worker.start()
@@ -119,21 +132,37 @@ class ClipService:
     def _encode_loop(self) -> None:
         while True:
             batch = [self._queue.get()]
+            # collection window only under detected concurrency (25% of
+            # the encode EMA, capped at 5 ms — small next to a dispatch,
+            # long enough for an unblocked client cohort's next requests
+            # to cross the HTTP stack)
+            deadline = None
+            if self._last_nreq > 1:
+                deadline = time.perf_counter() + min(
+                    0.005, 0.25 * self._encode_ema_s)
             while True:  # drain everything that arrived meanwhile
                 try:
                     batch.append(self._queue.get_nowait())
                 except queue.Empty:
-                    break
+                    if deadline is None or time.perf_counter() >= deadline:
+                        break
+                    time.sleep(0.0002)
+            self._last_nreq = len(batch)
+            t_encode = time.perf_counter()
             by_side: dict[str, list[_Work]] = {}
             for w in batch:
                 by_side.setdefault(w.side, []).append(w)
             for side, works in by_side.items():
                 try:
                     flat = [s for w in works for s in w.seqs]
+                    # pad_batch: coalesced-group sizes vary with load; a
+                    # pow2 row-count grid keeps the jit shape set finite
+                    # (an unseen exact size would cold-compile mid-request)
                     emb = embed_sequences(self.params, self.esm_params,
                                           flat, side, self.mcfg,
                                           self.tokenizer,
-                                          batch_size=self.batch_size)
+                                          batch_size=self.batch_size,
+                                          pad_batch=True)
                     off = 0
                     for w in works:
                         w.result = emb[off:off + len(w.seqs)]
@@ -144,6 +173,9 @@ class ClipService:
                 finally:
                     for w in works:
                         w.event.set()
+            dt = time.perf_counter() - t_encode
+            self._encode_ema_s = (dt if self._encode_ema_s == 0.0
+                                  else 0.8 * self._encode_ema_s + 0.2 * dt)
 
     def topk(self, queries: list[str], side: str, k: int):
         if self.corpus is None:
@@ -207,11 +239,17 @@ def make_handler(service: ClipService):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # stdlib default listen backlog is 5: a burst of concurrent clients
+    # (exactly the case the coalescer serves well) gets connection resets
+    # at the accept queue before the worker ever sees them
+    request_queue_size = 128
+
+
 def make_server(args) -> ThreadingHTTPServer:
     """Bound (not yet serving) HTTP server — split out for tests."""
     service = ClipService(args)
-    return ThreadingHTTPServer((args.host, args.port),
-                               make_handler(service))
+    return _Server((args.host, args.port), make_handler(service))
 
 
 def main(argv=None) -> int:

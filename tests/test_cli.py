@@ -189,6 +189,43 @@ def test_embed_entry(workdir, trained_run):
     np.testing.assert_allclose(out["embeddings"][[0, 3]], want, atol=1e-5)
 
 
+def test_embed_pad_batch(workdir, trained_run):
+    """pad_batch=True returns exact-shape values while the jit shape set
+    stays on the pow2 row-count grid — the serving property: coalesced
+    group sizes vary freely and must not each compile a program."""
+    import jax
+
+    from protein_clip_tpu.cli import common
+    from protein_clip_tpu.cli.embed import _encode_fn, embed_sequences
+    from protein_clip_tpu.models import clip, esm2
+    from protein_clip_tpu.train.checkpoint import load_npz
+
+    esm_cfg = esm2.ESM2Config.tiny(compute_dtype=np.float32)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
+                                  dtype=np.float32)
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
+    params = load_npz(trained_run / "best_model.npz",
+                      clip.init_params(jax.random.key(0), mcfg))
+    tok = common.make_tokenizer()
+    rng = np.random.default_rng(7)
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    # equal lengths -> one pad bucket, so cache growth counts row shapes
+    seqs = ["".join(rng.choice(aas, 37)) for _ in range(7)]
+
+    want = embed_sequences(params, esm_params, seqs, "pep", mcfg, tok,
+                           batch_size=8)
+    encode = _encode_fn("pep", mcfg)
+    base = encode._cache_size()
+    got = embed_sequences(params, esm_params, seqs, "pep", mcfg, tok,
+                          batch_size=8, pad_batch=True)  # 7 rows -> 8
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    for n in (1, 2, 3, 5, 6):  # every size rides {1,2,4,8}
+        sub = embed_sequences(params, esm_params, seqs[:n], "pep", mcfg,
+                              tok, batch_size=8, pad_batch=True)
+        np.testing.assert_allclose(sub, want[:n], atol=1e-6)
+    assert encode._cache_size() - base <= 4, "non-pow2 shape compiled"
+
+
 def test_packed_training_entry(workdir, trained_run):
     """--packed path through the real CLI (fresh run dir); rides along
     --grad-clip to keep the clipped-optimizer wiring covered end to end."""
