@@ -534,7 +534,6 @@ def bench_serve():
     import json as _json
     import tempfile
     import threading
-    import urllib.request
 
     import jax
     import jax.numpy as jnp
@@ -562,13 +561,43 @@ def bench_serve():
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
-    def post(path, payload):
-        req = urllib.request.Request(
-            f"http://127.0.0.1:{port}{path}",
-            data=_json.dumps(payload).encode(),
-            headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=600) as r:
-            return _json.loads(r.read())
+    import http.client
+    import socket as _socket
+
+    class _Client:
+        """Keep-alive JSON client (the server speaks HTTP/1.1): one TCP
+        connection reused across requests, reconnect-once on close.
+        TCP_NODELAY on the client side too — headers and body go out in
+        separate writes, and Nagle would park the body behind the
+        server's delayed ACK."""
+
+        def __init__(self):
+            self.conn = self._connect()
+
+        @staticmethod
+        def _connect():
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            c.connect()
+            c.sock.setsockopt(_socket.IPPROTO_TCP,
+                              _socket.TCP_NODELAY, 1)
+            return c
+
+        def post(self, path, payload):
+            body = _json.dumps(payload)
+            for attempt in (0, 1):
+                try:
+                    self.conn.request(
+                        "POST", path, body,
+                        {"Content-Type": "application/json"})
+                    return _json.loads(self.conn.getresponse().read())
+                except (http.client.HTTPException, ConnectionError,
+                        OSError):
+                    if attempt:
+                        raise
+                    self.conn.close()
+                    self.conn = self._connect()
+
+    post = _Client().post
 
     aas = list("LAGVSERTIDPKQNFYMHWC")
     seq_of = lambda n: "".join(rng.choice(aas, n))
@@ -614,13 +643,14 @@ def bench_serve():
 
     def client(k):
         r = np.random.default_rng(1000 + k)
+        cli = _Client()  # own keep-alive connection per client
         try:
             barrier.wait()
             for _ in range(per_cli):
-                post("/embed",
-                     {"sequences": ["".join(r.choice(aas,
-                                                     int(r.integers(260, 310))))],
-                      "side": "pep"})
+                cli.post("/embed",
+                         {"sequences": ["".join(r.choice(aas,
+                                                         int(r.integers(260, 310))))],
+                          "side": "pep"})
         except Exception as e:  # noqa: BLE001 — surface in main thread
             errs.append(e)
 

@@ -192,6 +192,21 @@ class ClipService:
 
 def make_handler(service: ClipService):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 => persistent connections (every response carries
+        # Content-Length). The per-request TCP handshake was a measured
+        # chunk of the concurrent-client cycle; reusing the socket lets
+        # a closed-loop client's next request arrive within the
+        # coalescer's collection window instead of behind a connect
+        protocol_version = "HTTP/1.1"
+        # idle persistent connections must not pin their handler thread
+        # forever: drop the socket after 60 s without a request
+        timeout = 60
+        # headers and body leave in separate writes; on a persistent
+        # connection Nagle holds the second segment for the peer's
+        # delayed ACK (~40 ms measured on loopback — HTTP/1.0's close
+        # used to flush it). TCP_NODELAY, always, on serving sockets.
+        disable_nagle_algorithm = True
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 

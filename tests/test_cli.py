@@ -445,6 +445,20 @@ def test_serve_entry(workdir, trained_run):
                                svc.mcfg, svc.tokenizer, batch_size=8)
         np.testing.assert_allclose(got, want, atol=1e-6)
 
+        # HTTP/1.1 keep-alive: two requests over ONE connection
+        import http.client
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        for i in (0, 1):
+            conn.request("POST", "/embed",
+                         json_mod.dumps({"sequences": [seqs[i]],
+                                         "side": "pep"}),
+                         {"Content-Type": "application/json"})
+            r = conn.getresponse()
+            ka = np.asarray(json_mod.loads(r.read())["embeddings"],
+                            np.float32)[0]
+            np.testing.assert_allclose(ka, want[i], atol=1e-5)
+        conn.close()
+
         hits = call("/topk", {"queries": seqs, "side": "pep", "k": 3})["hits"]
         assert len(hits) == len(seqs) and all(len(h) == 3 for h in hits)
         top1 = sum(h[0]["id"] == r[0] for h, r in zip(hits, records))
