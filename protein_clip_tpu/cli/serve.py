@@ -11,6 +11,9 @@ job (/root/reference/topk.py:48-76).
 
 API (all JSON):
   GET  /healthz           -> {"status": "ok", "model": ..., "index_size": N}
+  GET  /metrics           -> serving counters: requests, sequences,
+                             device_batches, mean_requests_per_batch
+                             (the coalescer's effectiveness), encode EMA
   POST /embed             {"sequences": [...], "side": "pep"|"rec"}
                           -> {"embeddings": [[...], ...]}
   POST /topk              {"queries": [...], "side": "pep", "k": 10}
@@ -115,6 +118,12 @@ class ClipService:
         self._queue: queue.SimpleQueue[_Work] = queue.SimpleQueue()
         self._last_nreq = 1
         self._encode_ema_s = 0.0
+        # observability counters (written by the worker thread only;
+        # /metrics reads them racily, which is fine for monotonic counts)
+        self._n_batches = 0
+        self._n_requests = 0
+        self._n_seqs = 0
+        self._t_start = time.time()
         self._worker = threading.Thread(target=self._encode_loop,
                                         daemon=True)
         self._worker.start()
@@ -176,6 +185,23 @@ class ClipService:
             dt = time.perf_counter() - t_encode
             self._encode_ema_s = (dt if self._encode_ema_s == 0.0
                                   else 0.8 * self._encode_ema_s + 0.2 * dt)
+            self._n_batches += 1
+            self._n_requests += len(batch)
+            self._n_seqs += sum(len(w.seqs) for w in batch)
+
+    def metrics(self) -> dict:
+        """Serving counters: how well is the coalescer doing its job?"""
+        nb = self._n_batches
+        return {
+            "uptime_s": round(time.time() - self._t_start, 1),
+            "requests": self._n_requests,
+            "sequences": self._n_seqs,
+            "device_batches": nb,
+            "mean_requests_per_batch": round(self._n_requests / nb, 2)
+            if nb else None,
+            "encode_ema_ms": round(1e3 * self._encode_ema_s, 2),
+            "index_size": len(self.corpus_ids),
+        }
 
     def topk(self, queries: list[str], side: str, k: int):
         if self.corpus is None:
@@ -219,6 +245,8 @@ def make_handler(service: ClipService):
             self.wfile.write(body)
 
         def do_GET(self):
+            if self.path == "/metrics":
+                return self._json(200, service.metrics())
             if self.path != "/healthz":
                 return self._json(404, {"error": "unknown path"})
             return self._json(200, {

@@ -484,6 +484,14 @@ def test_serve_entry(workdir, trained_run):
         assert all(r is not None for r in results)
         np.testing.assert_allclose(np.stack(results), want, atol=1e-5)
 
+        # /metrics: worker-side counters reflect the traffic above
+        m = call("/metrics")
+        assert m["requests"] >= 3 + len(seqs)
+        assert m["sequences"] >= m["requests"]  # batch requests carry >1
+        assert 1 <= m["device_batches"] <= m["requests"]
+        assert m["mean_requests_per_batch"] >= 1.0
+        assert m["encode_ema_ms"] > 0 and m["index_size"] > 0
+
         err = call("/embed", {"sequences": []}, expect=400)
         assert "non-empty" in err["error"]
         err = call("/embed", {"sequences": ["MKV"], "side": "x"}, expect=400)
