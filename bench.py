@@ -582,14 +582,21 @@ def bench_serve():
                               _socket.TCP_NODELAY, 1)
             return c
 
-        def post(self, path, payload):
+        def post(self, path, payload, binary=False):
             body = _json.dumps(payload)
+            headers = {"Content-Type": "application/json"}
+            if binary:  # raw <f4 wire (serve.py _binary): shape in X-Shape
+                headers["Accept"] = "application/octet-stream"
             for attempt in (0, 1):
                 try:
-                    self.conn.request(
-                        "POST", path, body,
-                        {"Content-Type": "application/json"})
-                    return _json.loads(self.conn.getresponse().read())
+                    self.conn.request("POST", path, body, headers)
+                    resp = self.conn.getresponse()
+                    raw = resp.read()
+                    if binary and resp.getheader("X-Shape"):
+                        shape = tuple(int(d) for d in
+                                      resp.getheader("X-Shape").split(","))
+                        return np.frombuffer(raw, "<f4").reshape(shape)
+                    return _json.loads(raw)
                 except (http.client.HTTPException, ConnectionError,
                         OSError):
                     if attempt:
@@ -638,33 +645,41 @@ def bench_serve():
     for n in (1, 2, 4, 8, 16):
         post("/embed", {"sequences": [seq_of(int(rng.integers(260, 310)))
                                       for _ in range(n)], "side": "pep"})
-    errs: list[Exception] = []
-    barrier = threading.Barrier(n_cli + 1)
 
-    def client(k):
-        r = np.random.default_rng(1000 + k)
-        cli = _Client()  # own keep-alive connection per client
-        try:
-            barrier.wait()
-            for _ in range(per_cli):
-                cli.post("/embed",
-                         {"sequences": ["".join(r.choice(aas,
-                                                         int(r.integers(260, 310))))],
-                          "side": "pep"})
-        except Exception as e:  # noqa: BLE001 — surface in main thread
-            errs.append(e)
+    def run_concurrent(binary):
+        errs: list[Exception] = []
+        barrier = threading.Barrier(n_cli + 1)
 
-    threads = [threading.Thread(target=client, args=(k,))
-               for k in range(n_cli)]
-    for th in threads:
-        th.start()
-    barrier.wait()
-    t0 = time.perf_counter()
-    for th in threads:
-        th.join()
-    conc = n_cli * per_cli / (time.perf_counter() - t0)
-    if errs:
-        raise errs[0]
+        def client(k):
+            r = np.random.default_rng(1000 + k)
+            cli = _Client()  # own keep-alive connection per client
+            try:
+                barrier.wait()
+                for _ in range(per_cli):
+                    cli.post(
+                        "/embed",
+                        {"sequences": ["".join(r.choice(
+                            aas, int(r.integers(260, 310))))],
+                         "side": "pep"}, binary=binary)
+            except Exception as e:  # noqa: BLE001 — surface in main thread
+                errs.append(e)
+
+        threads = [threading.Thread(target=client, args=(k,))
+                   for k in range(n_cli)]
+        for th in threads:
+            th.start()
+        barrier.wait()
+        t0 = time.perf_counter()
+        for th in threads:
+            th.join()
+        if errs:
+            raise errs[0]
+        return n_cli * per_cli / (time.perf_counter() - t0)
+
+    conc = run_concurrent(binary=False)
+    # binary wire (Accept: octet-stream): same closed loop, raw <f4
+    # responses — isolates the JSON float-serialization share of the cycle
+    conc_bin = run_concurrent(binary=True)
 
     server.shutdown()
     print(json.dumps({
@@ -675,6 +690,7 @@ def bench_serve():
         "embed_seqs_per_sec_batch32": round(qps, 2),
         "topk_p50_ms": round(float(np.percentile(tlat, 50)), 2),
         "concurrent_seqs_per_sec_16cli": round(conc, 2),
+        "concurrent_seqs_per_sec_16cli_binary": round(conc_bin, 2),
     }))
 
 

@@ -16,6 +16,13 @@ API (all JSON):
                              (the coalescer's effectiveness), encode EMA
   POST /embed             {"sequences": [...], "side": "pep"|"rec"}
                           -> {"embeddings": [[...], ...]}
+                          With ``Accept: application/octet-stream`` the
+                          response body is raw little-endian float32
+                          (row-major), headers ``X-Shape: N,D`` and
+                          ``X-Dtype: <f4`` — the binary wire format. A
+                          128-dim embedding is 512 bytes binary vs ~2.5 KB
+                          of JSON floats, and skips float->decimal
+                          serialization on the hot path.
   POST /topk              {"queries": [...], "side": "pep", "k": 10}
                           -> {"hits": [[{"id", "score", "rank"}, ...], ...]}
 
@@ -244,6 +251,22 @@ def make_handler(service: ClipService):
             self.end_headers()
             self.wfile.write(body)
 
+        def _binary(self, arr: np.ndarray) -> None:
+            """Raw little-endian float32 body; shape rides the headers.
+
+            JSON float serialization was the measured residual of the
+            concurrent-serving cycle (docs/PERF.md): each float costs ~20
+            bytes of decimal text plus repr() time vs 4 bytes memcpy'd.
+            """
+            body = np.ascontiguousarray(arr, dtype="<f4").tobytes()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("X-Shape", ",".join(map(str, arr.shape)))
+            self.send_header("X-Dtype", "<f4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path == "/metrics":
                 return self._json(200, service.metrics())
@@ -269,6 +292,9 @@ def make_handler(service: ClipService):
                 side = req.get("side", "pep")
                 if self.path == "/embed":
                     emb = service.embed(seqs, side)
+                    if "application/octet-stream" in (
+                            self.headers.get("Accept") or ""):
+                        return self._binary(emb)
                     return self._json(200, {"embeddings": emb.tolist()})
                 if self.path == "/topk":
                     hits = service.topk(seqs, side, int(req.get("k", 10)))

@@ -445,6 +445,24 @@ def test_serve_entry(workdir, trained_run):
                                svc.mcfg, svc.tokenizer, batch_size=8)
         np.testing.assert_allclose(got, want, atol=1e-6)
 
+        # binary wire (Accept: octet-stream): raw <f4 rows, shape in
+        # X-Shape, bit-identical to the JSON path's float32 payload
+        breq = urllib.request.Request(
+            base + "/embed",
+            data=json_mod.dumps({"sequences": seqs, "side": "pep"}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Accept": "application/octet-stream"})
+        with urllib.request.urlopen(breq, timeout=120) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "application/octet-stream"
+            shape = tuple(int(d) for d in r.headers["X-Shape"].split(","))
+            assert r.headers["X-Dtype"] == "<f4"
+            raw = np.frombuffer(r.read(), "<f4").reshape(shape)
+        assert shape == (len(seqs), int(want.shape[1]))
+        # same server, same warm jit cache: the binary body must be the
+        # very floats the JSON path serialized
+        np.testing.assert_array_equal(raw, got)
+
         # HTTP/1.1 keep-alive: two requests over ONE connection
         import http.client
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
