@@ -30,6 +30,10 @@ def build_argparser() -> argparse.ArgumentParser:
     common.add_common_args(p)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--n-candidates", type=int, default=256)
+    p.add_argument("--filip", action="store_true",
+                   help="late-interaction retrieval for a FILIP checkpoint "
+                        "(token-level max-sim scores via the fused kernel; "
+                        "the reference's topk.py only covers pooled CLIP)")
     # (--packed comes from the shared args: here it selects sequence-packed
     # candidate encoding — ~95% token fill, identical ranks)
     p.add_argument("--prefix-a", default="protein1")
@@ -62,9 +66,21 @@ def main(argv=None) -> int:
     loader = PairLoader(datasets[args.split], args.batch_size, shuffle=False,
                         drop_last=True, seed=args.seed)
 
-    result = evaluate_retrieval(params, esm_params, loader, tokenizer, mcfg,
-                                n_candidates=args.n_candidates,
-                                packed=args.packed)
+    if args.filip:
+        from ..eval.retrieval import evaluate_filip_retrieval
+        from ..models import filip
+
+        fcfg = filip.FILIPConfig(
+            input_dim=esm_cfg.hidden_size, embedding_dim=args.embedding_dim,
+            h1=args.h1, h2=args.h2, dropout=args.dropout,
+            activation=args.activation, esm=esm_cfg)
+        result = evaluate_filip_retrieval(
+            params, esm_params, loader, tokenizer, fcfg,
+            n_candidates=args.n_candidates, num_chunks=args.num_chunks)
+    else:
+        result = evaluate_retrieval(params, esm_params, loader, tokenizer,
+                                    mcfg, n_candidates=args.n_candidates,
+                                    packed=args.packed)
     print(f"top-1 accuracy: {result.top1:.4f}")
     if args.n_candidates >= 10:
         print(f"top-10 accuracy: {result.accuracies[9]:.4f}")

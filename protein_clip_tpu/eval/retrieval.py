@@ -37,16 +37,7 @@ class RetrievalResult:
         return float(self.accuracies[0])
 
 
-def encode_candidates(params, esm_params, loader, tokenizer, mcfg,
-                      n_candidates: int = 256, num_chunks: int = 16,
-                      packed: bool = False):
-    """Collect the first n_candidates pairs from the loader and embed both
-    sides once. Returns (pep_emb, rec_emb), each (N, D).
-
-    packed=True rides the sequence-packed backbone path (the training
-    throughput winner) — identical embeddings in original order (owner
-    maps carry global indices), ~95% token fill instead of pad-to-longest.
-    """
+def _collect_pairs(loader, n_candidates: int) -> tuple[list[str], list[str]]:
     peps: list[str] = []
     recs: list[str] = []
     for p, r in loader:
@@ -57,7 +48,20 @@ def encode_candidates(params, esm_params, loader, tokenizer, mcfg,
     if len(peps) < n_candidates:
         raise ValueError(
             f"loader yielded {len(peps)} pairs < {n_candidates} candidates")
-    peps, recs = peps[:n_candidates], recs[:n_candidates]
+    return peps[:n_candidates], recs[:n_candidates]
+
+
+def encode_candidates(params, esm_params, loader, tokenizer, mcfg,
+                      n_candidates: int = 256, num_chunks: int = 16,
+                      packed: bool = False):
+    """Collect the first n_candidates pairs from the loader and embed both
+    sides once. Returns (pep_emb, rec_emb), each (N, D).
+
+    packed=True rides the sequence-packed backbone path (the training
+    throughput winner) — identical embeddings in original order (owner
+    maps carry global indices), ~95% token fill instead of pad-to-longest.
+    """
+    peps, recs = _collect_pairs(loader, n_candidates)
     if packed:
         from ..train.packed_engine import embed_packed, tokenize_packed
         batch = tokenize_packed(tokenizer, peps, recs)
@@ -130,6 +134,81 @@ def eval_allrec_onequery(params, esm_params, loader, tokenizer, mcfg,
                                  n_candidates)
     ranks = ranks_from_embeddings(pep, rec)
     return [int(ranks[k])]
+
+
+def encode_candidates_tokens(params, esm_params, loader, tokenizer, fcfg,
+                             n_candidates: int = 256, num_chunks: int = 16):
+    """Token-level candidate encoding for FILIP retrieval: collect the first
+    n_candidates pairs and encode both sides' L2-normalised per-token
+    embeddings once. Returns (ha, mask_a, hb, mask_b) with ha/hb (N, T, D).
+
+    The reference never built a FILIP retrieval eval — its topk.py only
+    scores the pooled CLIP model (topk.py:42-50); late interaction is
+    FILIP's whole point, so the framework provides it.
+    """
+    from ..models import filip as filip_mod
+    from ..train.clip_engine import expand_batch
+
+    peps, recs = _collect_pairs(loader, n_candidates)
+    batch = tokenize_pair_batch(tokenizer, peps, recs)
+
+    @jax.jit
+    def embed(params, esm_params, batch):
+        batch = expand_batch(batch)
+        ha, hb = filip_mod.encode_batch_tokens(
+            params, esm_params, batch, fcfg, num_chunks=num_chunks)
+        return ha, batch["pep_mask"], hb, batch["rec_mask"]
+
+    return embed(params, esm_params, batch)
+
+
+def filip_ranks_from_tokens(ha, mask_a, hb, mask_b, temperature,
+                            row_block: int = 64) -> np.ndarray:
+    """Late-interaction ranks: score(i, j) = (sim_a + sim_b) / 2 through the
+    fused max-sim kernel (ops/filip_pallas.py — never materialises the
+    (N, N, TA, TB) tensor that is the reference's memory wall,
+    models.py:332), then the reference counting rule
+    (training_utils.py:219-223).
+
+    Direction averaging matches both the training objective (mean of the two
+    per-direction InfoNCE terms, training_utils_filip.py:26-39) and the viz
+    convention (visualizations.py:54-105). Queries stream in row blocks so
+    one (row_block, TA, D) slice is resident per kernel launch.
+    """
+    from ..ops.filip_pallas import filip_similarity_fused
+
+    n = ha.shape[0]
+    rb = min(row_block, n)
+
+    @jax.jit
+    def score_rows(ha_rows, ma_rows, hb, mb, t):
+        sa, sb = filip_similarity_fused(ha_rows, hb, ma_rows, mb, t)
+        return (sa + sb) / 2.0
+
+    rows = []
+    for i in range(0, n, rb):
+        rows.append(np.asarray(score_rows(
+            ha[i:i + rb], mask_a[i:i + rb], hb, mask_b, temperature)))
+    sim = np.concatenate(rows, axis=0)
+    diag = np.diag(sim)
+    return 1 + (sim > diag[:, None]).sum(axis=1)
+
+
+def evaluate_filip_retrieval(params, esm_params, loader, tokenizer, fcfg,
+                             n_candidates: int = 256,
+                             seed: int | None = None,
+                             num_chunks: int = 16) -> RetrievalResult:
+    """FILIP top-k retrieval over n_candidates queries/candidates — the
+    token-level counterpart of ``evaluate_retrieval``."""
+    ha, ma, hb, mb = encode_candidates_tokens(
+        params, esm_params, loader, tokenizer, fcfg, n_candidates,
+        num_chunks=num_chunks)
+    ranks = filip_ranks_from_tokens(ha, ma, hb, mb, params["temperature"])
+    return RetrievalResult(
+        ranks=ranks,
+        accuracies=topk_curve(ranks, n_candidates),
+        random_accuracies=random_baseline_curve(n_candidates, seed),
+    )
 
 
 def evaluate_retrieval(params, esm_params, loader, tokenizer, mcfg,

@@ -261,9 +261,10 @@ def test_tiered_packed_training_entry(workdir, trained_run):
     assert np.isfinite(float(tr)) and np.isfinite(float(va))
 
 
-def test_filip_training_entry_packed(workdir, trained_run):
+def test_filip_training_entry_packed(workdir, trained_run, capsys):
     """FILIP CLI end-to-end with --packed (packed backbone + token
-    scatter-back; train/filip_packed.py)."""
+    scatter-back; train/filip_packed.py), then late-interaction top-k
+    retrieval on the trained checkpoint (topk --filip)."""
     from protein_clip_tpu.cli.main_2protein_filip import main
     rc = main(TINY + [
         "--epochs", "1", "--batch-size", "4", "--num-chunks", "2",
@@ -275,6 +276,16 @@ def test_filip_training_entry_packed(workdir, trained_run):
     assert len(csv) == 2 and csv[1].startswith("1,")
     _, tr, va = csv[1].split(",")
     assert np.isfinite(float(tr)) and np.isfinite(float(va))
+
+    from protein_clip_tpu.cli.topk import main as topk_main
+    rc = topk_main(TINY + [
+        "--checkpoint", str(run / "best_model.npz"), "--filip",
+        "--data-dir", "data", "--batch-size", "4", "--num-chunks", "2",
+        "--n-candidates", "16", "--split", "train",
+        "--runs-dir", "runs_filip_topk",
+    ])
+    assert rc == 0
+    assert "top-1 accuracy:" in capsys.readouterr().out
 
 
 def test_filip_training_entry_packed_finetune(workdir, trained_run):

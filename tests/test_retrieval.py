@@ -68,6 +68,59 @@ def test_evaluate_retrieval_end_to_end(rng):
     assert 0 <= res.top1 <= 1
 
 
+def test_filip_ranks_match_lax_reference(rng):
+    """filip_ranks_from_tokens (fused kernel, row-blocked) must reproduce
+    the ranks AND the counting rule of the lax FILIP similarity oracle."""
+    from protein_clip_tpu.eval.retrieval import filip_ranks_from_tokens
+    from protein_clip_tpu.models.filip import filip_similarity
+
+    n, ta, tb, d = 6, 16, 24, 8
+    ha = rng.normal(size=(n, ta, d)).astype(np.float32)
+    hb = rng.normal(size=(n, tb, d)).astype(np.float32)
+    ha /= np.linalg.norm(ha, axis=-1, keepdims=True)
+    hb /= np.linalg.norm(hb, axis=-1, keepdims=True)
+    ma = (rng.random((n, ta)) < 0.8).astype(np.int32)
+    mb = (rng.random((n, tb)) < 0.8).astype(np.int32)
+    ma[:, 0] = 1
+    mb[:, 0] = 1
+    t = jnp.asarray(0.7, jnp.float32)
+
+    # row_block=4 on n=6 exercises the uneven trailing block
+    ranks = filip_ranks_from_tokens(jnp.asarray(ha), jnp.asarray(ma),
+                                    jnp.asarray(hb), jnp.asarray(mb), t,
+                                    row_block=4)
+
+    sa, sb = filip_similarity(jnp.asarray(ha), jnp.asarray(hb),
+                              jnp.asarray(ma), jnp.asarray(mb), t)
+    sim = np.asarray((sa + sb) / 2.0)
+    want = 1 + (sim > np.diag(sim)[:, None]).sum(axis=1)
+    np.testing.assert_array_equal(ranks, want)
+
+
+def test_evaluate_filip_retrieval_end_to_end(rng):
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import esm2, filip
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    fcfg = filip.FILIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=8,
+                             h1=2, h2=2, esm=esm_cfg)
+    params = filip.init_params(jax.random.key(0), fcfg)
+    esm_params = esm2.init_params(jax.random.key(1), esm_cfg)
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+
+    from protein_clip_tpu.eval.retrieval import evaluate_filip_retrieval
+    batches = [(
+        ["".join(rng.choice(aas, 12)) for _ in range(8)],
+        ["".join(rng.choice(aas, 20)) for _ in range(8)],
+    ) for _ in range(3)]
+    res = evaluate_filip_retrieval(params, esm_params, batches,
+                                   EsmTokenizer(), fcfg, n_candidates=16,
+                                   seed=0, num_chunks=2)
+    assert res.ranks.shape == (16,)
+    assert (1 <= res.ranks).all() and (res.ranks <= 16).all()
+    assert 0 <= res.top1 <= 1
+
+
 def test_insufficient_candidates_raises(rng):
     from protein_clip_tpu.data.tokenizer import EsmTokenizer
     from protein_clip_tpu.models import clip, esm2
