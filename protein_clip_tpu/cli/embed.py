@@ -20,7 +20,6 @@ import jax
 from . import common
 from ..data.fasta import parse_fasta
 from ..models import clip
-from ..train.checkpoint import load_npz
 from ..utils import prng
 
 
@@ -36,6 +35,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--raw-cosine", action="store_true",
                    help="strip the exp(t/2) scale so dot products are raw "
                         "cosines (visualizations.py:38-52 de-scaling)")
+    p.add_argument("--filip", action="store_true",
+                   help="token-level index for a FILIP checkpoint: writes "
+                        "{ids, tokens (N,T,D), mask (N,T)} for "
+                        "late-interaction retrieval (retrieve --filip)")
     return p
 
 
@@ -63,6 +66,62 @@ def _encode_fn(side: str, mcfg):
                                 mask, mcfg, train=False)
 
     return encode
+
+
+@lru_cache(maxsize=None)
+def _encode_tokens_fn(side: str, fcfg):
+    """jit'd FILIP token-level encoder, hoisted like ``_encode_fn`` (same
+    retrace trap: a per-call @jax.jit is a fresh cache key)."""
+    import jax.numpy as jnp
+
+    from ..data.tokenizer import PAD_ID
+    from ..models import esm2 as esm2_mod
+    from ..models import filip as filip_mod
+
+    @jax.jit
+    def encode(params, esm_params, ids):
+        ids = ids.astype(jnp.int32)
+        mask = (ids != PAD_ID).astype(jnp.int32)
+        hidden = esm2_mod.forward(esm_params, ids, mask, fcfg.esm)
+        toks = filip_mod.encode_side_tokens(
+            params, side, hidden.astype(jnp.float32), fcfg, train=False)
+        return toks, mask
+
+    return encode
+
+
+def embed_sequences_tokens(params, esm_params, seqs, side, fcfg, tokenizer,
+                           batch_size: int = 64):
+    """FILIP token-level encode: -> (tokens (N, T, D) float32 L2-normalised,
+    mask (N, T) int8), T = the longest length bucket seen. Length-sorted
+    bucket batches like ``embed_sequences``; rows return in input order,
+    right-padded (zero tokens, zero mask) to the common T.
+    """
+    order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
+    encode = _encode_tokens_fn(side, fcfg)
+    toks_by_idx: dict[int, np.ndarray] = {}
+    mask_by_idx: dict[int, np.ndarray] = {}
+    t_max = 0
+    for start in range(0, len(order), batch_size):
+        idx = order[start:start + batch_size]
+        enc = tokenizer([seqs[i] for i in idx])
+        import jax.numpy as jnp
+        ids = jnp.asarray(enc["input_ids"].astype(np.int8))
+        toks, mask = encode(params, esm_params, ids)
+        toks = np.asarray(toks, np.float32)
+        mask = np.asarray(mask, np.int8)
+        t_max = max(t_max, toks.shape[1])
+        for row, i in enumerate(idx):
+            toks_by_idx[i] = toks[row]
+            mask_by_idx[i] = mask[row]
+    n, d = len(seqs), fcfg.embedding_dim
+    out_t = np.zeros((n, t_max, d), np.float32)
+    out_m = np.zeros((n, t_max), np.int8)
+    for i in range(n):
+        t = toks_by_idx[i].shape[0]
+        out_t[i, :t] = toks_by_idx[i]
+        out_m[i, :t] = mask_by_idx[i]
+    return out_t, out_m
 
 
 def embed_sequences(params, esm_params, seqs, side, mcfg, tokenizer,
@@ -111,12 +170,28 @@ def main(argv=None) -> int:
         input_dim=esm_cfg.hidden_size, embedding_dim=args.embedding_dim,
         h1=args.h1, h2=args.h2, dropout=args.dropout,
         activation=args.activation, esm=esm_cfg)
-    params = load_npz(args.checkpoint,
-                      clip.init_params(jax.random.key(0), mcfg))
+    # auto-detects heads-only vs finetuned {heads, esm} vs LoRA checkpoints
+    # (the head pytree is structure-identical for CLIP and FILIP)
+    params, esm_params = common.load_clip_checkpoint(args.checkpoint, mcfg,
+                                                     esm_params)
 
     records = parse_fasta(args.fasta)
     ids = [r[0] for r in records]
     seqs = [r[1] for r in records]
+    if args.filip:
+        from ..models import filip
+
+        fcfg = filip.FILIPConfig(
+            input_dim=esm_cfg.hidden_size, embedding_dim=args.embedding_dim,
+            h1=args.h1, h2=args.h2, dropout=args.dropout,
+            activation=args.activation, esm=esm_cfg)
+        tokens, mask = embed_sequences_tokens(
+            params, esm_params, seqs, args.side, fcfg, tokenizer,
+            batch_size=args.batch_size)
+        np.savez(args.out, ids=np.asarray(ids), tokens=tokens, mask=mask)
+        print(f"wrote {len(ids)} x {tokens.shape[1]} x {tokens.shape[2]} "
+              f"token embeddings to {args.out}")
+        return 0
     emb = embed_sequences(params, esm_params, seqs, args.side, mcfg,
                           tokenizer, batch_size=args.batch_size)
     if args.raw_cosine:

@@ -15,6 +15,11 @@ matmul per query batch.
 Output TSV: ``query_id<TAB>rank<TAB>hit_id<TAB>score`` (score is the scaled
 dot product the training loss ranks by; pass --raw-cosine at BOTH embed and
 retrieve time for raw cosines).
+
+FILIP checkpoints retrieve by late interaction: build the index with
+``embed --filip`` (token-level {ids, tokens, mask}) and pass ``--filip``
+here — scores are the direction-averaged token max-sim through the fused
+kernel, the ColBERT-style pattern the pooled path cannot express.
 """
 
 from __future__ import annotations
@@ -23,14 +28,12 @@ import argparse
 import sys
 
 import numpy as np
-import jax
 
 from . import common
 from .embed import embed_sequences
 from ..data.fasta import parse_fasta
 from ..eval.embed import nearest_partners
 from ..models import clip
-from ..train.checkpoint import load_npz
 from ..utils import prng
 
 
@@ -50,7 +53,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="output TSV path ('-' = stdout)")
     p.add_argument("--raw-cosine", action="store_true",
                    help="strip the exp(t/2) scale from query embeddings "
-                        "(match an index built with --raw-cosine)")
+                        "(match an index built with --raw-cosine); with "
+                        "--filip, multiplies the temperature back out so "
+                        "scores are raw mean-max cosines")
+    p.add_argument("--filip", action="store_true",
+                   help="late-interaction retrieval against a token-level "
+                        "index from `embed --filip` ({ids, tokens, mask}); "
+                        "scores are direction-averaged FILIP max-sim "
+                        "through the fused kernel")
     return p
 
 
@@ -64,27 +74,57 @@ def main(argv=None) -> int:
         input_dim=esm_cfg.hidden_size, embedding_dim=args.embedding_dim,
         h1=args.h1, h2=args.h2, dropout=args.dropout,
         activation=args.activation, esm=esm_cfg)
-    params = load_npz(args.checkpoint,
-                      clip.init_params(jax.random.key(0), mcfg))
+    # auto-detects heads-only vs finetuned {heads, esm} vs LoRA checkpoints
+    params, esm_params = common.load_clip_checkpoint(args.checkpoint, mcfg,
+                                                     esm_params)
 
     index = np.load(args.index, allow_pickle=False)
     corpus_ids = [str(i) for i in index["ids"]]
-    corpus = np.asarray(index["embeddings"], np.float32)
-    if corpus.shape[1] != mcfg.embedding_dim:
-        raise ValueError(
-            f"index embedding dim {corpus.shape[1]} != model "
-            f"--embedding-dim {mcfg.embedding_dim}")
-
     records = parse_fasta(args.queries)
     qids = [r[0] for r in records]
-    qemb = embed_sequences(params, esm_params, [r[1] for r in records],
-                           args.side, mcfg, tokenizer,
-                           batch_size=args.batch_size)
-    if args.raw_cosine:
-        qemb = qemb / np.exp(float(params["temperature"]) / 2.0)
 
-    k = min(args.k, len(corpus_ids))
-    idx, scores = nearest_partners(qemb, corpus, k=k)
+    if args.filip:
+        from .embed import embed_sequences_tokens
+        from ..eval.retrieval import filip_score_matrix
+        from ..models import filip
+
+        if "tokens" not in index:
+            raise ValueError("--filip needs a token-level index from "
+                             "`embed --filip` ({ids, tokens, mask}); this "
+                             "index holds pooled embeddings")
+        corpus_t = np.asarray(index["tokens"], np.float32)
+        corpus_m = np.asarray(index["mask"], np.int32)
+        if corpus_t.shape[2] != mcfg.embedding_dim:
+            raise ValueError(
+                f"index token dim {corpus_t.shape[2]} != model "
+                f"--embedding-dim {mcfg.embedding_dim}")
+        fcfg = filip.FILIPConfig(
+            input_dim=esm_cfg.hidden_size, embedding_dim=args.embedding_dim,
+            h1=args.h1, h2=args.h2, dropout=args.dropout,
+            activation=args.activation, esm=esm_cfg)
+        q_t, q_m = embed_sequences_tokens(
+            params, esm_params, [r[1] for r in records], args.side, fcfg,
+            tokenizer, batch_size=args.batch_size)
+        sim = filip_score_matrix(q_t, q_m.astype(np.int32), corpus_t,
+                                 corpus_m, params["temperature"])
+        if args.raw_cosine:
+            sim = sim * float(params["temperature"])
+        k = min(args.k, len(corpus_ids))
+        idx = np.argsort(-sim, axis=1)[:, :k]
+        scores = np.take_along_axis(sim, idx, axis=1)
+    else:
+        corpus = np.asarray(index["embeddings"], np.float32)
+        if corpus.shape[1] != mcfg.embedding_dim:
+            raise ValueError(
+                f"index embedding dim {corpus.shape[1]} != model "
+                f"--embedding-dim {mcfg.embedding_dim}")
+        qemb = embed_sequences(params, esm_params, [r[1] for r in records],
+                               args.side, mcfg, tokenizer,
+                               batch_size=args.batch_size)
+        if args.raw_cosine:
+            qemb = qemb / np.exp(float(params["temperature"]) / 2.0)
+        k = min(args.k, len(corpus_ids))
+        idx, scores = nearest_partners(qemb, corpus, k=k)
 
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:

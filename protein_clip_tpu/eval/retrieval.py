@@ -162,13 +162,12 @@ def encode_candidates_tokens(params, esm_params, loader, tokenizer, fcfg,
     return embed(params, esm_params, batch)
 
 
-def filip_ranks_from_tokens(ha, mask_a, hb, mask_b, temperature,
-                            row_block: int = 64) -> np.ndarray:
-    """Late-interaction ranks: score(i, j) = (sim_a + sim_b) / 2 through the
-    fused max-sim kernel (ops/filip_pallas.py — never materialises the
-    (N, N, TA, TB) tensor that is the reference's memory wall,
-    models.py:332), then the reference counting rule
-    (training_utils.py:219-223).
+def filip_score_matrix(ha, mask_a, hb, mask_b, temperature,
+                       row_block: int = 64) -> np.ndarray:
+    """(Q, N) late-interaction scores: (sim_a + sim_b) / 2 through the fused
+    max-sim kernel (ops/filip_pallas.py — never materialises the
+    (Q, N, TA, TB) tensor that is the reference's memory wall,
+    models.py:332).
 
     Direction averaging matches both the training objective (mean of the two
     per-direction InfoNCE terms, training_utils_filip.py:26-39) and the viz
@@ -189,7 +188,15 @@ def filip_ranks_from_tokens(ha, mask_a, hb, mask_b, temperature,
     for i in range(0, n, rb):
         rows.append(np.asarray(score_rows(
             ha[i:i + rb], mask_a[i:i + rb], hb, mask_b, temperature)))
-    sim = np.concatenate(rows, axis=0)
+    return np.concatenate(rows, axis=0)
+
+
+def filip_ranks_from_tokens(ha, mask_a, hb, mask_b, temperature,
+                            row_block: int = 64) -> np.ndarray:
+    """Late-interaction ranks over aligned pairs: the (N, N) score matrix
+    from ``filip_score_matrix`` ranked by the reference counting rule
+    (training_utils.py:219-223)."""
+    sim = filip_score_matrix(ha, mask_a, hb, mask_b, temperature, row_block)
     diag = np.diag(sim)
     return 1 + (sim > diag[:, None]).sum(axis=1)
 

@@ -345,6 +345,60 @@ def test_retrieve_entry(workdir, trained_run):
     assert hits / len(records) > 0.7, top1
 
 
+def test_retrieve_filip_entry(workdir, trained_run):
+    """Late-interaction retrieval: token-level index via `embed --filip`,
+    queried with `retrieve --filip` (fused max-sim scoring). Self-retrieval
+    must be near-perfect — identical token sets make the diagonal the
+    maximum possible mean-max cosine."""
+    from protein_clip_tpu.cli.embed import main as embed_main
+    from protein_clip_tpu.cli.retrieve import main as retrieve_main
+    from protein_clip_tpu.data.fasta import parse_fasta
+
+    rc = embed_main(TINY + [
+        "--checkpoint", str(trained_run / "best_model.npz"),
+        "--fasta", "data/protein1.fasta", "--side", "pep",
+        "--out", "tindex.npz", "--batch-size", "8", "--filip",
+    ])
+    assert rc == 0
+    with np.load("tindex.npz") as idx:
+        assert {"ids", "tokens", "mask"} <= set(idx.files)
+        assert idx["tokens"].ndim == 3 and idx["mask"].ndim == 2
+
+    rc = retrieve_main(TINY + [
+        "--checkpoint", str(trained_run / "best_model.npz"),
+        "--index", "tindex.npz", "--queries", "data/protein1.fasta",
+        "--side", "pep", "--k", "3", "--out", "fhits.tsv",
+        "--batch-size", "8", "--filip",
+    ])
+    assert rc == 0
+    lines = Path("fhits.tsv").read_text().splitlines()
+    assert lines[0] == "query_id\trank\thit_id\tscore"
+    records = parse_fasta("data/protein1.fasta")
+    assert len(lines) == 1 + 3 * len(records)
+    top1 = {}
+    for ln in lines[1:]:
+        qid, rank, hit, score = ln.split("\t")
+        float(score)
+        if rank == "1":
+            top1[qid] = hit
+    hits = sum(top1[r[0]] == r[0] for r in records)
+    assert hits / len(records) > 0.7, top1
+
+    # --filip against a pooled index must refuse loudly
+    rc = embed_main(TINY + [
+        "--checkpoint", str(trained_run / "best_model.npz"),
+        "--fasta", "data/protein1.fasta", "--side", "pep",
+        "--out", "pooled.npz", "--batch-size", "8",
+    ])
+    assert rc == 0
+    with pytest.raises(ValueError, match="token-level"):
+        retrieve_main(TINY + [
+            "--checkpoint", str(trained_run / "best_model.npz"),
+            "--index", "pooled.npz", "--queries", "data/protein1.fasta",
+            "--side", "pep", "--filip",
+        ])
+
+
 @pytest.mark.parametrize("mode", ["--finetune", "--lora-rank"])
 def test_mlm_unfrozen_entries(workdir, trained_run, mode):
     """MLM continued pretraining through the real CLI: --finetune trains
