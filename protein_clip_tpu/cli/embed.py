@@ -91,11 +91,15 @@ def _encode_tokens_fn(side: str, fcfg):
 
 
 def embed_sequences_tokens(params, esm_params, seqs, side, fcfg, tokenizer,
-                           batch_size: int = 64):
+                           batch_size: int = 64, pad_batch: bool = False):
     """FILIP token-level encode: -> (tokens (N, T, D) float32 L2-normalised,
     mask (N, T) int8), T = the longest length bucket seen. Length-sorted
     bucket batches like ``embed_sequences``; rows return in input order,
     right-padded (zero tokens, zero mask) to the common T.
+
+    pad_batch mirrors ``embed_sequences``: pow2 row counts with
+    empty-sequence filler rows so serving-path group sizes hit a finite
+    jit shape set (filler sliced off before returning).
     """
     order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
     encode = _encode_tokens_fn(side, fcfg)
@@ -104,7 +108,13 @@ def embed_sequences_tokens(params, esm_params, seqs, side, fcfg, tokenizer,
     t_max = 0
     for start in range(0, len(order), batch_size):
         idx = order[start:start + batch_size]
-        enc = tokenizer([seqs[i] for i in idx])
+        batch_seqs = [seqs[i] for i in idx]
+        if pad_batch:
+            n = 1
+            while n < len(idx):
+                n *= 2
+            batch_seqs += [""] * (min(n, batch_size) - len(idx))
+        enc = tokenizer(batch_seqs)
         import jax.numpy as jnp
         ids = jnp.asarray(enc["input_ids"].astype(np.int8))
         toks, mask = encode(params, esm_params, ids)

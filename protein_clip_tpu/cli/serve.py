@@ -26,6 +26,12 @@ API (all JSON):
   POST /topk              {"queries": [...], "side": "pep", "k": 10}
                           -> {"hits": [[{"id", "score", "rank"}, ...], ...]}
 
+With ``--filip`` (a FILIP checkpoint + an `embed --filip` token index):
+/embed returns token-level embeddings — JSON {"tokens", "lengths"} or
+binary (X-Shape N,T,D + X-Lengths; pads are a row suffix) — and /topk
+ranks by direction-averaged late-interaction max-sim through the fused
+kernel, the online ColBERT-style serving path.
+
 Requests batch two ways: within a request through ``embed_sequences``
 (length-sorted bucket batches, pow2-padded row counts, so request shapes
 hit a finite jit cache), and ACROSS concurrent requests through an
@@ -66,8 +72,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", required=True,
                    help="best_model.npz from a training run")
     p.add_argument("--index", default=None,
-                   help="npz from cli.embed ({ids, embeddings}); enables "
-                        "/topk")
+                   help="npz from cli.embed ({ids, embeddings}; with "
+                        "--filip a token-level {ids, tokens, mask} index "
+                        "from `embed --filip`); enables /topk")
+    p.add_argument("--filip", action="store_true",
+                   help="serve a FILIP checkpoint: /embed returns token-"
+                        "level embeddings (binary recommended), /topk "
+                        "ranks by late-interaction max-sim through the "
+                        "fused kernel")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080,
                    help="0 picks an ephemeral port (printed on startup)")
@@ -100,18 +112,42 @@ class ClipService:
             activation=args.activation, esm=esm_cfg)
         self.params, self.esm_params = common.load_clip_checkpoint(
             args.checkpoint, self.mcfg, esm_params)
+        self.filip = bool(getattr(args, "filip", False))
+        if self.filip:
+            from ..models import filip as filip_mod
+
+            self.fcfg = filip_mod.FILIPConfig(
+                input_dim=esm_cfg.hidden_size,
+                embedding_dim=args.embedding_dim, h1=args.h1, h2=args.h2,
+                dropout=args.dropout, activation=args.activation,
+                esm=esm_cfg)
         self.model_name = args.esm_config
         self.batch_size = args.batch_size
         self.corpus_ids: list[str] = []
         self.corpus = None
+        self.corpus_tokens = None
+        self.corpus_mask = None
         if args.index:
             index = np.load(args.index, allow_pickle=False)
             self.corpus_ids = [str(i) for i in index["ids"]]
-            self.corpus = np.asarray(index["embeddings"], np.float32)
-            if self.corpus.shape[1] != self.mcfg.embedding_dim:
-                raise ValueError(
-                    f"index embedding dim {self.corpus.shape[1]} != model "
-                    f"--embedding-dim {self.mcfg.embedding_dim}")
+            if self.filip:
+                if "tokens" not in index:
+                    raise ValueError(
+                        "--filip needs a token-level index from `embed "
+                        "--filip` ({ids, tokens, mask}); this index holds "
+                        "pooled embeddings")
+                self.corpus_tokens = np.asarray(index["tokens"], np.float32)
+                self.corpus_mask = np.asarray(index["mask"], np.int32)
+                if self.corpus_tokens.shape[2] != self.mcfg.embedding_dim:
+                    raise ValueError(
+                        f"index token dim {self.corpus_tokens.shape[2]} != "
+                        f"model --embedding-dim {self.mcfg.embedding_dim}")
+            else:
+                self.corpus = np.asarray(index["embeddings"], np.float32)
+                if self.corpus.shape[1] != self.mcfg.embedding_dim:
+                    raise ValueError(
+                        f"index embedding dim {self.corpus.shape[1]} != "
+                        f"model --embedding-dim {self.mcfg.embedding_dim}")
         # adaptive request coalescing: one worker owns the device; it
         # drains whatever queued while the previous encode ran and
         # batches it. Drain-only coalescing oscillates under closed-loop
@@ -174,15 +210,28 @@ class ClipService:
                     # pad_batch: coalesced-group sizes vary with load; a
                     # pow2 row-count grid keeps the jit shape set finite
                     # (an unseen exact size would cold-compile mid-request)
-                    emb = embed_sequences(self.params, self.esm_params,
-                                          flat, side, self.mcfg,
-                                          self.tokenizer,
-                                          batch_size=self.batch_size,
-                                          pad_batch=True)
-                    off = 0
-                    for w in works:
-                        w.result = emb[off:off + len(w.seqs)]
-                        off += len(w.seqs)
+                    if self.filip:
+                        from .embed import embed_sequences_tokens
+
+                        toks, msk = embed_sequences_tokens(
+                            self.params, self.esm_params, flat, side,
+                            self.fcfg, self.tokenizer,
+                            batch_size=self.batch_size, pad_batch=True)
+                        off = 0
+                        for w in works:
+                            w.result = (toks[off:off + len(w.seqs)],
+                                        msk[off:off + len(w.seqs)])
+                            off += len(w.seqs)
+                    else:
+                        emb = embed_sequences(self.params, self.esm_params,
+                                              flat, side, self.mcfg,
+                                              self.tokenizer,
+                                              batch_size=self.batch_size,
+                                              pad_batch=True)
+                        off = 0
+                        for w in works:
+                            w.result = emb[off:off + len(w.seqs)]
+                            off += len(w.seqs)
                 except Exception as e:  # noqa: BLE001 — fail the group,
                     for w in works:    # keep the worker alive
                         w.error = e
@@ -211,11 +260,21 @@ class ClipService:
         }
 
     def topk(self, queries: list[str], side: str, k: int):
-        if self.corpus is None:
+        if not self.corpus_ids:
             raise ValueError("no --index loaded; /topk unavailable")
-        qemb = self.embed(queries, side)
         k = max(1, min(k, len(self.corpus_ids)))
-        idx, scores = nearest_partners(qemb, self.corpus, k=k)
+        if self.filip:
+            from ..eval.retrieval import filip_score_matrix
+
+            q_t, q_m = self.embed(queries, side)
+            sim = filip_score_matrix(q_t, q_m.astype(np.int32),
+                                     self.corpus_tokens, self.corpus_mask,
+                                     self.params["temperature"])
+            idx = np.argsort(-sim, axis=1)[:, :k]
+            scores = np.take_along_axis(sim, idx, axis=1)
+        else:
+            qemb = self.embed(queries, side)
+            idx, scores = nearest_partners(qemb, self.corpus, k=k)
         return [
             [{"id": self.corpus_ids[idx[q, r]],
               "score": float(scores[q, r]), "rank": r + 1}
@@ -251,7 +310,7 @@ def make_handler(service: ClipService):
             self.end_headers()
             self.wfile.write(body)
 
-        def _binary(self, arr: np.ndarray) -> None:
+        def _binary(self, arr: np.ndarray, extra: dict | None = None) -> None:
             """Raw little-endian float32 body; shape rides the headers.
 
             JSON float serialization was the measured residual of the
@@ -263,6 +322,8 @@ def make_handler(service: ClipService):
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("X-Shape", ",".join(map(str, arr.shape)))
             self.send_header("X-Dtype", "<f4")
+            for key, val in (extra or {}).items():
+                self.send_header(key, val)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -276,6 +337,7 @@ def make_handler(service: ClipService):
                 "status": "ok", "model": service.model_name,
                 "embedding_dim": service.mcfg.embedding_dim,
                 "index_size": len(service.corpus_ids),
+                "filip": service.filip,
             })
 
         def do_POST(self):
@@ -291,9 +353,22 @@ def make_handler(service: ClipService):
                                        f"list of non-empty strings"})
                 side = req.get("side", "pep")
                 if self.path == "/embed":
+                    binary = "application/octet-stream" in (
+                        self.headers.get("Accept") or "")
+                    if service.filip:
+                        toks, msk = service.embed(seqs, side)
+                        # pads are a suffix (right-padded), so per-row true
+                        # lengths reconstruct the mask on the client
+                        lengths = msk.astype(np.int32).sum(axis=1)
+                        if binary:
+                            return self._binary(
+                                toks, extra={"X-Lengths": ",".join(
+                                    str(int(n)) for n in lengths)})
+                        return self._json(200, {
+                            "tokens": toks.tolist(),
+                            "lengths": [int(n) for n in lengths]})
                     emb = service.embed(seqs, side)
-                    if "application/octet-stream" in (
-                            self.headers.get("Accept") or ""):
+                    if binary:
                         return self._binary(emb)
                     return self._json(200, {"embeddings": emb.tolist()})
                 if self.path == "/topk":

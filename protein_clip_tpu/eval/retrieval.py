@@ -174,21 +174,24 @@ def filip_score_matrix(ha, mask_a, hb, mask_b, temperature,
     convention (visualizations.py:54-105). Queries stream in row blocks so
     one (row_block, TA, D) slice is resident per kernel launch.
     """
-    from ..ops.filip_pallas import filip_similarity_fused
-
     n = ha.shape[0]
     rb = min(row_block, n)
-
-    @jax.jit
-    def score_rows(ha_rows, ma_rows, hb, mb, t):
-        sa, sb = filip_similarity_fused(ha_rows, hb, ma_rows, mb, t)
-        return (sa + sb) / 2.0
-
     rows = []
     for i in range(0, n, rb):
-        rows.append(np.asarray(score_rows(
+        rows.append(np.asarray(_filip_score_rows(
             ha[i:i + rb], mask_a[i:i + rb], hb, mask_b, temperature)))
     return np.concatenate(rows, axis=0)
+
+
+@jax.jit
+def _filip_score_rows(ha_rows, ma_rows, hb, mb, t):
+    # module-level jit: a per-call @jax.jit is a fresh cache key and
+    # retraces every invocation — the measured serving-latency trap
+    # (docs/PERF.md, embed_sequences post-mortem)
+    from ..ops.filip_pallas import filip_similarity_fused
+
+    sa, sb = filip_similarity_fused(ha_rows, hb, ma_rows, mb, t)
+    return (sa + sb) / 2.0
 
 
 def filip_ranks_from_tokens(ha, mask_a, hb, mask_b, temperature,

@@ -345,6 +345,95 @@ def test_retrieve_entry(workdir, trained_run):
     assert hits / len(records) > 0.7, top1
 
 
+def test_serve_filip_entry(workdir, trained_run):
+    """Online FILIP serving (serve --filip): token-level /embed (JSON +
+    binary with X-Lengths), late-interaction /topk self-retrieval, and
+    loud refusal of a pooled index."""
+    import json as json_mod
+    import threading
+    import urllib.request
+
+    from protein_clip_tpu.cli.embed import (embed_sequences_tokens,
+                                            main as embed_main)
+    from protein_clip_tpu.cli.serve import (ClipService, build_argparser,
+                                            make_server)
+    from protein_clip_tpu.data.fasta import parse_fasta
+
+    rc = embed_main(TINY + [
+        "--checkpoint", str(trained_run / "best_model.npz"),
+        "--fasta", "data/protein1.fasta", "--side", "pep",
+        "--out", "serve_tindex.npz", "--batch-size", "8", "--filip",
+    ])
+    assert rc == 0
+
+    pooled_args = build_argparser().parse_args(TINY + [
+        "--checkpoint", str(trained_run / "best_model.npz"),
+        "--index", "serve_index_pooled.npz", "--port", "0", "--filip",
+    ])
+    rc = embed_main(TINY + [
+        "--checkpoint", str(trained_run / "best_model.npz"),
+        "--fasta", "data/protein1.fasta", "--side", "pep",
+        "--out", "serve_index_pooled.npz", "--batch-size", "8",
+    ])
+    assert rc == 0
+    with pytest.raises(ValueError, match="token-level"):
+        ClipService(pooled_args)
+
+    args = build_argparser().parse_args(TINY + [
+        "--checkpoint", str(trained_run / "best_model.npz"),
+        "--index", "serve_tindex.npz", "--port", "0", "--batch-size", "8",
+        "--filip",
+    ])
+    server = make_server(args)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def call(path, payload=None, headers=None):
+        req = urllib.request.Request(
+            base + path,
+            data=None if payload is None else json_mod.dumps(payload).encode(),
+            headers={"Content-Type": "application/json", **(headers or {})})
+        return urllib.request.urlopen(req, timeout=120)
+
+    try:
+        health = json_mod.loads(call("/healthz").read())
+        assert health["filip"] is True and health["index_size"] > 0
+
+        records = parse_fasta("data/protein1.fasta")[:4]
+        seqs = [r[1] for r in records]
+        out = json_mod.loads(call("/embed", {"sequences": seqs,
+                                             "side": "pep"}).read())
+        got_t = np.asarray(out["tokens"], np.float32)
+        got_l = out["lengths"]
+
+        svc = ClipService(args)
+        want_t, want_m = embed_sequences_tokens(
+            svc.params, svc.esm_params, seqs, "pep", svc.fcfg,
+            svc.tokenizer, batch_size=8)
+        assert got_l == [int(m.sum()) for m in want_m]
+        # rows may be padded to different common T; compare the real span
+        t = min(got_t.shape[1], want_t.shape[1])
+        np.testing.assert_allclose(got_t[:, :t], want_t[:, :t], atol=1e-6)
+
+        with call("/embed", {"sequences": seqs, "side": "pep"},
+                  {"Accept": "application/octet-stream"}) as r:
+            shape = tuple(int(d) for d in r.headers["X-Shape"].split(","))
+            lens = [int(x) for x in r.headers["X-Lengths"].split(",")]
+            raw = np.frombuffer(r.read(), "<f4").reshape(shape)
+        assert lens == got_l and shape == got_t.shape
+        np.testing.assert_array_equal(raw, got_t)
+
+        hits = json_mod.loads(call("/topk", {"queries": seqs, "side": "pep",
+                                             "k": 3}).read())["hits"]
+        assert len(hits) == len(seqs) and all(len(h) == 3 for h in hits)
+        top1 = sum(h[0]["id"] == r[0] for h, r in zip(hits, records))
+        assert top1 >= len(seqs) - 1, [h[0] for h in hits]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_retrieve_filip_entry(workdir, trained_run):
     """Late-interaction retrieval: token-level index via `embed --filip`,
     queried with `retrieve --filip` (fused max-sim scoring). Self-retrieval

@@ -471,9 +471,15 @@ def test_dp_packed_finetune_matches_single_device(tiny, rng, opt_name):
     p2, _, l2 = step(params, opt0, {}, db, key)
 
     np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    # sgd stays tight (the scale probe: a pmean/psum mixup shows up as 8x);
+    # adam's update is ~lr*sign(g) wherever sqrt(v_hat) >> eps, so elements
+    # with |g| near the eps crossover amplify reduction-order jitter between
+    # the two compiled programs up to a few percent of lr — observed flaking
+    # at 1/8192 elements, ~3e-5 abs. Bound adam at 10% of lr instead.
+    atol = 2e-5 if opt_name == "sgd" else 1e-4
     for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
-                                   atol=2e-5, rtol=1e-3)
+                                   atol=atol, rtol=1e-3)
 
 
 def test_dp_packed_lora_step(tiny, rng):
@@ -547,9 +553,14 @@ def test_dp_tp_finetune_matches_single_device(tiny, rng):
                      shard_batch(m, b), key)
 
     np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    # adam-only path: near the sqrt(v_hat)/eps crossover the update
+    # amplifies tiny cross-program reduction-order diffs up to a few
+    # percent of lr (observed 1/16384 elements at ~1.5e-5 abs, varying
+    # run to run) — bound at 10% of lr; scale bugs are caught by the
+    # sgd-parametrized DP tests, not here
     for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
-                                   atol=1e-5, rtol=2e-4)
+                                   atol=1e-4, rtol=1e-3)
 
 
 def test_packed_finetune_loss_decreases(tiny, packed_batch):
