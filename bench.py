@@ -214,6 +214,67 @@ def bench_eval():
     }))
 
 
+def bench_filip_retrieve():
+    """FILIP late-interaction scoring throughput (eval/retrieval.
+    filip_score_matrix — the topk --filip / retrieve --filip / serve
+    --filip hot path): 256 queries x 1024 candidates at T=512, D=128
+    through the fused max-sim kernel, reported as query-candidate pairs
+    scored per second. Token tensors are generated ON DEVICE — staging
+    268 MB of candidate tokens through the axon tunnel would measure the
+    tunnel (~0.3 MB/s), not the kernel.
+
+    The grid is at its f32 MXU roofline (17.6 TFLOP / ~270 ms = 65 TF/s
+    = bf16 peak / 3 passes); a multi-query-resident kernel variant and
+    bf16 operands both measured washes — docs/PERF.md."""
+    import jax
+    import jax.numpy as jnp
+
+    from protein_clip_tpu.eval.retrieval import _filip_score_rows
+
+    Q, N, T, D = 256, 1024, 512, 128
+    rb = 64
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def make(key, n):
+        kt, kl = jax.random.split(key)
+        t = jax.random.normal(kt, (n, T, D), jnp.float32)
+        t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+        lens = jax.random.randint(kl, (n, 1), T // 4, T + 1)
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (n, T), 1)
+                < lens).astype(jnp.int32)
+        return t * mask[..., None], mask
+
+    n_reps = 5
+    # a DIFFERENT query set per rep: the tunnel reports impossibly fast
+    # times for repeated identical computations (see CLAUDE.md)
+    qsets = [make(jax.random.key(10 + r), Q) for r in range(n_reps + 1)]
+    ct, cm = make(jax.random.key(1), N)
+    temp = jnp.asarray(0.7, jnp.float32)
+    for qt, qm in qsets + [(ct, cm)]:
+        float(jnp.sum(qt)) + float(jnp.sum(qm.astype(jnp.float32)))
+
+    def score_all(qt, qm):
+        rows = [_filip_score_rows(qt[i:i + rb], qm[i:i + rb], ct, cm, temp)
+                for i in range(0, Q, rb)]
+        return float(jnp.sum(jnp.concatenate(rows)))  # sync via scalar
+
+    score_all(*qsets[0])  # compile
+    t0 = time.perf_counter()
+    vals = [score_all(*qsets[r + 1]) for r in range(n_reps)]
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(v) for v in vals), vals
+
+    print(json.dumps({
+        "metric": "filip_score_pairs_per_sec",
+        "value": round(n_reps * Q * N / dt, 2),
+        "unit": "pairs/s",
+        "matrix": f"{Q}x{N} @ T={T}",
+        "ms_per_matrix": round(1e3 * dt / n_reps, 2),
+    }))
+
+
 def bench_finetune():
     """UNFROZEN-backbone training throughput (train/finetune.py): full
     t30_150M end-to-end at global batch 256 via two-pass gradcache +
@@ -717,6 +778,8 @@ def main():
         return bench_lora()
     if os.environ.get("PCT_BENCH_MODE") == "mlm":
         return bench_mlm()
+    if os.environ.get("PCT_BENCH_MODE") == "filip_retrieve":
+        return bench_filip_retrieve()
     if os.environ.get("PCT_BENCH_MODE") == "serve":
         return bench_serve()
 

@@ -58,6 +58,8 @@ MODES: dict[str, dict[str, str]] = {
     "mlm_finetune": {"PCT_BENCH_MODE": "mlm", "PCT_MLM_MODE": "finetune"},
     # online HTTP serving (cli/serve.py): latency + QPS
     "serve": {"PCT_BENCH_MODE": "serve"},
+    # FILIP late-interaction bulk scoring (topk/retrieve/serve --filip)
+    "filip_retrieve": {"PCT_BENCH_MODE": "filip_retrieve"},
     # parameter-efficient finetuning (train/lora.py), packed rows
     "lora": {"PCT_BENCH_MODE": "lora"},
     "lora_650M": {"PCT_BENCH_MODE": "lora", "PCT_ESM_CONFIG": "t33_650M"},
