@@ -496,7 +496,11 @@ def bench_mlm():
     masked-token CE over the t30_150M backbone. PCT_MLM_MODE=head trains
     the tied-decoder LM head over the frozen backbone (the notebook-N1
     capability); PCT_MLM_MODE=finetune is continued pretraining — the CE
-    gradient reaches f32 backbone masters (cast to bf16 in-step)."""
+    gradient reaches f32 backbone masters (cast to bf16 in-step).
+    PCT_MLM_PACKED=1 packs sequences into fixed-width rows (cli --packed):
+    segment-aware token-dropout ratios keep the loss exact; the metric
+    still counts REAL tokens, so the packed win is the padding it no
+    longer pays for."""
     import os
 
     import jax
@@ -509,6 +513,7 @@ def bench_mlm():
 
     mode = os.environ.get("PCT_MLM_MODE", "head")
     batch = int(os.environ.get("PCT_MLM_BATCH", "64"))
+    packed = os.environ.get("PCT_MLM_PACKED") == "1"
     mask_prob = 0.15
     esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16)
     lm_head = esm2.init_lm_head(jax.random.key(1), esm_cfg)
@@ -521,26 +526,33 @@ def bench_mlm():
                                              dtype=jnp.float32),
                      "head": lm_head}
 
-        def loss_of(t, esm_p, masked, attn, labels):
+        def loss_of(t, esm_p, masked, attn, labels, seg, pos):
             del esm_p
             return mlm.mlm_loss(_cast_esm(t["esm"], esm_cfg.compute_dtype),
                                 t["head"], masked, attn, labels, esm_cfg,
-                                remat=True)
+                                remat=True, segment_ids=seg, positions=pos)
     else:
         esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
                                       dtype=jnp.bfloat16)
         trainable = lm_head
 
-        def loss_of(t, esm_p, masked, attn, labels):
-            return mlm.mlm_loss(esm_p, t, masked, attn, labels, esm_cfg)
+        def loss_of(t, esm_p, masked, attn, labels, seg, pos):
+            return mlm.mlm_loss(esm_p, t, masked, attn, labels, esm_cfg,
+                                segment_ids=seg, positions=pos)
 
     opt_state = optimizer.init(trainable)
 
     @jax.jit
-    def step(trainable, opt_state, esm_p, ids, attn, key):
+    def step(trainable, opt_state, esm_p, arrs, key):
+        if packed:  # trace-time constant
+            from protein_clip_tpu.train.packed_engine import derive_segments
+            ids, seg, pos = derive_segments(arrs[0])
+            attn = (seg > 0).astype(jnp.int32)
+        else:
+            (ids, attn), seg, pos = arrs, None, None
         masked, labels = mlm.mask_tokens(key, ids, attn, mask_prob)
         loss, grads = jax.value_and_grad(loss_of)(trainable, esm_p, masked,
-                                                  attn, labels)
+                                                  attn, labels, seg, pos)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         return optax.apply_updates(trainable, updates), opt_state, loss
 
@@ -551,20 +563,28 @@ def bench_mlm():
     encs, tokens = [], 0
     for i in range(n_steps + 1):
         seqs = ["".join(rng.choice(aas, _rec_len(rng))) for _ in range(batch)]
-        enc = tokenizer(seqs)
-        if i > 0:
-            tokens += int(np.asarray(enc["attention_mask"]).sum())
-        encs.append((jnp.asarray(enc["input_ids"]),
-                     jnp.asarray(enc["attention_mask"])))
+        if packed:
+            from protein_clip_tpu.train.packed_engine import (
+                tokenize_packed_rows)
+            ids8 = tokenize_packed_rows(tokenizer, seqs)
+            if i > 0:  # REAL tokens, not row capacity
+                tokens += int((np.asarray(ids8) != 1).sum())
+            encs.append((ids8,))
+        else:
+            enc = tokenizer(seqs)
+            if i > 0:
+                tokens += int(np.asarray(enc["attention_mask"]).sum())
+            encs.append((jnp.asarray(enc["input_ids"]),
+                         jnp.asarray(enc["attention_mask"])))
     encs = [jax.device_put(e) for e in encs]
-    for ids, attn in encs:
-        float(jnp.sum(ids.astype(jnp.int32)) + jnp.sum(attn))
+    for arrs in encs:
+        float(sum(jnp.sum(a.astype(jnp.int32)) for a in arrs))
 
     key = jax.random.key(0)
-    for ids, attn in encs:  # one warm step per pad-bucket composition
+    for arrs in encs:  # one warm step per row/pad composition
         key, sub = jax.random.split(key)
         trainable, opt_state, loss = step(trainable, opt_state, esm_params,
-                                          ids, attn, sub)
+                                          arrs, sub)
         float(loss)
 
     losses = []
@@ -572,7 +592,7 @@ def bench_mlm():
     for i in range(n_steps):
         key, sub = jax.random.split(key)
         trainable, opt_state, loss = step(trainable, opt_state, esm_params,
-                                          *encs[i + 1], sub)
+                                          encs[i + 1], sub)
         losses.append(loss)
     vals = [float(l) for l in losses]
     dt = time.perf_counter() - t0
@@ -582,6 +602,7 @@ def bench_mlm():
         "value": round(tokens / dt, 1),
         "unit": "tokens/s",
         "mode": mode,
+        "packed": packed,
         "batch": batch,
         "seqs_per_sec": round(n_steps * batch / dt, 2),
     }))

@@ -32,6 +32,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--prefix-b", default="receptor")
     p.add_argument("--side", default="b", choices=["a", "b", "both"],
                    help="which side's sequences to train on")
+    # --packed comes from common.add_common_args: here it packs the single
+    # training side into fixed-width rows (~95% token fill) with
+    # segment-masked attention, per-segment RoPE AND per-segment
+    # token-dropout mask ratios, so the loss equals the unpacked one
+    # exactly (tests/test_mlm.py).
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel devices (parallel/mlm_step.py): "
                         "batch shards over the 'data' mesh axis, loss and "
@@ -66,6 +71,24 @@ def main(argv=None) -> int:
     if args.dp > 1 and (finetuning or lora_rank):
         raise SystemExit("MLM --finetune/--lora-rank are single-chip for "
                          "now (drop --dp)")
+    if args.dp > 1 and args.packed:
+        raise SystemExit("MLM --packed is single-chip for now (drop --dp)")
+
+    def _masked_loss(esm_p, head, arrs, key, remat=False):
+        """Masked CE over one batch — plain (ids, mask) or packed (ids8,)
+        wire (train/packed_engine.tokenize_packed_rows; segments, positions
+        and the per-segment token-dropout ratios derive on device)."""
+        if args.packed:
+            from ..train.packed_engine import derive_segments
+            ids, seg, pos = derive_segments(arrs[0])
+            mask = (seg > 0).astype(jnp.int32)
+            masked, labels = mlm.mask_tokens(key, ids, mask, args.mask_prob)
+            return mlm.mlm_loss(esm_p, head, masked, mask, labels, esm_cfg,
+                                remat=remat, segment_ids=seg, positions=pos)
+        ids, mask = arrs
+        masked, labels = mlm.mask_tokens(key, ids, mask, args.mask_prob)
+        return mlm.mlm_loss(esm_p, head, masked, mask, labels, esm_cfg,
+                            remat=remat)
 
     total = len(train_loader) * args.epochs
     optimizer = opt_mod.build(args.lr, weight_decay=args.weight_decay,
@@ -117,12 +140,10 @@ def main(argv=None) -> int:
         opt_state = optimizer.init(trainable)
 
         @jax.jit
-        def train_step(trainable, opt_state, esm_p, ids, mask, key):
-            masked, labels = mlm.mask_tokens(key, ids, mask, args.mask_prob)
-
+        def train_step(trainable, opt_state, esm_p, arrs, key):
             def loss_of(t):
-                return mlm.mlm_loss(esm_view(t, esm_p), t["head"], masked,
-                                    mask, labels, esm_cfg, remat=True)
+                return _masked_loss(esm_view(t, esm_p), t["head"], arrs,
+                                    key, remat=True)
 
             loss, grads = jax.value_and_grad(loss_of)(trainable)
             updates, opt_state = optimizer.update(grads, opt_state,
@@ -131,11 +152,9 @@ def main(argv=None) -> int:
                     loss)
 
         @jax.jit
-        def eval_step(trainable, esm_p, ids, mask, key):
-            masked, labels = mlm.mask_tokens(key, ids, mask, args.mask_prob)
-            return mlm.mlm_loss(esm_view(trainable, esm_p),
-                                trainable["head"], masked, mask, labels,
-                                esm_cfg)
+        def eval_step(trainable, esm_p, arrs, key):
+            return _masked_loss(esm_view(trainable, esm_p),
+                                trainable["head"], arrs, key)
 
         lm_head = trainable
     elif args.dp > 1:
@@ -145,30 +164,37 @@ def main(argv=None) -> int:
         mesh = mesh_mod.make_mesh(data=args.dp, model=1)
         optimizer = _clipped(optimizer)
         opt_state = optimizer.init(lm_head)
-        train_step = make_sharded_mlm_train_step(esm_cfg, optimizer, mesh,
-                                                 args.mask_prob)
-        eval_step = make_sharded_mlm_eval_step(esm_cfg, mesh, args.mask_prob)
+        _ts = make_sharded_mlm_train_step(esm_cfg, optimizer, mesh,
+                                          args.mask_prob)
+        _es = make_sharded_mlm_eval_step(esm_cfg, mesh, args.mask_prob)
+        train_step = lambda h, o, e, arrs, k: _ts(h, o, e, *arrs, k)
+        eval_step = lambda h, e, arrs, k: _es(h, e, *arrs, k)
     else:
         optimizer = _clipped(optimizer)
         opt_state = optimizer.init(lm_head)
         @jax.jit
-        def train_step(lm_head, opt_state, esm_p, ids, mask, key):
-            masked, labels = mlm.mask_tokens(key, ids, mask, args.mask_prob)
+        def train_step(lm_head, opt_state, esm_p, arrs, key):
             loss, grads = jax.value_and_grad(
-                lambda h: mlm.mlm_loss(esm_p, h, masked, mask, labels,
-                                       esm_cfg))(lm_head)
+                lambda h: _masked_loss(esm_p, h, arrs, key))(lm_head)
             updates, opt_state = optimizer.update(grads, opt_state, lm_head)
             return optax.apply_updates(lm_head, updates), opt_state, loss
 
         @jax.jit
-        def eval_step(lm_head, esm_p, ids, mask, key):
-            masked, labels = mlm.mask_tokens(key, ids, mask, args.mask_prob)
-            return mlm.mlm_loss(esm_p, lm_head, masked, mask, labels,
-                                esm_cfg)
+        def eval_step(lm_head, esm_p, arrs, key):
+            return _masked_loss(esm_p, lm_head, arrs, key)
 
     def seqs_of(batch):
         a, b = batch
         return {"a": a, "b": b, "both": list(a) + list(b)}[args.side]
+
+    def arrs_of(batch):
+        seqs = seqs_of(batch)
+        if args.packed:
+            from ..train.packed_engine import tokenize_packed_rows
+            return (tokenize_packed_rows(tokenizer, seqs),)
+        enc = tokenizer(seqs)
+        return (jnp.asarray(enc["input_ids"]),
+                jnp.asarray(enc["attention_mask"]))
 
     losses_path = run_dir / "losses_per_epoch.txt"
     best_val = float("inf")
@@ -178,20 +204,15 @@ def main(argv=None) -> int:
             t0 = time.perf_counter()
             tl, tn = 0.0, 0
             for batch in train_loader:
-                enc = tokenizer(seqs_of(batch))
                 rng, sk = jax.random.split(rng)
                 lm_head, opt_state, loss = train_step(
-                    lm_head, opt_state, esm_params,
-                    jnp.asarray(enc["input_ids"]),
-                    jnp.asarray(enc["attention_mask"]), sk)
+                    lm_head, opt_state, esm_params, arrs_of(batch), sk)
                 tl += float(loss); tn += 1
             vl, vn = 0.0, 0
             for batch in val_loader:
-                enc = tokenizer(seqs_of(batch))
                 rng, sk = jax.random.split(rng)
-                vl += float(eval_step(lm_head, esm_params,
-                                      jnp.asarray(enc["input_ids"]),
-                                      jnp.asarray(enc["attention_mask"]), sk))
+                vl += float(eval_step(lm_head, esm_params, arrs_of(batch),
+                                      sk))
                 vn += 1
             tl /= max(tn, 1)
             vl = vl / vn if vn else float("nan")

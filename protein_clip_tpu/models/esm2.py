@@ -287,18 +287,46 @@ def _ffn_block(x, p, cfg: ESM2Config):
     return x + _dense(h, p["wo"])
 
 
-def embed(params: Params, input_ids, attention_mask, cfg: ESM2Config):
-    """Token embedding incl. ESM-2 token-dropout mask-ratio rescale."""
+def embed(params: Params, input_ids, attention_mask, cfg: ESM2Config,
+          segment_ids: jax.Array | None = None):
+    """Token embedding incl. ESM-2 token-dropout mask-ratio rescale.
+
+    The rescale divides by (1 - observed mask ratio) over the sequence's
+    TRUE length (transformers-4.32 / original-ESM semantics). With
+    ``segment_ids`` (packed rows, data/packing.py) the ratio is computed
+    per SEGMENT — each packed sequence sees exactly the ratio it would
+    unpacked, which is what makes packed MLM exact (tests/test_mlm.py).
+    Two (B, T)-element segment_sums once per forward; negligible next to
+    the 30-layer stack.
+    """
     x = jnp.take(params["embed"]["word"], input_ids, axis=0)
     x = x.astype(cfg.compute_dtype)
     if cfg.token_dropout:
         is_mask = (input_ids == cfg.mask_token_id)
         x = jnp.where(is_mask[..., None], 0.0, x)
         mask_ratio_train = 0.15 * 0.8
-        src_len = jnp.maximum(attention_mask.sum(-1), 1).astype(jnp.float32)
-        ratio_obs = is_mask.sum(-1).astype(jnp.float32) / src_len
-        scale = (1.0 - mask_ratio_train) / (1.0 - ratio_obs)
-        x = (x * scale[:, None, None].astype(x.dtype))
+        if segment_ids is None:
+            src_len = jnp.maximum(attention_mask.sum(-1), 1).astype(
+                jnp.float32)
+            ratio_obs = is_mask.sum(-1).astype(jnp.float32) / src_len
+            scale = ((1.0 - mask_ratio_train) / (1.0 - ratio_obs))[:, None]
+        else:
+            # per-segment observed ratio, gathered back to tokens. Every
+            # segment holds >= 2 tokens (<cls>...<eos>), so ids are
+            # bounded by T//2; +2 slots cover id 0 (pads) and the bound.
+            n_seg = segment_ids.shape[1] // 2 + 2
+            valid = (segment_ids > 0).astype(jnp.float32)
+
+            def stats(seg, v, m):
+                return (jax.ops.segment_sum(v, seg, num_segments=n_seg),
+                        jax.ops.segment_sum(m, seg, num_segments=n_seg))
+
+            cnt, msk = jax.vmap(stats)(
+                segment_ids, valid, is_mask.astype(jnp.float32) * valid)
+            ratio_seg = msk / jnp.maximum(cnt, 1.0)
+            ratio_tok = jnp.take_along_axis(ratio_seg, segment_ids, axis=1)
+            scale = (1.0 - mask_ratio_train) / (1.0 - ratio_tok)  # (B, T)
+        x = x * scale[..., None].astype(x.dtype)
     x = x * attention_mask[..., None].astype(x.dtype)
     return x
 
@@ -315,13 +343,14 @@ def forward(
     """Return last_hidden_state (B, T, H), matching HF EsmModel semantics.
 
     With segment_ids/positions (packed rows, data/packing.py) attention is
-    block-diagonal per segment and RoPE restarts per segment, so each packed
-    sequence computes exactly what it would unpacked. (Token-dropout rescale
-    is ratio-free without <mask> tokens, so packing does not disturb it;
-    packed MLM is unsupported.)
+    block-diagonal per segment, RoPE restarts per segment, and the
+    token-dropout mask-ratio rescale is computed per segment — so each
+    packed sequence computes exactly what it would unpacked, INCLUDING
+    rows carrying <mask> tokens (packed MLM).
     """
     B, T = input_ids.shape
-    x = embed(params, input_ids, attention_mask, cfg)
+    x = embed(params, input_ids, attention_mask, cfg,
+              segment_ids=segment_ids)
 
     neg = jnp.finfo(jnp.float32).min
     if segment_ids is not None:

@@ -55,22 +55,31 @@ def mask_tokens(key: jax.Array, input_ids: jax.Array,
 
 
 def mlm_loss(esm_params, lm_head, masked_ids, attention_mask, labels,
-             cfg: esm2.ESM2Config, remat: bool = False) -> jax.Array:
-    """Masked cross-entropy at masked positions only."""
+             cfg: esm2.ESM2Config, remat: bool = False,
+             segment_ids=None, positions=None) -> jax.Array:
+    """Masked cross-entropy at masked positions only.
+
+    segment_ids/positions (packed rows, data/packing.py): block-diagonal
+    attention, per-segment RoPE restart AND per-segment token-dropout
+    ratios, so the packed loss terms equal the unpacked ones exactly
+    (tests/test_mlm.py::test_packed_mlm_loss_matches_unpacked)."""
     s, c = mlm_loss_terms(esm_params, lm_head, masked_ids, attention_mask,
-                          labels, cfg, remat=remat)
+                          labels, cfg, remat=remat,
+                          segment_ids=segment_ids, positions=positions)
     return s / jnp.maximum(c, 1.0)
 
 
 def mlm_loss_terms(esm_params, lm_head, masked_ids, attention_mask, labels,
-                   cfg: esm2.ESM2Config, remat: bool = False
+                   cfg: esm2.ESM2Config, remat: bool = False,
+                   segment_ids=None, positions=None
                    ) -> tuple[jax.Array, jax.Array]:
     """(sum of masked-position CE, masked count) — the shard-local terms a
     data-parallel step psums before dividing (parallel/mlm_step.py), so the
     global loss is the true mean over ALL masked positions regardless of
     how many landed on each shard."""
     hidden = esm2.forward(esm_params, masked_ids, attention_mask, cfg,
-                          remat=remat)
+                          remat=remat, segment_ids=segment_ids,
+                          positions=positions)
     logits = esm2.lm_logits(esm_params, lm_head, hidden, cfg)
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)

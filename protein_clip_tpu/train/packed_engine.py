@@ -177,6 +177,49 @@ def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
     return out
 
 
+def derive_segments(ids8: jnp.ndarray
+                    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Device-side (int32 ids, segment ids, within-segment positions) from
+    compact packed rows alone. Contract (tokenizer + packer): every
+    sequence starts with <cls> and gaps are <pad>, so segment ids are a
+    running <cls> count and positions restart at each <cls>. Shared by the
+    pair path (``_expand_pack``) and the single-side MLM path
+    (``tokenize_packed_rows`` wire)."""
+    ids = ids8.astype(jnp.int32)
+    R, L = ids.shape
+    valid = ids != PAD_ID
+    is_bos = ids == CLS_ID
+    seg = jnp.cumsum(is_bos.astype(jnp.int32), axis=1) * valid
+    ar = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    starts = jax.lax.cummax(jnp.where(is_bos, ar, 0), axis=1)
+    pos = jnp.where(valid, ar - starts, 0)
+    return ids, seg, pos
+
+
+def tokenize_packed_rows(tokenizer: EsmTokenizer, seqs: list[str],
+                         row_len: int | None = None) -> jnp.ndarray:
+    """Single-side packed wire: int8 (R, L) token ids, no owner maps.
+
+    The MLM objective is per-token (no per-sequence pooling), so unlike the
+    pair wire no owner permutation ships — segments/positions derive on
+    device (``derive_segments``). Same row-length policy as
+    ``tokenize_packed`` (batch max rounded to 128, capped at MAX_ROW_LEN,
+    loud truncation past the cap)."""
+    encs = [tokenizer.encode(s) for s in seqs]
+    rl = _row_len_for(max(len(e) for e in encs), row_len)
+    clamped = 0
+    for j, e in enumerate(encs):
+        if len(e) > rl:
+            encs[j] = np.concatenate((e[: rl - 1], [EOS_ID]))
+            clamped += 1
+    if clamped:
+        warnings.warn(
+            f"tokenize_packed_rows: {clamped} sequence(s) longer than "
+            f"row_len={rl} were truncated (eos kept)", stacklevel=2)
+    packed = pack_sequences(encs, rl, row_multiple=16)
+    return jnp.asarray(packed.ids.astype(np.int8))
+
+
 def _expand_pack(ids8: jnp.ndarray, operm: jnp.ndarray,
                  dump: int) -> dict[str, jnp.ndarray]:
     """Derive int32 ids + segment/position/owner maps for one pack.
@@ -187,15 +230,9 @@ def _expand_pack(ids8: jnp.ndarray, operm: jnp.ndarray,
     ``packed_side_count`` (re-feeding expanded batches is supported, like
     the flat path).
     """
-    ids = ids8.astype(jnp.int32)
+    ids, seg, pos = derive_segments(ids8)
+    valid = seg > 0
     n_local = operm.shape[0]
-    R, L = ids.shape
-    valid = ids != PAD_ID
-    is_bos = ids == CLS_ID
-    seg = jnp.cumsum(is_bos.astype(jnp.int32), axis=1) * valid
-    ar = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
-    starts = jax.lax.cummax(jnp.where(is_bos, ar, 0), axis=1)
-    pos = jnp.where(valid, ar - starts, 0)
     counts = seg.max(axis=1)
     offsets = jnp.concatenate(
         (jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]))

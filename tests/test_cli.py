@@ -512,6 +512,25 @@ def test_mlm_unfrozen_entries(workdir, trained_run, mode):
     assert any(k.startswith("head/") for k in ckpt.files)
 
 
+def test_mlm_packed_entry(workdir, trained_run):
+    """--packed MLM through the real CLI: head-only training over packed
+    rows (segment-aware token-dropout ratios; loss exact vs unpacked,
+    tests/test_mlm.py)."""
+    from protein_clip_tpu.cli.mlm_train import main
+    rc = main(TINY + [
+        "--epochs", "1", "--batch-size", "4", "--mask-prob", "0.2",
+        "--data-dir", "data", "--prefix-a", "protein1",
+        "--prefix-b", "protein2", "--runs-dir", "runs_mlm_packed",
+        "--packed",
+    ])
+    assert rc == 0
+    run = sorted(Path("runs_mlm_packed").iterdir())[-1]
+    csv = (run / "losses_per_epoch.txt").read_text().strip().split("\n")
+    _, tr, va = csv[1].split(",")
+    assert np.isfinite(float(tr)) and np.isfinite(float(va))
+    assert (run / "best_model.npz").exists()
+
+
 def test_lora_training_entry(workdir, trained_run, capsys):
     """--lora-rank through the real CLI: adapters train against the frozen
     base, best_model.npz carries {lora, heads}, and topk auto-detects it

@@ -55,7 +55,11 @@ MODES: dict[str, dict[str, str]] = {
     # masked-LM objective (cli/mlm_train.py): head-only and continued
     # pretraining (f32 backbone masters)
     "mlm_head": {"PCT_BENCH_MODE": "mlm"},
+    "mlm_head_packed": {"PCT_BENCH_MODE": "mlm", "PCT_MLM_PACKED": "1"},
     "mlm_finetune": {"PCT_BENCH_MODE": "mlm", "PCT_MLM_MODE": "finetune"},
+    "mlm_finetune_packed": {"PCT_BENCH_MODE": "mlm",
+                            "PCT_MLM_MODE": "finetune",
+                            "PCT_MLM_PACKED": "1"},
     # online HTTP serving (cli/serve.py): latency + QPS
     "serve": {"PCT_BENCH_MODE": "serve"},
     # FILIP late-interaction bulk scoring (topk/retrieve/serve --filip)
