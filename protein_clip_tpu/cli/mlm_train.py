@@ -71,8 +71,6 @@ def main(argv=None) -> int:
     if args.dp > 1 and (finetuning or lora_rank):
         raise SystemExit("MLM --finetune/--lora-rank are single-chip for "
                          "now (drop --dp)")
-    if args.dp > 1 and args.packed:
-        raise SystemExit("MLM --packed is single-chip for now (drop --dp)")
 
     def _masked_loss(esm_p, head, arrs, key, remat=False):
         """Masked CE over one batch — plain (ids, mask) or packed (ids8,)
@@ -159,14 +157,22 @@ def main(argv=None) -> int:
         lm_head = trainable
     elif args.dp > 1:
         from ..parallel import mesh as mesh_mod
-        from ..parallel.mlm_step import (make_sharded_mlm_eval_step,
-                                         make_sharded_mlm_train_step)
+        from ..parallel import mlm_step as dp_mod
         mesh = mesh_mod.make_mesh(data=args.dp, model=1)
         optimizer = _clipped(optimizer)
         opt_state = optimizer.init(lm_head)
-        _ts = make_sharded_mlm_train_step(esm_cfg, optimizer, mesh,
-                                          args.mask_prob)
-        _es = make_sharded_mlm_eval_step(esm_cfg, mesh, args.mask_prob)
+        if args.packed:
+            # packed rows dealt over 'data' (tokenize_packed_rows_sharded);
+            # same psum'd (sum, count) global mean as the plain DP step
+            _ts = dp_mod.make_sharded_packed_mlm_train_step(
+                esm_cfg, optimizer, mesh, args.mask_prob)
+            _es = dp_mod.make_sharded_packed_mlm_eval_step(
+                esm_cfg, mesh, args.mask_prob)
+        else:
+            _ts = dp_mod.make_sharded_mlm_train_step(esm_cfg, optimizer,
+                                                     mesh, args.mask_prob)
+            _es = dp_mod.make_sharded_mlm_eval_step(esm_cfg, mesh,
+                                                    args.mask_prob)
         train_step = lambda h, o, e, arrs, k: _ts(h, o, e, *arrs, k)
         eval_step = lambda h, e, arrs, k: _es(h, e, *arrs, k)
     else:
@@ -190,7 +196,11 @@ def main(argv=None) -> int:
     def arrs_of(batch):
         seqs = seqs_of(batch)
         if args.packed:
-            from ..train.packed_engine import tokenize_packed_rows
+            from ..train.packed_engine import (tokenize_packed_rows,
+                                               tokenize_packed_rows_sharded)
+            if args.dp > 1:
+                return (tokenize_packed_rows_sharded(tokenizer, seqs,
+                                                     args.dp),)
             return (tokenize_packed_rows(tokenizer, seqs),)
         enc = tokenizer(seqs)
         return (jnp.asarray(enc["input_ids"]),

@@ -79,6 +79,73 @@ def make_sharded_mlm_eval_step(esm_cfg: esm2.ESM2Config, mesh,
     return jax.jit(sharded)
 
 
+def make_sharded_packed_mlm_train_step(esm_cfg: esm2.ESM2Config,
+                                       optimizer:
+                                       optax.GradientTransformation,
+                                       mesh, mask_prob: float):
+    """DP over the packed single-side wire (train/packed_engine.
+    tokenize_packed_rows_sharded): int8 rows shard over 'data', segments/
+    positions and per-segment token-dropout ratios derive on device, and
+    the loss stays the TRUE global mean over all shards' masked positions
+    (psum'd (sum, count) terms, exactly like the plain step above). All-pad
+    filler rows on short shards contribute zero terms by construction."""
+    from ..train.packed_engine import derive_segments
+
+    def local_step(lm_head, opt_state, esm_params, ids8, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        ids, seg, pos = derive_segments(ids8)
+        mask = (seg > 0).astype(jnp.int32)
+        masked, labels = mlm.mask_tokens(key, ids, mask, mask_prob)
+
+        def loss_fn(h):
+            s, c = mlm.mlm_loss_terms(esm_params, h, masked, mask, labels,
+                                      esm_cfg, segment_ids=seg,
+                                      positions=pos)
+            s = jax.lax.psum(s, DATA_AXIS)
+            c = jax.lax.psum(c, DATA_AXIS)
+            return s / jnp.maximum(c, 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(lm_head)
+        # pmean, not psum (see make_sharded_mlm_train_step)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, lm_head)
+        return optax.apply_updates(lm_head, updates), opt_state, loss
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        axis_names={DATA_AXIS},
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_packed_mlm_eval_step(esm_cfg: esm2.ESM2Config, mesh,
+                                      mask_prob: float):
+    from ..train.packed_engine import derive_segments
+
+    def local_step(lm_head, esm_params, ids8, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        ids, seg, pos = derive_segments(ids8)
+        mask = (seg > 0).astype(jnp.int32)
+        masked, labels = mlm.mask_tokens(key, ids, mask, mask_prob)
+        s, c = mlm.mlm_loss_terms(esm_params, lm_head, masked, mask, labels,
+                                  esm_cfg, segment_ids=seg, positions=pos)
+        s = jax.lax.psum(s, DATA_AXIS)
+        c = jax.lax.psum(c, DATA_AXIS)
+        return s / jnp.maximum(c, 1.0)
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P()),
+        out_specs=P(),
+        axis_names={DATA_AXIS},
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def shard_arrays(mesh, *arrays):
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     return tuple(jax.device_put(a, sharding) for a in arrays)

@@ -220,6 +220,46 @@ def tokenize_packed_rows(tokenizer: EsmTokenizer, seqs: list[str],
     return jnp.asarray(packed.ids.astype(np.int8))
 
 
+def tokenize_packed_rows_sharded(tokenizer: EsmTokenizer, seqs: list[str],
+                                 n_shards: int,
+                                 row_len: int | None = None) -> jnp.ndarray:
+    """Single-side packed wire dealt over a data mesh: int8
+    (n_shards * r_max, L) rows, shard-major.
+
+    MLM is per-token (no pairing), so unlike ``tokenize_packed_sharded``
+    shards need neither equal sequence counts nor owner maps — sequences
+    deal longest-first into the least-loaded shard (token balance), each
+    shard packs independently, and short shards pad with all-<pad> rows to
+    a common r_max (those rows derive segment id 0 everywhere: zero
+    attention, zero maskable tokens, zero loss terms). Leading axis shards
+    over 'data' (parallel/mlm_step.make_sharded_packed_mlm_train_step)."""
+    encs = [tokenizer.encode(s) for s in seqs]
+    rl = _row_len_for(max(len(e) for e in encs), row_len)
+    clamped = 0
+    for j, e in enumerate(encs):
+        if len(e) > rl:
+            encs[j] = np.concatenate((e[: rl - 1], [EOS_ID]))
+            clamped += 1
+    if clamped:
+        warnings.warn(
+            f"tokenize_packed_rows_sharded: {clamped} sequence(s) longer "
+            f"than row_len={rl} were truncated (eos kept)", stacklevel=2)
+    order = sorted(range(len(encs)), key=lambda i: -len(encs[i]))
+    members: list[list[int]] = [[] for _ in range(n_shards)]
+    load = [0] * n_shards
+    for i in order:
+        s = int(np.argmin(load))
+        members[s].append(i)
+        load[s] += len(encs[i])
+    packs = [pack_sequences([encs[i] for i in m], rl, row_multiple=1).ids
+             if m else np.full((0, rl), PAD_ID) for m in members]
+    r_max = -(-max(max(p.shape[0] for p in packs), 1) // 8) * 8
+    ids = np.full((n_shards, r_max, rl), PAD_ID, np.int8)
+    for s, p in enumerate(packs):
+        ids[s, : p.shape[0]] = p.astype(np.int8)
+    return jnp.asarray(ids.reshape(n_shards * r_max, rl))
+
+
 def _expand_pack(ids8: jnp.ndarray, operm: jnp.ndarray,
                  dump: int) -> dict[str, jnp.ndarray]:
     """Derive int32 ids + segment/position/owner maps for one pack.

@@ -271,6 +271,70 @@ def test_sharded_mlm_step_matches_manual_global_mean(rng, opt_name):
 
 
 @BOTH_OPTS
+def test_sharded_packed_mlm_step_matches_manual_global_mean(rng, opt_name):
+    """DP packed MLM: rows dealt over 'data' (tokenize_packed_rows_sharded)
+    reproduce the manually reconstructed global mean over every shard's
+    masked positions (per-shard fold_in masks, segment-aware loss terms),
+    and the LM-head update matches the single-device equivalent."""
+    import optax
+
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer, PAD_ID
+    from protein_clip_tpu.models import esm2, mlm
+    from protein_clip_tpu.parallel import mesh as mesh_mod
+    from protein_clip_tpu.parallel.mlm_step import (
+        make_sharded_packed_mlm_train_step)
+    from protein_clip_tpu.train.packed_engine import (
+        derive_segments, tokenize_packed_rows_sharded)
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    lm_head = esm2.init_lm_head(jax.random.key(1), esm_cfg)
+    optimizer = _opt(opt_name)
+    opt_state = optimizer.init(lm_head)
+
+    n_dp = 4
+    mesh = mesh_mod.make_mesh(data=n_dp, model=1)
+    host = np.random.default_rng(3)
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    seqs = ["".join(host.choice(aas, int(L)))
+            for L in host.integers(4, 13, 12)]
+    ids8 = tokenize_packed_rows_sharded(EsmTokenizer(), seqs, n_dp,
+                                        row_len=16)
+    # wire sanity: every residue survives the deal (non-pad token count ==
+    # sum of per-sequence tokenized lengths)
+    assert int((np.asarray(ids8) != PAD_ID).sum()) == sum(
+        len(s) + 2 for s in seqs)
+    r_max = ids8.shape[0] // n_dp
+    key = jax.random.key(11)
+
+    step = make_sharded_packed_mlm_train_step(esm_cfg, optimizer, mesh,
+                                              mask_prob=0.3)
+    new_head, _, loss = step(lm_head, opt_state, esm_params, ids8, key)
+
+    def shard_terms(h, i):
+        k = jax.random.fold_in(key, i)
+        ids, seg, pos = derive_segments(ids8[i * r_max:(i + 1) * r_max])
+        mask = (seg > 0).astype(jnp.int32)
+        masked, labels = mlm.mask_tokens(k, ids, mask, 0.3)
+        return mlm.mlm_loss_terms(esm_params, h, masked, mask, labels,
+                                  esm_cfg, segment_ids=seg, positions=pos)
+
+    def global_loss(h):
+        terms = [shard_terms(h, i) for i in range(n_dp)]
+        s = sum(t[0] for t in terms)
+        c = sum(t[1] for t in terms)
+        return s / jnp.maximum(c, 1.0)
+
+    np.testing.assert_allclose(float(loss), float(global_loss(lm_head)),
+                               rtol=1e-5)
+    grads = jax.grad(global_loss)(lm_head)
+    updates, _ = optimizer.update(grads, optimizer.init(lm_head), lm_head)
+    expect_head = optax.apply_updates(lm_head, updates)
+    for a, b in zip(jax.tree.leaves(new_head), jax.tree.leaves(expect_head)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+@BOTH_OPTS
 def test_sharded_packed_step_matches_packed(rng, opt_name):
     """Packed rows on a DP mesh: the sharded packed step must match the
     single-device packed step at equal global batch (loss is invariant to
