@@ -68,9 +68,6 @@ def main(argv=None) -> int:
     lora_rank = getattr(args, "lora_rank", 0)
     if finetuning and lora_rank:
         raise SystemExit("--finetune and --lora-rank are mutually exclusive")
-    if args.dp > 1 and (finetuning or lora_rank):
-        raise SystemExit("MLM --finetune/--lora-rank are single-chip for "
-                         "now (drop --dp)")
 
     def _masked_loss(esm_p, head, arrs, key, remat=False):
         """Masked CE over one batch — plain (ids, mask) or packed (ids8,)
@@ -137,22 +134,40 @@ def main(argv=None) -> int:
                 lambda path, _: str(getattr(path[0], "key", "head")), t)))
         opt_state = optimizer.init(trainable)
 
-        @jax.jit
-        def train_step(trainable, opt_state, esm_p, arrs, key):
-            def loss_of(t):
-                return _masked_loss(esm_view(t, esm_p), t["head"], arrs,
-                                    key, remat=True)
+        if args.dp > 1:
+            # continued pretraining over the data mesh: psum'd global-mean
+            # CE, pmean'd trainable grads; plain or packed wire
+            # (parallel/mlm_step.make_sharded_mlm_finetune_step)
+            from ..parallel import mesh as mesh_mod
+            from ..parallel.mlm_step import (
+                make_sharded_mlm_finetune_eval_step,
+                make_sharded_mlm_finetune_step)
+            mesh = mesh_mod.make_mesh(data=args.dp, model=1)
+            _ts = make_sharded_mlm_finetune_step(
+                esm_cfg, optimizer, mesh, args.mask_prob, esm_view,
+                packed=args.packed)
+            _es = make_sharded_mlm_finetune_eval_step(
+                esm_cfg, mesh, args.mask_prob, esm_view,
+                packed=args.packed)
+            train_step = lambda t, o, e, arrs, k: _ts(t, o, e, *arrs, k)
+            eval_step = lambda t, e, arrs, k: _es(t, e, *arrs, k)
+        else:
+            @jax.jit
+            def train_step(trainable, opt_state, esm_p, arrs, key):
+                def loss_of(t):
+                    return _masked_loss(esm_view(t, esm_p), t["head"],
+                                        arrs, key, remat=True)
 
-            loss, grads = jax.value_and_grad(loss_of)(trainable)
-            updates, opt_state = optimizer.update(grads, opt_state,
-                                                  trainable)
-            return (optax.apply_updates(trainable, updates), opt_state,
-                    loss)
+                loss, grads = jax.value_and_grad(loss_of)(trainable)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      trainable)
+                return (optax.apply_updates(trainable, updates), opt_state,
+                        loss)
 
-        @jax.jit
-        def eval_step(trainable, esm_p, arrs, key):
-            return _masked_loss(esm_view(trainable, esm_p),
-                                trainable["head"], arrs, key)
+            @jax.jit
+            def eval_step(trainable, esm_p, arrs, key):
+                return _masked_loss(esm_view(trainable, esm_p),
+                                    trainable["head"], arrs, key)
 
         lm_head = trainable
     elif args.dp > 1:

@@ -550,6 +550,26 @@ def test_mlm_packed_dp_entry(workdir, trained_run):
     assert (run / "best_model.npz").exists()
 
 
+def test_mlm_lora_packed_dp_entry(workdir, trained_run):
+    """--lora-rank --packed --dp 2 MLM: continued pretraining over the data
+    mesh with adapters and packed rows composed (exact parity in
+    tests/test_parallel.py::test_sharded_mlm_finetune_step_matches_manual)."""
+    from protein_clip_tpu.cli.mlm_train import main
+    rc = main(TINY + [
+        "--epochs", "1", "--batch-size", "4", "--mask-prob", "0.2",
+        "--data-dir", "data", "--prefix-a", "protein1",
+        "--prefix-b", "protein2", "--runs-dir", "runs_mlm_lora_dp",
+        "--packed", "--dp", "2", "--lora-rank", "2",
+    ])
+    assert rc == 0
+    run = sorted(Path("runs_mlm_lora_dp").iterdir())[-1]
+    csv = (run / "losses_per_epoch.txt").read_text().strip().split("\n")
+    _, tr, va = csv[1].split(",")
+    assert np.isfinite(float(tr)) and np.isfinite(float(va))
+    ckpt = np.load(run / "best_model.npz")
+    assert any(k.startswith("lora/") for k in ckpt.files)
+
+
 def test_lora_training_entry(workdir, trained_run, capsys):
     """--lora-rank through the real CLI: adapters train against the frozen
     base, best_model.npz carries {lora, heads}, and topk auto-detects it

@@ -334,6 +334,98 @@ def test_sharded_packed_mlm_step_matches_manual_global_mean(rng, opt_name):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
+@pytest.mark.parametrize("mode", ["finetune", "lora_packed"])
+def test_sharded_mlm_finetune_step_matches_manual(rng, mode):
+    """DP MLM continued pretraining: the masked-CE gradient reaches the
+    backbone (f32-master view) or the LoRA adapters (merge view) across
+    the data mesh, matching the manually reconstructed global-mean loss
+    and single-device optimizer step — both wires (plain / packed)."""
+    import optax
+
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import esm2, mlm
+    from protein_clip_tpu.parallel import mesh as mesh_mod
+    from protein_clip_tpu.parallel.mlm_step import (
+        make_sharded_mlm_finetune_step)
+    from protein_clip_tpu.train.packed_engine import (
+        derive_segments, tokenize_packed_rows_sharded)
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    lm_head = esm2.init_lm_head(jax.random.key(1), esm_cfg)
+    packed = mode == "lora_packed"
+
+    if packed:
+        from protein_clip_tpu.train import lora as lora_mod
+        targets = lora_mod.ATTN_TARGETS
+        alpha = lora_mod.default_alpha(4)
+        trainable = {
+            "lora": lora_mod.init_lora(jax.random.key(2), esm_params, 4,
+                                       targets),
+            "head": lm_head}
+        esm_view = lambda t, e: lora_mod.merge_lora(e, t["lora"], alpha)
+    else:
+        from protein_clip_tpu.train.finetune import _cast_esm, init_params
+        trainable = {"esm": init_params(esm_params, {})["esm"],
+                     "head": lm_head}
+        esm_view = lambda t, _e: _cast_esm(t["esm"], esm_cfg.compute_dtype)
+
+    optimizer = optax.sgd(1e-2)
+    n_dp = 4
+    mesh = mesh_mod.make_mesh(data=n_dp, model=1)
+    key = jax.random.key(21)
+    host = np.random.default_rng(5)
+
+    if packed:
+        aas = list("LAGVSERTIDPKQNFYMHWC")
+        seqs = ["".join(host.choice(aas, int(L)))
+                for L in host.integers(4, 13, 12)]
+        arrs = (tokenize_packed_rows_sharded(EsmTokenizer(), seqs, n_dp,
+                                             row_len=16),)
+        r_max = arrs[0].shape[0] // n_dp
+
+        def shard_inputs(i):
+            ids, seg, pos = derive_segments(
+                arrs[0][i * r_max:(i + 1) * r_max])
+            return ids, (seg > 0).astype(jnp.int32), seg, pos
+    else:
+        B, T = 8, 16
+        ids_all = jnp.asarray(host.integers(4, 24, (B, T)), jnp.int32)
+        mask_all = jnp.ones((B, T), jnp.int32)
+        arrs = (ids_all, mask_all)
+        shard = B // n_dp
+
+        def shard_inputs(i):
+            return (ids_all[i * shard:(i + 1) * shard],
+                    mask_all[i * shard:(i + 1) * shard], None, None)
+
+    step = make_sharded_mlm_finetune_step(esm_cfg, optimizer, mesh, 0.3,
+                                          esm_view, packed=packed)
+    new_t, _, loss = step(trainable, optimizer.init(trainable), esm_params,
+                          *arrs, key)
+
+    def global_loss(t):
+        s_all, c_all = 0.0, 0.0
+        for i in range(n_dp):
+            k = jax.random.fold_in(key, i)
+            ids, mask, seg, pos = shard_inputs(i)
+            masked, labels = mlm.mask_tokens(k, ids, mask, 0.3)
+            s, c = mlm.mlm_loss_terms(esm_view(t, esm_params), t["head"],
+                                      masked, mask, labels, esm_cfg,
+                                      segment_ids=seg, positions=pos)
+            s_all, c_all = s_all + s, c_all + c
+        return s_all / jnp.maximum(c_all, 1.0)
+
+    np.testing.assert_allclose(float(loss), float(global_loss(trainable)),
+                               rtol=1e-5)
+    grads = jax.grad(global_loss)(trainable)
+    updates, _ = optimizer.update(grads, optimizer.init(trainable),
+                                  trainable)
+    expect = optax.apply_updates(trainable, updates)
+    for a, b in zip(jax.tree.leaves(new_t), jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+
+
 @BOTH_OPTS
 def test_sharded_packed_step_matches_packed(rng, opt_name):
     """Packed rows on a DP mesh: the sharded packed step must match the
