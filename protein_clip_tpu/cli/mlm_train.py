@@ -40,7 +40,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel devices (parallel/mlm_step.py): "
                         "batch shards over the 'data' mesh axis, loss and "
-                        "LM-head grads psum over ICI")
+                        "grads reduce over ICI; composes with --packed "
+                        "(rows dealt per shard) and with "
+                        "--finetune/--lora-rank (trainable grads pmean'd)")
     return p
 
 
