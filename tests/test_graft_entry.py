@@ -36,6 +36,10 @@ def test_dryrun_multichip_reexec_path(tmp_path):
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        env=env, cwd=repo, capture_output=True, text=True, timeout=1200)
+        # 11 checks x concurrent-pytest load: the 10-check run took ~450s
+        # standalone and timed out at 600s under a loaded host — keep
+        # headroom proportional (do NOT run concurrent suites).
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1800)
     assert proc.returncode == 0, proc.stderr
     assert "FILIP token-gather DP" in proc.stdout
+    assert "MLM unfrozen finetune over 8-way DP" in proc.stdout
