@@ -138,13 +138,54 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
                 ldr, tokenizer,
                 similarity_fn(*_eval_view(best_params), mcfg, tokenizer))
 
-    engine = None
-    if finetuning:
-        from ..train import finetune as engine
-    elif lora_rank:
-        from ..train import lora as engine
+    dp, tp, pp = common.resolve_mesh_shape(args)
+    mesh_engine = None
+    if dp * tp * pp > 1:
+        if args.no_gradcache:
+            raise SystemExit(
+                "mesh training (--dp/--tp/--pp) drives the global-batch "
+                "gradcache path (drop --no-gradcache)")
+        if args.batch_size % dp:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by "
+                f"--dp {dp} (val/test batches shard over the data axis)")
+        if args.packed and getattr(args, "pack_tiers", 1) > 1:
+            raise SystemExit("mesh --packed training supports flat packing "
+                             "only (drop --pack-tiers)")
+        if cfg.length_groups > 1:
+            # the sharded steps take single-bucket or --packed batches;
+            # grouping already offers less than packing everywhere
+            import dataclasses
+            print("[mesh] --length-groups ignored under a mesh "
+                  "(use --packed for padding-waste cuts)")
+            cfg = dataclasses.replace(cfg, length_groups=1)
+        from ..parallel.engine import make_mesh_engine
+        mode = ("finetune" if finetuning
+                else "lora" if lora_rank else "frozen")
+        try:
+            mesh_engine = make_mesh_engine(
+                data=dp, model=tp, stages=pp, arch="clip", mode=mode,
+                packed=cfg.packed,
+                num_microbatches=getattr(args, "pp_microbatches", None))
+        except ValueError as e:
+            raise SystemExit(str(e))
+        print(f"[mesh] training over {dict(mesh_engine.mesh.shape)} "
+              f"(negatives span the global batch {cfg.global_batch})")
+
+    engine = mesh_engine
+    if engine is None:
+        if finetuning:
+            from ..train import finetune as engine
+        elif lora_rank:
+            from ..train import lora as engine
+    # PP/TP re-place the frozen backbone for stepping (staged layer layout /
+    # Megatron splits); viz + eval views keep the original esm_params
+    step_esm = (mesh_engine.prepare_esm(esm_params) if mesh_engine
+                else esm_params)
+    if mesh_engine is not None:
+        params = mesh_engine.prepare_params(params)
     result = loop.fit(
-        run_dir, cfg, params, esm_params, train_loader, val_loader, tokenizer,
+        run_dir, cfg, params, step_esm, train_loader, val_loader, tokenizer,
         args.epochs, rng=rng, use_gradcache=not args.no_gradcache,
         test_loader=test_loader, epoch_hook=epoch_hook, resume=resume,
         engine=engine)

@@ -115,6 +115,48 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "and continue (appends to its CSV)")
 
 
+def add_mesh_args(p: argparse.ArgumentParser) -> None:
+    """Multi-chip mesh flags for the flagship training entries.
+
+    The defaults keep the single-device path byte-identical; on a pod,
+    --dp 0 takes every chip not claimed by --tp/--pp. Losses at equal
+    global batch match the single-device run exactly (the sharded steps'
+    parity contract, tests/test_cli_mesh.py)."""
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh axis: batch shards over 'data', "
+                        "embeddings all-gather over ICI so InfoNCE "
+                        "negatives span the global batch "
+                        "(parallel/step.py). 0 = auto: "
+                        "jax.device_count() // (tp * pp). Composes with "
+                        "--packed, --finetune, --lora-rank")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel axis: Megatron column/row splits "
+                        "on the backbone over a GSPMD 'model' axis "
+                        "(parallel/sharding.py; for t36_3B+ backbones). "
+                        "Unpacked batches only; attention falls back to "
+                        "the eager einsum (GSPMD cannot split the Pallas "
+                        "custom call)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline stages: GPipe lockstep over a 'stage' "
+                        "axis, each chip holding 1/pp of the backbone "
+                        "layers (parallel/pipeline.py; the memory play for "
+                        "t48-class backbones). Frozen unpacked CLIP only")
+    p.add_argument("--pp-microbatches", type=int, default=None,
+                   help="with --pp: microbatches per step (default "
+                        "max(2*pp, --num-chunks); bubble fraction = "
+                        "(pp-1)/(M+pp-1))")
+
+
+def resolve_mesh_shape(args) -> tuple[int, int, int]:
+    """(dp, tp, pp) with --dp 0 resolved to the leftover device count."""
+    dp = getattr(args, "dp", 1)
+    tp = getattr(args, "tp", 1)
+    pp = getattr(args, "pp", 1)
+    if dp == 0:
+        dp = max(1, jax.device_count() // (tp * pp))
+    return dp, tp, pp
+
+
 def esm_config(name: str, dtype_name: str) -> esm2.ESM2Config:
     # int8 quantises the weights (load_esm); activations stay bf16.
     # getattr keeps this in lockstep with the ESM2Config family constructors

@@ -16,6 +16,7 @@ from ._clip_runner import run_clip_training
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     common.add_common_args(p)
+    common.add_mesh_args(p)
     p.add_argument("--epochs", type=int, default=20)   # main_2protein.py:45
     p.add_argument("--accumulated-batches", type=int, default=16)
     p.add_argument("--no-gradcache", action="store_true")

@@ -24,6 +24,7 @@ from ..viz import plots
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     common.add_common_args(p)
+    common.add_mesh_args(p)
     p.set_defaults(batch_size=10)                 # main_2protein_filip.py:33
     # At the reference's bs 10 neither backbone chunking nor length groups
     # pay off; when scaling --batch-size into the hundreds, raise both
@@ -155,13 +156,51 @@ def main(argv=None) -> int:
                 filip_similarity_viz(*_eval_view(best_params), mcfg,
                                      tokenizer))
 
-    engine = filip_engine
-    if finetuning:
-        from ..train import filip_finetune as engine
-    elif lora_rank:
-        from ..train import filip_lora as engine
+    dp, tp, pp = common.resolve_mesh_shape(args)
+    mesh_engine = None
+    if dp * tp * pp > 1:
+        if args.batch_size % dp:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by "
+                f"--dp {dp} (batches shard over the data axis; the "
+                f"reference default 10 wants e.g. --batch-size 16)")
+        if args.packed and args.pack_tiers > 1:
+            raise SystemExit("mesh --packed training supports flat packing "
+                             "only (drop --pack-tiers)")
+        if args.packed and cfg.scatter_tiers > 1:
+            # the sharded packed FILIP step assembles flat (B_local, L, D)
+            # token buffers; scatter tiers are a single-chip perf knob
+            import dataclasses
+            print("[mesh] --scatter-tiers ignored under a mesh "
+                  "(flat token buffers per shard)")
+            cfg = dataclasses.replace(cfg, scatter_tiers=1)
+        if cfg.length_groups > 1:
+            import dataclasses
+            print("[mesh] --length-groups ignored under a mesh "
+                  "(use --packed for padding-waste cuts)")
+            cfg = dataclasses.replace(cfg, length_groups=1)
+        from ..parallel.engine import make_mesh_engine
+        mode = ("finetune" if finetuning
+                else "lora" if lora_rank else "frozen")
+        try:
+            mesh_engine = make_mesh_engine(
+                data=dp, model=tp, stages=pp, arch="filip", mode=mode,
+                packed=cfg.packed)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        print(f"[mesh] FILIP training over {dict(mesh_engine.mesh.shape)} "
+              f"(token-level negatives span batch {cfg.batch_size})")
+
+    engine = mesh_engine or filip_engine
+    if mesh_engine is None:
+        if finetuning:
+            from ..train import filip_finetune as engine
+        elif lora_rank:
+            from ..train import filip_lora as engine
+    step_esm = (mesh_engine.prepare_esm(esm_params) if mesh_engine
+                else esm_params)
     result = loop.fit(
-        run_dir, cfg, params, esm_params, train_loader, val_loader, tokenizer,
+        run_dir, cfg, params, step_esm, train_loader, val_loader, tokenizer,
         args.epochs, rng=rng, use_gradcache=False, test_loader=test_loader,
         epoch_hook=epoch_hook, engine=engine, resume=resume)
 

@@ -395,15 +395,23 @@ def _accumulate(loader: Iterable, n: int):
 
 
 def train_gc(params, opt_state, esm_params, loader, tokenizer, step_fn,
-             cfg: EngineConfig, rng) -> tuple[Params, Any, float]:
+             cfg: EngineConfig, rng, prepare=None
+             ) -> tuple[Params, Any, float]:
     """One epoch of global-batch training. Returns (params, opt_state, mean loss).
 
     Tokenization + host->device transfer run on a background thread two
     batches ahead (data/prefetch.py), overlapping device compute.
+
+    prepare: optional (peps, recs) -> device batch override — mesh engines
+    supply the sharded wire (parallel/engine.MeshEngine.make_prepare);
+    None keeps the cfg-driven packed/grouped/plain dispatch.
     """
     from ..data.prefetch import prefetch_to_device
 
-    if cfg.packed:
+    if prepare is not None:
+        _user_prepare = prepare
+        prepare = lambda pr: _user_prepare(pr[0], pr[1])
+    elif cfg.packed:
         from .packed_engine import tokenize_packed
         prepare = lambda pr: tokenize_packed(tokenizer, pr[0], pr[1],
                                              tiers=cfg.packed_tiers,
@@ -433,20 +441,22 @@ def train_gc(params, opt_state, esm_params, loader, tokenizer, step_fn,
 
 
 def train_plain(params, opt_state, esm_params, loader, tokenizer, step_fn,
-                rng, cfg: EngineConfig | None = None
+                rng, cfg: EngineConfig | None = None, prepare=None
                 ) -> tuple[Params, Any, float]:
     """Per-sub-batch training (reference train(), training_utils.py:7-28).
 
     With cfg.length_groups > 1 each batch tokenizes length-grouped, with
     cfg.packed sequence-packed (FILIP padding-waste cuts — the step must
     come from the matching make_train_step). Losses stay on device until
-    the epoch ends (see train_gc)."""
+    the epoch ends (see train_gc). prepare: see train_gc."""
     groups = cfg.length_groups if cfg is not None else 1
     packed = cfg.packed if cfg is not None else False
     losses = []
     for peps, recs in loader:
         rng, sub = jax.random.split(rng)
-        if packed:
+        if prepare is not None:
+            batch = prepare(peps, recs)
+        elif packed:
             from .packed_engine import tokenize_packed
             batch = tokenize_packed(
                 tokenizer, peps, recs,
@@ -464,15 +474,18 @@ def train_plain(params, opt_state, esm_params, loader, tokenizer, step_fn,
 
 
 def evaluate(params, esm_params, loader, tokenizer, eval_step,
-             cfg: EngineConfig | None = None) -> float:
+             cfg: EngineConfig | None = None, prepare=None) -> float:
     """Mean per-batch loss (reference evaluate(), training_utils.py:30-49).
 
     With cfg, batches tokenize the way the matching eval_step expects
-    (packed / grouped / plain — the train_plain dispatch). An empty loader
-    (dataset smaller than batch_size with drop_last) returns NaN rather
-    than a silent 0.0 — the reference would ZeroDivisionError.
+    (packed / grouped / plain — the train_plain dispatch); prepare
+    overrides that dispatch (see train_gc). An empty loader (dataset
+    smaller than batch_size with drop_last) returns NaN rather than a
+    silent 0.0 — the reference would ZeroDivisionError.
     """
-    if cfg is not None and cfg.packed:
+    if prepare is not None:
+        pass
+    elif cfg is not None and cfg.packed:
         from .packed_engine import tokenize_packed
         prepare = lambda p, r: tokenize_packed(tokenizer, p, r,
                                                tiers=cfg.packed_tiers,

@@ -94,6 +94,11 @@ def fit(
     opt_state = optimizer.init(params)
     train_step = engine.make_train_step(cfg, optimizer)
     eval_step = engine.make_eval_step(cfg)
+    # mesh engines (parallel/engine.py) own their wire format: the packed
+    # DP path deals pairs to shards on the host, and leaves are placed
+    # with their mesh shardings before the step sees them
+    prepare = (engine.make_prepare(cfg, tokenizer)
+               if hasattr(engine, "make_prepare") else None)
 
     losses_path = run_dir / "losses_per_epoch.txt"
     metrics_path = run_dir / "metrics.jsonl"
@@ -139,13 +144,14 @@ def fit(
             if use_gradcache:
                 params, opt_state, train_loss = clip_engine.train_gc(
                     params, opt_state, esm_params, train_loader, tokenizer,
-                    train_step, cfg, erng)
+                    train_step, cfg, erng, prepare=prepare)
             else:
                 params, opt_state, train_loss = clip_engine.train_plain(
                     params, opt_state, esm_params, train_loader, tokenizer,
-                    train_step, erng, cfg)
+                    train_step, erng, cfg, prepare=prepare)
             val_loss = clip_engine.evaluate(params, esm_params, val_loader,
-                                            tokenizer, eval_step, cfg)
+                                            tokenizer, eval_step, cfg,
+                                            prepare=prepare)
             train_losses.append(train_loss)
             val_losses.append(val_loss)
             f.write(f"{epoch + 1},{train_loss:.4f},{val_loss:.4f}\n")
@@ -178,7 +184,8 @@ def fit(
     test_loss = None
     if test_loader is not None:
         test_loss = clip_engine.evaluate(best_params, esm_params, test_loader,
-                                         tokenizer, eval_step, cfg)
+                                         tokenizer, eval_step, cfg,
+                                         prepare=prepare)
         log(f"Test Loss: {test_loss:.4f}")
 
     return FitResult(train_losses, val_losses, best_val, best_params, params,
