@@ -138,7 +138,14 @@ def _scatter_side(x, pk, stiers, n_seqs: int, emb_dim: int):
 def _sim_from_tiers(tiers_pep, tiers_rec, t, sim_fn, n_seqs: int):
     """(sim_a, sim_b) (n_seqs, n_seqs) from per-side tier lists of
     (tokens (B_t, W_t, D), mask (B_t, W_t), operm-or-None)."""
-    if len(tiers_pep) == 1 and len(tiers_rec) == 1:
+    if (len(tiers_pep) == 1 and len(tiers_rec) == 1
+            and tiers_pep[0][2] is None and tiers_rec[0][2] is None):
+        # flat path only: a single SCATTER tier still carries an operm
+        # whose count pads to a multiple of 8 with the sentinel n_seqs —
+        # its raw (B_t, B_t) matrix holds permuted rows plus phantom
+        # all-masked rows, so it must go through the assembly below
+        # (caught by the batch-4 CLI mesh parity test: the shortcut
+        # returned an (8, 8) loss for a 4-pair batch)
         (ha, mask_a, _), (hb, mask_b, _) = tiers_pep[0], tiers_rec[0]
         return sim_fn(ha, hb, mask_a, mask_b, t)
     # Assemble into an (n+1, n+1) buffer and slice: scatter-tier operms pad

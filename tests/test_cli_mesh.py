@@ -127,6 +127,19 @@ def test_filip_dp_packed(workdir, filip_baseline):
                   filip_baseline)
 
 
+def test_filip_finetune_dp(workdir):
+    base = _losses(["--finetune"], entry="filip")
+    _assert_close(_losses(["--finetune", "--dp", "2"], entry="filip"), base)
+
+
+def test_filip_lora_dp_packed(workdir):
+    # packed FILIP LoRA: the mesh path downgrades scatter-tiers to flat
+    # (loss-exact rearrangement) and deals packs per shard
+    base = _losses(["--lora-rank", "2", "--packed"], entry="filip")
+    _assert_close(_losses(["--lora-rank", "2", "--packed", "--dp", "2"],
+                          entry="filip"), base)
+
+
 def test_filip_mesh_rejects_odd_batch(workdir):
     from protein_clip_tpu.cli.main_2protein_filip import main
     with pytest.raises(SystemExit):
