@@ -37,7 +37,8 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
         args.runs_dir)
     print(f"All run info will be saved to {run_dir}")
 
-    esm_cfg = common.esm_config(args.esm_config, args.esm_dtype)
+    esm_cfg = common.esm_config(args.esm_config, args.esm_dtype,
+                                fast_gelu=args.fast_gelu)
     esm_params = common.load_esm(args, esm_cfg)
     tokenizer = common.make_tokenizer()
 

@@ -45,6 +45,14 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--esm-weights", default=None,
                    help="npz from tools/convert_esm_weights.py, or an HF "
                         "model dir; omit for random init (smoke runs)")
+    p.add_argument("--fast-gelu", action="store_true",
+                   help="tanh-approx FFN gelu in the backbone: +4.3% step "
+                        "throughput measured at t30_150M (903 vs 866 "
+                        "pairs/s), token cosine drift vs exact erf 5e-8 at "
+                        "full 30-layer depth — ~2000x below bf16 compute "
+                        "noise (docs/PERF.md). Default stays exact-erf for "
+                        "HF parity; use this as the serving/throughput "
+                        "profile when 4%% matters")
     p.add_argument("--esm-dtype", default="bfloat16",
                    choices=["bfloat16", "float32", "int8"],
                    help="int8 = post-training w8a8 quantised backbone "
@@ -157,12 +165,14 @@ def resolve_mesh_shape(args) -> tuple[int, int, int]:
     return dp, tp, pp
 
 
-def esm_config(name: str, dtype_name: str) -> esm2.ESM2Config:
+def esm_config(name: str, dtype_name: str,
+               fast_gelu: bool = False) -> esm2.ESM2Config:
     # int8 quantises the weights (load_esm); activations stay bf16.
     # getattr keeps this in lockstep with the ESM2Config family constructors
     # (a hand-rolled dict here once missed t48_15B -> KeyError at runtime).
     dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
-    return getattr(esm2.ESM2Config, name)(compute_dtype=dtype)
+    return getattr(esm2.ESM2Config, name)(
+        compute_dtype=dtype, gelu="tanh" if fast_gelu else "erf")
 
 
 def load_clip_checkpoint(path, mcfg, esm_params):

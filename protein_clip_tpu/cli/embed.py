@@ -37,8 +37,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "cosines (visualizations.py:38-52 de-scaling)")
     p.add_argument("--filip", action="store_true",
                    help="token-level index for a FILIP checkpoint: writes "
-                        "{ids, tokens (N,T,D), mask (N,T)} for "
-                        "late-interaction retrieval (retrieve --filip)")
+                        "a RAGGED {ids, tokens (sum_L, D), lengths (N,)} "
+                        "npz (length-sorted rows, trimmed to true length) "
+                        "for late-interaction retrieval (retrieve --filip)")
     return p
 
 
@@ -134,6 +135,40 @@ def embed_sequences_tokens(params, esm_params, seqs, side, fcfg, tokenizer,
     return out_t, out_m
 
 
+def embed_sequences_tokens_ragged(params, esm_params, seqs, side, fcfg,
+                                  tokenizer, batch_size: int = 64):
+    """FILIP token-level encode, RAGGED: -> (flat (sum_L, D) float32,
+    lengths (N,) int32), rows trimmed to each sequence's true token length
+    and concatenated in input order.
+
+    This is the bulk-index path: the dense ``embed_sequences_tokens``
+    materialises (N, T_max, D) on host, so ONE long outlier in a large
+    FASTA pads every row to its length (1M seqs at T=512, D=128 is ~260 GB
+    — ADVICE r3). Ragged storage is the true data size; consumers densify
+    per column block (eval/retrieval.filip_score_matrix_ragged).
+    """
+    import jax.numpy as jnp
+
+    order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
+    encode = _encode_tokens_fn(side, fcfg)
+    rows: list[np.ndarray | None] = [None] * len(seqs)
+    lengths = np.zeros(len(seqs), np.int32)
+    for start in range(0, len(order), batch_size):
+        idx = order[start:start + batch_size]
+        enc = tokenizer([seqs[i] for i in idx])
+        ids = jnp.asarray(enc["input_ids"].astype(np.int8))
+        toks, mask = encode(params, esm_params, ids)
+        toks = np.asarray(toks, np.float32)
+        mask = np.asarray(mask, np.int8)
+        for row, i in enumerate(idx):
+            true_len = int(mask[row].sum())
+            rows[i] = toks[row, :true_len]
+            lengths[i] = true_len
+    flat = (np.concatenate(rows, axis=0) if rows
+            else np.zeros((0, fcfg.embedding_dim), np.float32))
+    return flat, lengths
+
+
 def embed_sequences(params, esm_params, seqs, side, mcfg, tokenizer,
                     batch_size: int = 64, pad_batch: bool = False):
     """Encode sequences -> (N, D) float32, length-sorted internally so each
@@ -173,7 +208,8 @@ def embed_sequences(params, esm_params, seqs, side, mcfg, tokenizer,
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     prng.set_seed(args.seed)
-    esm_cfg = common.esm_config(args.esm_config, args.esm_dtype)
+    esm_cfg = common.esm_config(args.esm_config, args.esm_dtype,
+                                fast_gelu=args.fast_gelu)
     esm_params = common.load_esm(args, esm_cfg)
     tokenizer = common.make_tokenizer()
     mcfg = clip.CLIPConfig(
@@ -195,12 +231,19 @@ def main(argv=None) -> int:
             input_dim=esm_cfg.hidden_size, embedding_dim=args.embedding_dim,
             h1=args.h1, h2=args.h2, dropout=args.dropout,
             activation=args.activation, esm=esm_cfg)
-        tokens, mask = embed_sequences_tokens(
+        # Ragged index: rows trimmed to true length (host RAM = data size,
+        # not N x global-max — ADVICE r3), stored length-sorted so the
+        # scorer's densified column blocks stay tight and few-shaped.
+        order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
+        ids = [ids[i] for i in order]
+        seqs = [seqs[i] for i in order]
+        flat, lengths = embed_sequences_tokens_ragged(
             params, esm_params, seqs, args.side, fcfg, tokenizer,
             batch_size=args.batch_size)
-        np.savez(args.out, ids=np.asarray(ids), tokens=tokens, mask=mask)
-        print(f"wrote {len(ids)} x {tokens.shape[1]} x {tokens.shape[2]} "
-              f"token embeddings to {args.out}")
+        np.savez(args.out, ids=np.asarray(ids), tokens=flat,
+                 lengths=lengths)
+        print(f"wrote {len(ids)} ragged token embeddings "
+              f"({flat.shape[0]} x {flat.shape[1]} total) to {args.out}")
         return 0
     emb = embed_sequences(params, esm_params, seqs, args.side, mcfg,
                           tokenizer, batch_size=args.batch_size)

@@ -52,7 +52,8 @@ def main(argv=None) -> int:
     run_dir = rundir.make_run_dir(args.runs_dir)
     print(f"All run info will be saved to {run_dir}")
 
-    esm_cfg = common.esm_config(args.esm_config, args.esm_dtype)
+    esm_cfg = common.esm_config(args.esm_config, args.esm_dtype,
+                                fast_gelu=args.fast_gelu)
     esm_params = common.load_esm(args, esm_cfg)
     tokenizer = common.make_tokenizer()
     rng, hk = jax.random.split(rng)

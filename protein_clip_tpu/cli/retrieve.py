@@ -17,7 +17,7 @@ dot product the training loss ranks by; pass --raw-cosine at BOTH embed and
 retrieve time for raw cosines).
 
 FILIP checkpoints retrieve by late interaction: build the index with
-``embed --filip`` (token-level {ids, tokens, mask}) and pass ``--filip``
+``embed --filip`` (ragged token-level {ids, tokens, lengths}) and pass ``--filip``
 here — scores are the direction-averaged token max-sim through the fused
 kernel, the ColBERT-style pattern the pooled path cannot express.
 """
@@ -58,7 +58,7 @@ def build_argparser() -> argparse.ArgumentParser:
                         "scores are raw mean-max cosines")
     p.add_argument("--filip", action="store_true",
                    help="late-interaction retrieval against a token-level "
-                        "index from `embed --filip` ({ids, tokens, mask}); "
+                        "index from `embed --filip` ({ids, tokens, lengths}); "
                         "scores are direction-averaged FILIP max-sim "
                         "through the fused kernel")
     return p
@@ -67,7 +67,8 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     prng.set_seed(args.seed)
-    esm_cfg = common.esm_config(args.esm_config, args.esm_dtype)
+    esm_cfg = common.esm_config(args.esm_config, args.esm_dtype,
+                                fast_gelu=args.fast_gelu)
     esm_params = common.load_esm(args, esm_cfg)
     tokenizer = common.make_tokenizer()
     mcfg = clip.CLIPConfig(
@@ -90,13 +91,18 @@ def main(argv=None) -> int:
 
         if "tokens" not in index:
             raise ValueError("--filip needs a token-level index from "
-                             "`embed --filip` ({ids, tokens, mask}); this "
-                             "index holds pooled embeddings")
+                             "`embed --filip` ({ids, tokens, lengths}); "
+                             "this index holds pooled embeddings")
         corpus_t = np.asarray(index["tokens"], np.float32)
-        corpus_m = np.asarray(index["mask"], np.int32)
-        if corpus_t.shape[2] != mcfg.embedding_dim:
+        # ragged {tokens (sum_L, D), lengths} (what embed --filip writes)
+        # or a legacy dense {tokens (N, T, D), mask} index
+        corpus_lens = (np.asarray(index["lengths"], np.int32)
+                       if "lengths" in index else None)
+        corpus_m = (np.asarray(index["mask"], np.int32)
+                    if "mask" in index else None)
+        if corpus_t.shape[-1] != mcfg.embedding_dim:
             raise ValueError(
-                f"index token dim {corpus_t.shape[2]} != model "
+                f"index token dim {corpus_t.shape[-1]} != model "
                 f"--embedding-dim {mcfg.embedding_dim}")
         fcfg = filip.FILIPConfig(
             input_dim=esm_cfg.hidden_size, embedding_dim=args.embedding_dim,
@@ -105,10 +111,22 @@ def main(argv=None) -> int:
         q_t, q_m = embed_sequences_tokens(
             params, esm_params, [r[1] for r in records], args.side, fcfg,
             tokenizer, batch_size=args.batch_size)
-        sim = filip_score_matrix(q_t, q_m.astype(np.int32), corpus_t,
-                                 corpus_m, params["temperature"])
+        if corpus_lens is not None:
+            from ..eval.retrieval import filip_score_matrix_ragged
+
+            sim = filip_score_matrix_ragged(q_t, q_m.astype(np.int32),
+                                            corpus_t, corpus_lens,
+                                            params["temperature"])
+        else:
+            sim = filip_score_matrix(q_t, q_m.astype(np.int32), corpus_t,
+                                     corpus_m, params["temperature"])
         if args.raw_cosine:
-            sim = sim * float(params["temperature"])
+            # multiply by the SAME clamped scalar the fused kernel divides
+            # by (ops/filip_pallas.py): raw params["temperature"] would give
+            # wrong sign/scale if training drove t <= 0
+            from ..ops.filip_pallas import clamped_temperature
+
+            sim = sim * clamped_temperature(params["temperature"])
         k = min(args.k, len(corpus_ids))
         idx = np.argsort(-sim, axis=1)[:, :k]
         scores = np.take_along_axis(sim, idx, axis=1)

@@ -28,7 +28,9 @@ API (all JSON):
 
 With ``--filip`` (a FILIP checkpoint + an `embed --filip` token index):
 /embed returns token-level embeddings — JSON {"tokens", "lengths"} or
-binary (X-Shape N,T,D + X-Lengths; pads are a row suffix) — and /topk
+binary (X-Shape N,T,D; per-row true lengths as an int32 body prefix
+declared by X-Prefix-Len, since a header line caps at 64 KiB; pads are
+a row suffix) — and /topk
 ranks by direction-averaged late-interaction max-sim through the fused
 kernel, the online ColBERT-style serving path.
 
@@ -73,7 +75,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="best_model.npz from a training run")
     p.add_argument("--index", default=None,
                    help="npz from cli.embed ({ids, embeddings}; with "
-                        "--filip a token-level {ids, tokens, mask} index "
+                        "--filip a ragged token-level {ids, tokens, lengths} "
                         "from `embed --filip`); enables /topk")
     p.add_argument("--filip", action="store_true",
                    help="serve a FILIP checkpoint: /embed returns token-"
@@ -103,7 +105,8 @@ class ClipService:
     """Checkpoint + optional index, shared across requests."""
 
     def __init__(self, args):
-        esm_cfg = common.esm_config(args.esm_config, args.esm_dtype)
+        esm_cfg = common.esm_config(args.esm_config, args.esm_dtype,
+                                fast_gelu=args.fast_gelu)
         esm_params = common.load_esm(args, esm_cfg)
         self.tokenizer = common.make_tokenizer()
         self.mcfg = clip.CLIPConfig(
@@ -127,6 +130,7 @@ class ClipService:
         self.corpus = None
         self.corpus_tokens = None
         self.corpus_mask = None
+        self.corpus_lengths = None
         if args.index:
             index = np.load(args.index, allow_pickle=False)
             self.corpus_ids = [str(i) for i in index["ids"]]
@@ -134,13 +138,20 @@ class ClipService:
                 if "tokens" not in index:
                     raise ValueError(
                         "--filip needs a token-level index from `embed "
-                        "--filip` ({ids, tokens, mask}); this index holds "
-                        "pooled embeddings")
+                        "--filip` ({ids, tokens, lengths}); this index "
+                        "holds pooled embeddings")
                 self.corpus_tokens = np.asarray(index["tokens"], np.float32)
-                self.corpus_mask = np.asarray(index["mask"], np.int32)
-                if self.corpus_tokens.shape[2] != self.mcfg.embedding_dim:
+                # ragged ({tokens (sum_L, D), lengths}) is what embed
+                # --filip writes now; dense {tokens (N, T, D), mask}
+                # indexes from older builds still serve
+                self.corpus_lengths = (np.asarray(index["lengths"], np.int32)
+                                       if "lengths" in index else None)
+                self.corpus_mask = (np.asarray(index["mask"], np.int32)
+                                    if "mask" in index else None)
+                tok_dim = self.corpus_tokens.shape[-1]
+                if tok_dim != self.mcfg.embedding_dim:
                     raise ValueError(
-                        f"index token dim {self.corpus_tokens.shape[2]} != "
+                        f"index token dim {tok_dim} != "
                         f"model --embedding-dim {self.mcfg.embedding_dim}")
             else:
                 self.corpus = np.asarray(index["embeddings"], np.float32)
@@ -264,12 +275,19 @@ class ClipService:
             raise ValueError("no --index loaded; /topk unavailable")
         k = max(1, min(k, len(self.corpus_ids)))
         if self.filip:
-            from ..eval.retrieval import filip_score_matrix
+            from ..eval.retrieval import (filip_score_matrix,
+                                          filip_score_matrix_ragged)
 
             q_t, q_m = self.embed(queries, side)
-            sim = filip_score_matrix(q_t, q_m.astype(np.int32),
-                                     self.corpus_tokens, self.corpus_mask,
-                                     self.params["temperature"])
+            if self.corpus_lengths is not None:  # ragged index (default)
+                sim = filip_score_matrix_ragged(
+                    q_t, q_m.astype(np.int32), self.corpus_tokens,
+                    self.corpus_lengths, self.params["temperature"])
+            else:  # legacy dense {tokens, mask} index
+                sim = filip_score_matrix(q_t, q_m.astype(np.int32),
+                                         self.corpus_tokens,
+                                         self.corpus_mask,
+                                         self.params["temperature"])
             idx = np.argsort(-sim, axis=1)[:, :k]
             scores = np.take_along_axis(sim, idx, axis=1)
         else:
@@ -310,22 +328,35 @@ def make_handler(service: ClipService):
             self.end_headers()
             self.wfile.write(body)
 
-        def _binary(self, arr: np.ndarray, extra: dict | None = None) -> None:
+        def _binary(self, arr: np.ndarray,
+                    prefix: np.ndarray | None = None) -> None:
             """Raw little-endian float32 body; shape rides the headers.
 
             JSON float serialization was the measured residual of the
             concurrent-serving cycle (docs/PERF.md): each float costs ~20
             bytes of decimal text plus repr() time vs 4 bytes memcpy'd.
+
+            ``prefix``: optional int32 vector (e.g. FILIP per-row lengths)
+            shipped as a ``<i4`` section BEFORE the float payload, declared
+            by X-Prefix-Len/X-Prefix-Dtype. Lengths used to ride an
+            X-Lengths header, but header LINES are capped at 64 KiB by
+            http.client (and most proxies) — a few thousand sequences per
+            request made the response unparseable. Body bytes have no cap.
             """
             body = np.ascontiguousarray(arr, dtype="<f4").tobytes()
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("X-Shape", ",".join(map(str, arr.shape)))
             self.send_header("X-Dtype", "<f4")
-            for key, val in (extra or {}).items():
-                self.send_header(key, val)
-            self.send_header("Content-Length", str(len(body)))
+            pre = b""
+            if prefix is not None:
+                pre = np.ascontiguousarray(prefix, dtype="<i4").tobytes()
+                self.send_header("X-Prefix-Len", str(int(prefix.size)))
+                self.send_header("X-Prefix-Dtype", "<i4")
+            self.send_header("Content-Length", str(len(pre) + len(body)))
             self.end_headers()
+            if pre:
+                self.wfile.write(pre)
             self.wfile.write(body)
 
         def do_GET(self):
@@ -361,9 +392,7 @@ def make_handler(service: ClipService):
                         # lengths reconstruct the mask on the client
                         lengths = msk.astype(np.int32).sum(axis=1)
                         if binary:
-                            return self._binary(
-                                toks, extra={"X-Lengths": ",".join(
-                                    str(int(n)) for n in lengths)})
+                            return self._binary(toks, prefix=lengths)
                         return self._json(200, {
                             "tokens": toks.tolist(),
                             "lengths": [int(n) for n in lengths]})

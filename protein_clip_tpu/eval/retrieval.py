@@ -163,7 +163,8 @@ def encode_candidates_tokens(params, esm_params, loader, tokenizer, fcfg,
 
 
 def filip_score_matrix(ha, mask_a, hb, mask_b, temperature,
-                       row_block: int = 64) -> np.ndarray:
+                       row_block: int = 64,
+                       col_block: int = 4096) -> np.ndarray:
     """(Q, N) late-interaction scores: (sim_a + sim_b) / 2 through the fused
     max-sim kernel (ops/filip_pallas.py — never materialises the
     (Q, N, TA, TB) tensor that is the reference's memory wall,
@@ -171,16 +172,63 @@ def filip_score_matrix(ha, mask_a, hb, mask_b, temperature,
 
     Direction averaging matches both the training objective (mean of the two
     per-direction InfoNCE terms, training_utils_filip.py:26-39) and the viz
-    convention (visualizations.py:54-105). Queries stream in row blocks so
-    one (row_block, TA, D) slice is resident per kernel launch.
+    convention (visualizations.py:54-105). Queries stream in row blocks AND
+    candidates in column blocks: one kernel launch sees a (row_block, TA, D)
+    query slice against at most col_block candidates, so a serving index can
+    grow past the kernel's per-launch grid/SMEM comfort zone (a (1, 1, N)
+    SMEM output row per program caps N per launch) without recompiling or
+    failing — the (Q, N) matrix is assembled from rectangular blocks.
     """
     n = ha.shape[0]
+    m = hb.shape[0]
     rb = min(row_block, n)
+    cb = min(col_block, m)
     rows = []
     for i in range(0, n, rb):
-        rows.append(np.asarray(_filip_score_rows(
-            ha[i:i + rb], mask_a[i:i + rb], hb, mask_b, temperature)))
+        cols = []
+        for j in range(0, m, cb):
+            cols.append(np.asarray(_filip_score_rows(
+                ha[i:i + rb], mask_a[i:i + rb],
+                hb[j:j + cb], mask_b[j:j + cb], temperature)))
+        rows.append(np.concatenate(cols, axis=1) if len(cols) > 1
+                    else cols[0])
     return np.concatenate(rows, axis=0)
+
+
+def filip_score_matrix_ragged(ha, mask_a, flat, lengths, temperature,
+                              row_block: int = 64,
+                              col_block: int = 1024) -> np.ndarray:
+    """``filip_score_matrix`` over a RAGGED candidate index ({tokens
+    (sum_L, D), lengths (N,)} from ``embed --filip``): each column block is
+    densified to (block, T_block, D) with T_block = the block's own max
+    length rounded to the 64-token bucket grid, so one long outlier in a
+    big index no longer pads every candidate row (ADVICE r3). Index rows
+    are written length-sorted, keeping blocks tight and the jit shape set
+    small.
+    """
+    lengths = np.asarray(lengths, np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    n = ha.shape[0]
+    m = len(lengths)
+    d = flat.shape[1]
+    cb = min(col_block, m)
+    rb = min(row_block, n)
+    out = np.empty((n, m), np.float32)
+    # column-major: densify ONE candidate block, score every query row
+    # block against it, free it — peak host memory is one (cb, tb, d)
+    # block, never the whole index
+    for j in range(0, m, cb):
+        lens = lengths[j:j + cb]
+        tb = max(64, int(-(-int(lens.max()) // 64) * 64))
+        hb = np.zeros((len(lens), tb, d), np.float32)
+        mb = np.zeros((len(lens), tb), np.int32)
+        for r, g in enumerate(range(j, j + len(lens))):
+            hb[r, :lengths[g]] = flat[offsets[g]:offsets[g + 1]]
+            mb[r, :lengths[g]] = 1
+        for i in range(0, n, rb):
+            out[i:i + rb, j:j + cb] = np.asarray(_filip_score_rows(
+                ha[i:i + rb], mask_a[i:i + rb], hb, mb, temperature))
+    return out
 
 
 @jax.jit

@@ -58,6 +58,12 @@ class ESM2Config:
     #   window. (A stock-flash path existed in round 1; it padded dh
     #   32->128 and lost to both — deleted.)
     attention_impl: str = "fused"
+    # FFN gelu: "erf" is HF/original-ESM exact (the parity contract);
+    # "tanh" is the bf16 tanh approximation — +4.3% step throughput
+    # measured at t30_150M, token cosine drift vs erf 5e-8 at full depth
+    # (~2000x below bf16 compute noise; docs/PERF.md ceiling
+    # decomposition). CLI: --fast-gelu; env override: PCT_GELU.
+    gelu: str = "erf"
     fused_min_seq_len: int = 128   # eager wins for tiny T
     fused_max_seq_len: int = 2048  # q-blocked score tile must fit VMEM
 
@@ -185,14 +191,14 @@ def _layer_norm(x, w, b, eps):
     return (y * w + b).astype(x.dtype)
 
 
-def _gelu_exact(x):
+def _gelu_exact(x, mode: str = "erf"):
     # ESM's original erf gelu (modeling_esm.py: gelu) — NOT the tanh approx.
-    # PCT_GELU=tanh swaps in the bf16 tanh approximation: the wi matmul
-    # fusion is epilogue-limited (134 vs the wo's 187 TF/s — the only
-    # difference between those fusions IS this epilogue), so a cheaper
-    # gelu is a candidate throughput knob; erf stays the default for
-    # HF-parity ("bitwise-comparable similarity matrices").
-    if os.environ.get("PCT_GELU") == "tanh":
+    # mode="tanh" (ESM2Config.gelu / --fast-gelu; PCT_GELU env overrides)
+    # swaps in the bf16 tanh approximation: the wi matmul fusion is
+    # epilogue-limited (134 vs the wo's 187 TF/s — the only difference
+    # between those fusions IS this epilogue), +4.3% measured; erf stays
+    # the default for HF-parity ("bitwise-comparable similarity matrices").
+    if os.environ.get("PCT_GELU", mode) == "tanh":
         return jax.nn.gelu(x, approximate=True)
     x32 = x.astype(jnp.float32)
     return (x32 * 0.5 * (1.0 + jax.lax.erf(x32 / math.sqrt(2.0)))).astype(x.dtype)
@@ -283,7 +289,7 @@ def _attention_block(x, p, mask_bias, segments, cos, sin, cfg: ESM2Config):
 
 def _ffn_block(x, p, cfg: ESM2Config):
     h = _layer_norm(x, p["ln"]["w"], p["ln"]["b"], cfg.layer_norm_eps)
-    h = _gelu_exact(_dense(h, p["wi"]))
+    h = _gelu_exact(_dense(h, p["wi"]), cfg.gelu)
     return x + _dense(h, p["wo"])
 
 
@@ -395,7 +401,7 @@ def lm_logits(params: Params, lm_head: Params, hidden: jax.Array,
     h = (jnp.einsum("bth,hd->btd", hidden, lm_head["dense"]["w"],
                     preferred_element_type=jnp.float32).astype(hidden.dtype)
          + lm_head["dense"]["b"])
-    h = _gelu_exact(h)
+    h = _gelu_exact(h, cfg.gelu)
     h = _layer_norm(h, lm_head["ln"]["w"], lm_head["ln"]["b"], cfg.layer_norm_eps)
     logits = jnp.einsum("bth,vh->btv", h, params["embed"]["word"].astype(h.dtype),
                         preferred_element_type=jnp.float32)

@@ -194,6 +194,20 @@ def _attention_call(q, k, v, segments):
     qkv_spec = pl.BlockSpec((rpp, group, T), lambda b, g: (b, g, 0),
                             memory_space=pltpu.VMEM)
     seg32 = segments.astype(jnp.int32)
+    # Both grid dims are embarrassingly parallel (no cross-program state),
+    # so tell Mosaic: "parallel" semantics let it overlap the next
+    # program's input DMA with the current compute instead of assuming a
+    # sequential dependency. Measured on the packed bench: see PERF.md
+    # (PCT_ATTN_DIMSEM=arbitrary reverts for A/B).
+    dimsem = _os.environ.get("PCT_ATTN_DIMSEM", "parallel")
+    # PCT_ATTN_INPUT_FUSION=1: let XLA fuse the q/k/v producers (RoPE,
+    # scale) INTO the custom call's input DMA instead of materialising
+    # them in HBM first — experiment knob, measured in PERF.md.
+    fuse_in = ([False, False, True, True, True]
+               if _os.environ.get("PCT_ATTN_INPUT_FUSION") == "1" else None)
+    params = pltpu.CompilerParams(
+        dimension_semantics=(dimsem, dimsem),
+        allow_input_fusion=fuse_in)
     out = pl.pallas_call(
         functools.partial(_kernel, dh=DH, q_block=q_block),
         grid=(B // rpp, n_groups),
@@ -204,6 +218,7 @@ def _attention_call(q, k, v, segments):
                   qkv_spec, qkv_spec, qkv_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
+        compiler_params=params,
         interpret=not _on_tpu(),
     )(seg32[:, None, :], seg32[:, :, None], q3, k3, v3)
     return out.swapaxes(1, 2).reshape(B, T, NH, DH)
@@ -307,6 +322,7 @@ def _attention_bwd_call(q, k, v, segments, do):
                             memory_space=pltpu.VMEM)
     seg32 = segments.astype(jnp.int32)
     out_shape = jax.ShapeDtypeStruct((B, lanes, T), q.dtype)
+    dimsem = _os.environ.get("PCT_ATTN_DIMSEM", "parallel")
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, dh=DH, q_block=q_block),
         grid=(B, n_groups),
@@ -317,6 +333,8 @@ def _attention_bwd_call(q, k, v, segments, do):
                   qkv_spec, qkv_spec, qkv_spec, qkv_spec],
         out_specs=(qkv_spec, qkv_spec, qkv_spec),
         out_shape=(out_shape, out_shape, out_shape),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(dimsem, dimsem)),
         interpret=not _on_tpu(),
     )(seg32[:, None, :], seg32[:, :, None], t_minor(q), t_minor(k),
       t_minor(v), t_minor(do.astype(q.dtype)))

@@ -255,6 +255,14 @@ _raw_maxsim.defvjp(_raw_fwd, _raw_bwd)
 _T_FLOOR = 1e-4
 
 
+def clamped_temperature(temperature) -> float:
+    """The exact scalar ``filip_similarity_fused`` divides by — consumers
+    that undo the division (e.g. retrieve --raw-cosine) must multiply by
+    THIS, not the raw parameter, or a temperature driven <= 0 silently
+    flips the sign/scale of the 'raw cosine' output."""
+    return max(float(temperature), _T_FLOOR)
+
+
 def filip_similarity_fused(ha, hb, mask_a, mask_b, temperature,
                            interpret: bool | None = None):
     """Drop-in for models.filip.filip_similarity (positive temperature).

@@ -279,6 +279,142 @@ def make_pp_train_step(cfg, optimizer: optax.GradientTransformation,
     return jax.jit(sharded)
 
 
+def _pp_hidden_packed(staged, ids_mb, seg_mb, pos_mb, cfg: esm2.ESM2Config,
+                      n_stages: int, n_micro: int):
+    """Packed-row twin of ``_pp_hidden_local``: microbatches are packed ROWS
+    (data/packing.py) — attention is block-diagonal per segment, RoPE
+    restarts at each segment (per-token position gather), and the
+    token-dropout rescale is per segment, exactly as esm2.forward's packed
+    branch. ids_mb/seg_mb/pos_mb: (M, rows_mb, L) int32, replicated."""
+    s = jax.lax.axis_index(STAGE_AXIS)
+    layers = jax.tree.map(lambda x: x[0], staged["layers"])
+    M, R, L = ids_mb.shape
+    neg = jnp.finfo(jnp.float32).min
+    cos_t, sin_t = esm2._rope_tables(L, cfg.head_dim, cfg.compute_dtype)
+
+    def run_stage(x, seg, pos):
+        same = seg[:, :, None] == seg[:, None, :]
+        valid = (seg > 0)[:, None, :]
+        mask_bias = jnp.where((same & valid)[:, None, :, :], 0.0,
+                              neg).astype(jnp.float32)
+        cos = jnp.take(cos_t, pos, axis=0)      # (rows_mb, L, dh)
+        sin = jnp.take(sin_t, pos, axis=0)
+
+        def layer(x, lp):
+            x = esm2._attention_block(x, lp["attn"], mask_bias, seg,
+                                      cos, sin, cfg)
+            x = esm2._ffn_block(x, lp["ffn"], cfg)
+            return x, None
+
+        x, _ = jax.lax.scan(layer, x, layers)
+        return x
+
+    perm = [(j, (j + 1) % n_stages) for j in range(n_stages)]
+
+    def tick(buf, t):
+        i = jnp.clip(t - s, 0, n_micro - 1)
+        ids = jax.lax.dynamic_index_in_dim(ids_mb, i, 0, keepdims=False)
+        seg = jax.lax.dynamic_index_in_dim(seg_mb, i, 0, keepdims=False)
+        pos = jax.lax.dynamic_index_in_dim(pos_mb, i, 0, keepdims=False)
+        mask = (seg > 0).astype(jnp.int32)
+        emb = esm2.embed(staged, ids, mask, cfg, segment_ids=seg)
+        x_in = jnp.where(s == 0, emb, buf)
+        y = run_stage(x_in, seg, pos)
+        buf_next = jax.lax.ppermute(y, STAGE_AXIS, perm)
+        return buf_next, y
+
+    buf0 = jax.lax.pcast(jnp.zeros((R, L, cfg.hidden_size),
+                                   cfg.compute_dtype),
+                         (STAGE_AXIS,), to="varying")
+    _, ys = jax.lax.scan(tick, buf0, jnp.arange(M + n_stages - 1))
+    out = ys[n_stages - 1:]
+    out = esm2._layer_norm(out, staged["final_ln"]["w"],
+                           staged["final_ln"]["b"], cfg.layer_norm_eps)
+    return jax.lax.psum(
+        jnp.where(s == n_stages - 1, out, jnp.zeros_like(out)), STAGE_AXIS)
+
+
+def _micro_divisor(rows: int, want: int) -> int:
+    """Largest microbatch count <= want that divides the row count (packed
+    row counts are data-dependent; GPipe needs an exact split)."""
+    m = max(1, min(want, rows))
+    while rows % m:
+        m -= 1
+    return m
+
+
+def make_pp_packed_train_step(cfg, optimizer: optax.GradientTransformation,
+                              mesh: Mesh,
+                              num_microbatches: int | None = None,
+                              loss_fn=None):
+    """Packed-wire CLIP train step with the frozen backbone pipelined over
+    'stage' — the sequence-packing throughput play composed with the
+    t48-class memory play (VERDICT r3 #7; previously PP was proven on the
+    unpacked wire only). Flat packs only (one width per side); width tiers
+    would pipeline per-tier and are out of scope until a workload needs
+    them. Batch: tokenize_packed wire, replicated. Heads pool by
+    segment-sum over the owner permutation and run replicated, exactly as
+    train/packed_engine.make_train_step_packed — step-for-step parity is
+    pinned in tests/test_pipeline.py.
+    """
+    from ..train.clip_engine import default_loss_fn
+    from ..train.packed_engine import (_pool_packed, _validate_packed_batch,
+                                       expand_packed_batch,
+                                       packed_side_count)
+
+    loss_fn = loss_fn or default_loss_fn()
+    mcfg = cfg.model
+    n_stages = mesh.shape[STAGE_AXIS]
+    n_seqs = cfg.global_batch
+    want_micro = num_microbatches or max(2 * n_stages, cfg.num_chunks)
+
+    def local_step(params, opt_state, staged, batch, rng):
+        if "pep_packs" in batch or "rec_packs" in batch:
+            raise ValueError("PP packed step takes flat packs "
+                             "(--pack-tiers 1)")
+        _validate_packed_batch(batch, n_seqs)
+        batch = expand_packed_batch(batch)
+
+        sides = {}
+        for side in ("pep", "rec"):
+            ids = batch[f"{side}_ids"]
+            seg = batch[f"{side}_seg"]
+            pos = batch[f"{side}_pos"]
+            m = _micro_divisor(ids.shape[0], want_micro)
+            h = _pp_hidden_packed(
+                staged, _microbatched(ids, m), _microbatched(seg, m),
+                _microbatched(pos, m), mcfg.esm, n_stages, m)
+            h = h.reshape(ids.shape[0], ids.shape[1], -1)
+            sides[side] = jax.lax.stop_gradient(h.astype(jnp.float32))
+
+        def head_loss(p):
+            rp, rr = jax.random.split(rng)
+            pep = _pool_packed(
+                p["pep"], sides["pep"], batch["pep_seg"],
+                batch["pep_owner"], n_seqs, p["temperature"],
+                dropout_rate=mcfg.dropout, train=True, rng=rp,
+                activation=mcfg.activation)
+            rec = _pool_packed(
+                p["rec"], sides["rec"], batch["rec_seg"],
+                batch["rec_owner"], n_seqs, p["temperature"],
+                dropout_rate=mcfg.dropout, train=True, rng=rr,
+                activation=mcfg.activation)
+            return loss_fn(pep, rec)
+
+        loss, grads = jax.value_and_grad(head_loss)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), STAGED_SPEC, P(), P()),
+        out_specs=(P(), P(), P()),
+        axis_names={STAGE_AXIS},
+    )
+    return jax.jit(sharded)
+
+
 def make_pp_dp_mesh(data: int, stages: int, model: int = 1,
                     devices=None) -> Mesh:
     """('data', 'stage'[, 'model']) mesh: each data replica pipelines its own

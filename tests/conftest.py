@@ -27,6 +27,30 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+from protein_clip_tpu.utils.hostlock import multidevice_lock  # noqa: E402
+
+# One multi-device XLA:CPU job per host (see utils/hostlock.py): the whole
+# pytest session holds the lock, and exports PCT_HOSTLOCK_HELD so subprocess
+# tests (CLI entries, the graft-entry dryrun child) inherit it instead of
+# deadlocking. A concurrent manual dryrun now waits instead of crashing both
+# processes on collective-rendezvous starvation.
+_session_lock = multidevice_lock(label="pytest session")
+_session_lock.__enter__()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    global _session_lock
+    if _session_lock is not None:
+        _session_lock.__exit__(None, None, None)
+        _session_lock = None
+
+
+def pytest_collection_modifyitems(config, items):
+    """Everything not marked slow is the smoke tier (`pytest -m smoke`)."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(scope="session")
 def rng():

@@ -9,6 +9,8 @@ import numpy as np
 import pytest
 
 
+pytestmark = pytest.mark.slow  # trains fixture runs per module; full-suite tier
+
 TINY = ["--esm-config", "tiny", "--esm-dtype", "float32"]
 
 
@@ -347,7 +349,8 @@ def test_retrieve_entry(workdir, trained_run):
 
 def test_serve_filip_entry(workdir, trained_run):
     """Online FILIP serving (serve --filip): token-level /embed (JSON +
-    binary with X-Lengths), late-interaction /topk self-retrieval, and
+    binary with int32 lengths body-prefix), late-interaction /topk
+    self-retrieval, and
     loud refusal of a pooled index."""
     import json as json_mod
     import threading
@@ -419,8 +422,13 @@ def test_serve_filip_entry(workdir, trained_run):
         with call("/embed", {"sequences": seqs, "side": "pep"},
                   {"Accept": "application/octet-stream"}) as r:
             shape = tuple(int(d) for d in r.headers["X-Shape"].split(","))
-            lens = [int(x) for x in r.headers["X-Lengths"].split(",")]
-            raw = np.frombuffer(r.read(), "<f4").reshape(shape)
+            # per-row lengths ride an int32 BODY prefix (a header line caps
+            # at 64 KiB in http.client; ADVICE r3), declared by X-Prefix-Len
+            n_pre = int(r.headers["X-Prefix-Len"])
+            assert r.headers["X-Prefix-Dtype"] == "<i4"
+            body = r.read()
+            lens = np.frombuffer(body[:4 * n_pre], "<i4").tolist()
+            raw = np.frombuffer(body[4 * n_pre:], "<f4").reshape(shape)
         assert lens == got_l and shape == got_t.shape
         np.testing.assert_array_equal(raw, got_t)
 
@@ -450,8 +458,12 @@ def test_retrieve_filip_entry(workdir, trained_run):
     ])
     assert rc == 0
     with np.load("tindex.npz") as idx:
-        assert {"ids", "tokens", "mask"} <= set(idx.files)
-        assert idx["tokens"].ndim == 3 and idx["mask"].ndim == 2
+        # ragged format (ADVICE r3): trimmed rows concatenated + lengths,
+        # so one long outlier can't pad the whole index to its width
+        assert {"ids", "tokens", "lengths"} <= set(idx.files)
+        assert idx["tokens"].ndim == 2 and idx["lengths"].ndim == 1
+        assert idx["tokens"].shape[0] == int(idx["lengths"].sum())
+        assert len(idx["ids"]) == len(idx["lengths"])
 
     rc = retrieve_main(TINY + [
         "--checkpoint", str(trained_run / "best_model.npz"),

@@ -12,6 +12,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # mesh CLI runs on 8 fake devices; full-suite tier
+
 TINY = ["--esm-config", "tiny", "--esm-dtype", "float32",
         "--dropout", "0.0"]
 RUN = ["--epochs", "1", "--batch-size", "4", "--accumulated-batches", "2",

@@ -24,6 +24,8 @@ import optax
 import pytest
 import jax
 
+pytestmark = pytest.mark.slow  # 2-process jax.distributed integration; full-suite tier
+
 from protein_clip_tpu.train import clip_engine
 
 from tests.distributed_case import CASE_SEED, build_case

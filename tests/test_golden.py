@@ -8,6 +8,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # seeded end-to-end training regressions; full-suite tier
+
 from protein_clip_tpu.data import synthetic
 from protein_clip_tpu.data.dataset import PairLoader, generate_datasets
 from protein_clip_tpu.data.tokenizer import EsmTokenizer

@@ -12,6 +12,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __graft_entry__ as graft_entry  # noqa: E402
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow  # two 12-check dryruns; full-suite tier
 
 
 def test_dryrun_multichip_8():

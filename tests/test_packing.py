@@ -178,8 +178,11 @@ def test_tiered_packed_wire_intact(rng):
     tok = EsmTokenizer()
     aas = list("LAGVSERTIDPKQNFYMHWC")
     peps = _sequences(rng, 8, lo=5, hi=15)
-    recs = ["".join(rng.choice(aas, int(L)))
-            for L in rng.integers(10, 250, 8)]
+    # Explicit lengths that straddle the tier widths: the shared session rng
+    # stream shifts with test selection (smoke vs full), and a random draw
+    # that lands in one tier makes the rec_packs assert order-dependent.
+    rec_lens = [12, 30, 58, 100, 140, 190, 230, 248]
+    recs = ["".join(rng.choice(aas, L)) for L in rec_lens]
     batch = tokenize_packed(tok, peps, recs, rec_row_len=256, tiers=4)
     assert "rec_packs" in batch  # lengths straddle the 128/256 tier split
     widths = {p["ids"].shape[1] for p in batch["rec_packs"]}

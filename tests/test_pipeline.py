@@ -172,6 +172,69 @@ def test_pp_dp_tp_train_step_matches_single_device(tiny4, rng):
     np.testing.assert_allclose(float(loss_pp), float(loss_sd), rtol=2e-5)
 
 
+def test_pp_packed_train_step_matches_single_device(tiny4, rng):
+    """PP x packed wire (VERDICT r3 #7): the GPipe schedule over packed
+    ROWS (segment-masked attention, per-segment RoPE restarts,
+    owner-permutation pooling) must match train/packed_engine's
+    single-device packed step, step for step."""
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.train.packed_engine import (make_train_step_packed,
+                                                      tokenize_packed)
+
+    mcfg, esm_params, params = tiny4
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=1)
+    optimizer = opt_mod.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+
+    mesh = pp.make_pp_mesh(4)
+    staged = pp.shard_staged_params(mesh, pp.stage_esm_params(esm_params, 4))
+    pp_step = pp.make_pp_packed_train_step(cfg, optimizer, mesh,
+                                           num_microbatches=2)
+    single = make_train_step_packed(cfg, optimizer, rows_per_chunk=2)
+
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    seqs = lambda n, lo, hi: ["".join(rng.choice(aas, int(L)))
+                              for L in rng.integers(lo, hi, n)]
+    batch = tokenize_packed(EsmTokenizer(), seqs(8, 5, 12), seqs(8, 8, 14),
+                            pep_row_len=16, rec_row_len=16)
+
+    p_pp, o_pp, p_sd, o_sd = params, opt_state, params, opt_state
+    for i in range(2):
+        key = jax.random.key(31 + i)
+        p_pp, o_pp, loss_pp = pp_step(p_pp, o_pp, staged, batch, key)
+        p_sd, o_sd, loss_sd = single(p_sd, o_sd, esm_params, batch, key)
+        np.testing.assert_allclose(float(loss_pp), float(loss_sd),
+                                   rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_pp), jax.tree.leaves(p_sd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pp_packed_rejects_tiered_packs(tiny4, rng):
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.train.packed_engine import tokenize_packed
+
+    mcfg, esm_params, params = tiny4
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=1)
+    optimizer = opt_mod.adam(cfg.learning_rate)
+    mesh = pp.make_pp_mesh(2)
+    staged = pp.shard_staged_params(mesh, pp.stage_esm_params(esm_params, 2))
+    step = pp.make_pp_packed_train_step(cfg, optimizer, mesh)
+    aas = list("LAGVSERTIDPKQNFYMHWC")
+    peps = ["".join(np.random.default_rng(i).choice(aas, 5 + 3 * (i % 4)))
+            for i in range(8)]
+    recs = ["".join(np.random.default_rng(99 + i).choice(aas, 100 + 200 * (i % 2)))
+            for i in range(8)]
+    batch = tokenize_packed(EsmTokenizer(), peps, recs, tiers=4)
+    if "pep_packs" not in batch and "rec_packs" not in batch:
+        pytest.skip("corpus did not produce multiple tiers")
+    with pytest.raises(ValueError, match="flat packs"):
+        step(params, optimizer.init(params), staged, batch,
+             jax.random.key(0))
+
+
 def test_pp_weights_actually_sharded(tiny4):
     """Each stage device must hold only its 1/S slice of the layer stack."""
     _, esm_params, _ = tiny4

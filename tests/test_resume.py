@@ -4,6 +4,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # kill-and-resume training runs; full-suite tier
+
 from protein_clip_tpu.data.tokenizer import EsmTokenizer
 from protein_clip_tpu.models import clip, esm2
 from protein_clip_tpu.train import clip_engine, loop

@@ -97,6 +97,41 @@ def test_filip_ranks_match_lax_reference(rng):
     np.testing.assert_array_equal(ranks, want)
 
 
+def test_filip_score_matrix_tiled_and_ragged_match(rng):
+    """Column tiling (ADVICE r3: a big serving index must not ride one
+    kernel launch) and the ragged-index scorer must both reproduce the
+    single-launch dense score matrix exactly."""
+    from protein_clip_tpu.eval.retrieval import (filip_score_matrix,
+                                                 filip_score_matrix_ragged)
+
+    q, n, ta, d = 5, 13, 16, 8
+    lengths = rng.integers(3, 40, size=n).astype(np.int32)
+    tb = int(lengths.max())
+    ha = rng.normal(size=(q, ta, d)).astype(np.float32)
+    ma = (rng.random((q, ta)) < 0.8).astype(np.int32)
+    ma[:, 0] = 1
+    hb = np.zeros((n, tb, d), np.float32)
+    mb = np.zeros((n, tb), np.int32)
+    flat_rows = []
+    for i, L in enumerate(lengths):
+        row = rng.normal(size=(int(L), d)).astype(np.float32)
+        row /= np.linalg.norm(row, axis=-1, keepdims=True)
+        hb[i, :L] = row
+        mb[i, :L] = 1
+        flat_rows.append(row)
+    flat = np.concatenate(flat_rows, axis=0)
+    t = jnp.asarray(0.7, jnp.float32)
+
+    want = filip_score_matrix(ha, ma, hb, mb, t)
+    # column-tiled dense path (uneven tail block: 13 = 4+4+4+1)
+    tiled = filip_score_matrix(ha, ma, hb, mb, t, row_block=2, col_block=4)
+    np.testing.assert_allclose(tiled, want, atol=1e-5, rtol=1e-5)
+    # ragged index path (per-block densify at the block's own max width)
+    ragged = filip_score_matrix_ragged(ha, ma, flat, lengths, t,
+                                       row_block=3, col_block=4)
+    np.testing.assert_allclose(ragged, want, atol=1e-5, rtol=1e-5)
+
+
 def test_evaluate_filip_retrieval_end_to_end(rng):
     from protein_clip_tpu.data.tokenizer import EsmTokenizer
     from protein_clip_tpu.models import esm2, filip
