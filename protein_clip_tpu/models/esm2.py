@@ -289,8 +289,26 @@ def _attention_block(x, p, mask_bias, segments, cos, sin, cfg: ESM2Config):
 
 def _ffn_block(x, p, cfg: ESM2Config):
     h = _layer_norm(x, p["ln"]["w"], p["ln"]["b"], cfg.layer_norm_eps)
-    h = _gelu_exact(_dense(h, p["wi"]), cfg.gelu)
+    h = _wi_gelu(h, p["wi"], cfg)
     return x + _dense(h, p["wo"])
+
+
+def _wi_gelu(h, wi, cfg: ESM2Config):
+    """wi matmul + gelu. PCT_FFN_PALLAS=1 routes the bf16 path through the
+    experimental fused Pallas kernel (ops/ffn_pallas.py — MXU/VPU overlap
+    hypothesis for the 134-vs-187 TF/s epilogue gap; measured in
+    docs/PERF.md); default is XLA's fusion."""
+    if os.environ.get("PCT_FFN_PALLAS") == "1" and "w" in wi:
+        from ..ops import ffn_pallas
+
+        B, T, H = h.shape
+        M = wi["w"].shape[1]
+        if ffn_pallas.enabled() and ffn_pallas.fits(B * T, H, M):
+            mode = os.environ.get("PCT_GELU", cfg.gelu)
+            out = ffn_pallas.dense_gelu(h.reshape(B * T, H), wi["w"],
+                                        wi["b"], mode)
+            return out.reshape(B, T, M)
+    return _gelu_exact(_dense(h, wi), cfg.gelu)
 
 
 def embed(params: Params, input_ids, attention_mask, cfg: ESM2Config,

@@ -80,19 +80,21 @@ _GROUP_LANES = 128
 # experiments.
 import os as _os
 
-_ROWS_ENV = _os.environ.get("PCT_ATTN_ROWS_PER_PROGRAM")
 # bytes-per-lane of q rows one program may hold: the v5e empirical ceiling
 # is R=8 at T=512 bf16 (R=16 overflows); f32 operands halve the row
 # budget. Per-generation scaling lives in ops/tpu_budgets.py.
 
 
-def _choose_rows_per_program(batch: int, T: int, itemsize: int) -> int:
-    if _ROWS_ENV:
-        want = max(int(_ROWS_ENV), 1)  # 0/negative override falls back to 1
+def _choose_rows_per_program(batch: int, T: int, itemsize: int,
+                             env: str = "PCT_ATTN_ROWS_PER_PROGRAM",
+                             budget_divisor: int = 1) -> int:
+    ov = _os.environ.get(env)
+    if ov:
+        want = max(int(ov), 1)  # 0/negative override falls back to 1
         return want if batch % want == 0 else 1
     from .tpu_budgets import attn_rows_byte_budget
 
-    cap = max(1, attn_rows_byte_budget() // (T * itemsize))
+    cap = max(1, attn_rows_byte_budget() // budget_divisor // (T * itemsize))
     best = 1
     for c in range(1, min(cap, batch) + 1):
         if batch % c == 0:
@@ -235,12 +237,23 @@ def _bwd_q_block(T: int) -> int:
 
 def _bwd_kernel(s_ref, sc_ref, q_ref, k_ref, v_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, dh: int, q_block: int):
-    """One row, one 128-lane head group per program (rpp fixed at 1: the
-    backward's f32 tile set is ~2x the forward's). Same T-minor (R, lanes,
-    T) views as the forward, so no layout copies appear around the call."""
+    """R rows, one 128-lane head group per program. The backward's row
+    budget is HALF the forward's (_attention_bwd_call): it streams 7
+    (R, lanes, T) blocks per program (q/k/v/do in, dq/dk/dv out) where
+    the forward streams 4, and its f32 score scratch holds four (QB, T)
+    tiles where the forward holds two. Same T-minor views as the
+    forward, so no layout copies appear around the call."""
     lanes = q_ref.shape[1]
     T = q_ref.shape[2]
-    r = 0
+    for r in range(q_ref.shape[0]):
+        _bwd_row(s_ref, sc_ref, q_ref, k_ref, v_ref, do_ref,
+                 dq_ref, dk_ref, dv_ref, r=r, dh=dh, q_block=q_block,
+                 lanes=lanes, T=T)
+
+
+def _bwd_row(s_ref, sc_ref, q_ref, k_ref, v_ref, do_ref,
+             dq_ref, dk_ref, dv_ref, *, r: int, dh: int, q_block: int,
+             lanes: int, T: int):
     seg_row = s_ref[r]                           # (1, T) int32
     key_ok = seg_row > 0
 
@@ -318,17 +331,24 @@ def _attention_bwd_call(q, k, v, segments, do):
     def t_minor(x):
         return x.reshape(B, T, lanes).swapaxes(1, 2)   # (B, lanes, T)
 
-    qkv_spec = pl.BlockSpec((1, group, T), lambda b, g: (b, g, 0),
+    # Half the forward's row budget: 7 streamed blocks per program vs the
+    # forward's 4, plus a ~2x f32 score-scratch set (see _bwd_kernel).
+    # Measured on the packed finetune bench: see docs/PERF.md;
+    # PCT_ATTN_BWD_ROWS_PER_PROGRAM=1 reverts for A/B.
+    rpp = _choose_rows_per_program(B, T, q.dtype.itemsize,
+                                   env="PCT_ATTN_BWD_ROWS_PER_PROGRAM",
+                                   budget_divisor=2)
+    qkv_spec = pl.BlockSpec((rpp, group, T), lambda b, g: (b, g, 0),
                             memory_space=pltpu.VMEM)
     seg32 = segments.astype(jnp.int32)
     out_shape = jax.ShapeDtypeStruct((B, lanes, T), q.dtype)
     dimsem = _os.environ.get("PCT_ATTN_DIMSEM", "parallel")
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, dh=DH, q_block=q_block),
-        grid=(B, n_groups),
-        in_specs=[pl.BlockSpec((1, 1, T), lambda b, g: (b, 0, 0),
+        grid=(B // rpp, n_groups),
+        in_specs=[pl.BlockSpec((rpp, 1, T), lambda b, g: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, T, 1), lambda b, g: (b, 0, 0),
+                  pl.BlockSpec((rpp, T, 1), lambda b, g: (b, 0, 0),
                                memory_space=pltpu.VMEM),
                   qkv_spec, qkv_spec, qkv_spec, qkv_spec],
         out_specs=(qkv_spec, qkv_spec, qkv_spec),

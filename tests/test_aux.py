@@ -208,11 +208,16 @@ def test_attention_rows_env_zero_falls_back(monkeypatch):
     zero in the grid."""
     import protein_clip_tpu.ops.attention_pallas as ap
 
-    monkeypatch.setattr(ap, "_ROWS_ENV", "0")
+    monkeypatch.setenv("PCT_ATTN_ROWS_PER_PROGRAM", "0")
     assert ap._choose_rows_per_program(16, 512, 2) == 1
-    monkeypatch.setattr(ap, "_ROWS_ENV", "4")
+    monkeypatch.setenv("PCT_ATTN_ROWS_PER_PROGRAM", "4")
     assert ap._choose_rows_per_program(16, 512, 2) == 4
     assert ap._choose_rows_per_program(15, 512, 2) == 1  # non-dividing
+    # the backward's knob routes through the same chooser
+    monkeypatch.setenv("PCT_ATTN_BWD_ROWS_PER_PROGRAM", "0")
+    assert ap._choose_rows_per_program(
+        16, 512, 2, env="PCT_ATTN_BWD_ROWS_PER_PROGRAM",
+        budget_divisor=2) == 1
 
 
 def test_tiled_infonce_rejects_bad_row_block():

@@ -105,6 +105,21 @@ def test_fused_grads_match_eager_q_blocked(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_fused_grads_match_eager_multirow_bwd(rng, monkeypatch):
+    """Multi-row backward programs (R rows per program, like the forward's
+    rows-per-program amortization): forcing R=4 over an 8-row batch must
+    leave every per-row gradient exactly where the R=1 kernel put it."""
+    monkeypatch.setenv("PCT_ATTN_BWD_ROWS_PER_PROGRAM", "4")
+    q, k, v, mask = _qkvm(rng, B=8, T=64, NH=4)
+
+    def run(f):
+        return jax.grad(lambda q_, k_, v_: jnp.sum(f(q_, k_, v_, mask) ** 2),
+                        argnums=(0, 1, 2))(q, k, v)
+
+    for a, b in zip(run(fused_attention), run(_eager_reference)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_fused_grads_match_eager_packed_segments(rng):
     """Packed rows (multi-segment + gap): backward must respect the
     segment mask exactly as the eager where() does."""
