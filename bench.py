@@ -824,6 +824,10 @@ def main():
                                   dtype=jnp.bfloat16)
     if os.environ.get("PCT_ESM_DTYPE") == "int8":
         esm_params = esm2.quantize_params(esm_params)
+        # int8 implies tanh gelu (matches the CLI default: erf's epilogue
+        # forfeits the int8 MXU win — 897 vs 1040 pairs/s at 150M);
+        # PCT_GELU=erf reverts for A/B.
+        os.environ.setdefault("PCT_GELU", "tanh")
     params = clip.init_params(jax.random.key(1), mcfg)
 
     # PCT_REMAT=0: drop the jax.checkpoint wrap on the (frozen,

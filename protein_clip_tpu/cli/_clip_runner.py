@@ -38,7 +38,8 @@ def run_clip_training(args, *, prefix_a: str, prefix_b: str,
     print(f"All run info will be saved to {run_dir}")
 
     esm_cfg = common.esm_config(args.esm_config, args.esm_dtype,
-                                fast_gelu=args.fast_gelu)
+                                fast_gelu=args.fast_gelu,
+                                exact_gelu=args.exact_gelu)
     esm_params = common.load_esm(args, esm_cfg)
     tokenizer = common.make_tokenizer()
 

@@ -53,11 +53,18 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "noise (docs/PERF.md). Default stays exact-erf for "
                         "HF parity; use this as the serving/throughput "
                         "profile when 4%% matters")
+    p.add_argument("--exact-gelu", action="store_true",
+                   help="force exact-erf gelu even under --esm-dtype int8 "
+                        "(int8 defaults to the tanh approx: the erf "
+                        "epilogue was measured to forfeit int8's MXU win — "
+                        "897 vs 1040 pairs/s at t30_150M, docs/PERF.md — "
+                        "and int8 rounding already dwarfs the tanh drift)")
     p.add_argument("--esm-dtype", default="bfloat16",
                    choices=["bfloat16", "float32", "int8"],
                    help="int8 = post-training w8a8 quantised backbone "
                         "(bf16 activations/attention; ~int8-rounding "
-                        "drift vs the bf16 parity path)")
+                        "drift vs the bf16 parity path; implies tanh gelu "
+                        "unless --exact-gelu)")
     p.add_argument("--synthetic-fixture", action="store_true",
                    help="generate a synthetic corpus into --data-dir when "
                         "the FASTAs are missing (no-network environments)")
@@ -165,12 +172,19 @@ def resolve_mesh_shape(args) -> tuple[int, int, int]:
     return dp, tp, pp
 
 
-def esm_config(name: str, dtype_name: str,
-               fast_gelu: bool = False) -> esm2.ESM2Config:
+def esm_config(name: str, dtype_name: str, fast_gelu: bool = False,
+               exact_gelu: bool = False) -> esm2.ESM2Config:
     # int8 quantises the weights (load_esm); activations stay bf16.
     # getattr keeps this in lockstep with the ESM2Config family constructors
     # (a hand-rolled dict here once missed t48_15B -> KeyError at runtime).
     dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
+    if dtype_name == "int8" and not exact_gelu:
+        # int8 is the declared non-parity speed mode, and its wi fusion is
+        # erf-epilogue-bound: erf forfeits the int8 MXU win (897 vs 1040
+        # pairs/s at t30_150M, docs/PERF.md). int8 rounding drift already
+        # dwarfs tanh-vs-erf (5e-8 token cosine), so tanh is the right
+        # default here; --exact-gelu restores erf.
+        fast_gelu = True
     return getattr(esm2.ESM2Config, name)(
         compute_dtype=dtype, gelu="tanh" if fast_gelu else "erf")
 

@@ -209,7 +209,8 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     prng.set_seed(args.seed)
     esm_cfg = common.esm_config(args.esm_config, args.esm_dtype,
-                                fast_gelu=args.fast_gelu)
+                                fast_gelu=args.fast_gelu,
+                                exact_gelu=args.exact_gelu)
     esm_params = common.load_esm(args, esm_cfg)
     tokenizer = common.make_tokenizer()
     mcfg = clip.CLIPConfig(

@@ -53,7 +53,8 @@ def main(argv=None) -> int:
     print(f"All run info will be saved to {run_dir}")
 
     esm_cfg = common.esm_config(args.esm_config, args.esm_dtype,
-                                fast_gelu=args.fast_gelu)
+                                fast_gelu=args.fast_gelu,
+                                exact_gelu=args.exact_gelu)
     esm_params = common.load_esm(args, esm_cfg)
     tokenizer = common.make_tokenizer()
     rng, hk = jax.random.split(rng)

@@ -106,7 +106,8 @@ class ClipService:
 
     def __init__(self, args):
         esm_cfg = common.esm_config(args.esm_config, args.esm_dtype,
-                                fast_gelu=args.fast_gelu)
+                                fast_gelu=args.fast_gelu,
+                                exact_gelu=args.exact_gelu)
         esm_params = common.load_esm(args, esm_cfg)
         self.tokenizer = common.make_tokenizer()
         self.mcfg = clip.CLIPConfig(

@@ -92,3 +92,16 @@ def test_quantized_train_step_runs(rng):
     _, _, loss = step(params, optimizer.init(params), qesm, batch,
                       jax.random.key(2))
     assert np.isfinite(float(loss))
+
+
+def test_int8_defaults_to_tanh_gelu():
+    """--esm-dtype int8 implies the tanh gelu (the erf epilogue forfeits
+    int8's MXU win: 897 vs 1040 pairs/s at t30_150M, docs/PERF.md);
+    --exact-gelu restores erf, and the parity dtypes stay erf-default."""
+    from protein_clip_tpu.cli import common
+
+    assert common.esm_config("tiny", "bfloat16").gelu == "erf"
+    assert common.esm_config("tiny", "float32").gelu == "erf"
+    assert common.esm_config("tiny", "bfloat16", fast_gelu=True).gelu == "tanh"
+    assert common.esm_config("tiny", "int8").gelu == "tanh"
+    assert common.esm_config("tiny", "int8", exact_gelu=True).gelu == "erf"

@@ -110,6 +110,8 @@ def capture(out_dir: Path, n_steps: int) -> None:
     mcfg = clip.CLIPConfig(esm=esm_cfg)
     esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
                                   dtype=jnp.bfloat16)
+    if os.environ.get("PCT_ESM_DTYPE") == "int8":  # same knob as bench.py
+        esm_params = esm2.quantize_params(esm_params)
     params = clip.init_params(jax.random.key(1), mcfg)
     cfg = clip_engine.EngineConfig(model=mcfg, batch_size=16,
                                    accumulated_batches=16, num_chunks=16,
