@@ -63,6 +63,20 @@ def make_batches(rng, n, global_batch, tokenizer, length_groups=1):
     return batches
 
 
+def _maybe_int8(esm_params):
+    """PCT_ESM_DTYPE=int8 on a frozen-backbone mode: post-training w8a8
+    quantisation + the tanh-gelu default that unlocks its MXU win
+    (docs/PERF.md 'int8 is erf-bound'; PCT_GELU=erf reverts)."""
+    import os
+
+    from protein_clip_tpu.models import esm2
+
+    if os.environ.get("PCT_ESM_DTYPE") == "int8":
+        os.environ.setdefault("PCT_GELU", "tanh")
+        return esm2.quantize_params(esm_params)
+    return esm_params
+
+
 def bench_filip():
     """FILIP pairs/s at batch 128 = 12.8x the reference's bs-10 memory wall
     (main_2protein_filip.py:33): fused max-sim kernel (no B^2*T^2 tensor),
@@ -83,6 +97,7 @@ def bench_filip():
     mcfg = filip.FILIPConfig(esm=esm_cfg)
     esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
                                   dtype=jnp.bfloat16)
+    esm_params = _maybe_int8(esm_params)
     params = filip.init_params(jax.random.key(1), mcfg)
     packed = os.environ.get("PCT_FILIP_PACKED", "1") != "0"
     batch = int(os.environ.get("PCT_FILIP_BATCH", "128"))
@@ -166,6 +181,7 @@ def bench_eval():
     mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
     esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
                                   dtype=jnp.bfloat16)
+    esm_params = _maybe_int8(esm_params)
     params = clip.init_params(jax.random.key(1), mcfg)
     cfg = clip_engine.EngineConfig(model=mcfg, batch_size=16,
                                    accumulated_batches=16, num_chunks=16,

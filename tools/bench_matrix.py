@@ -30,6 +30,8 @@ MODES: dict[str, dict[str, str]] = {
     "filip_longtail_tiered": {"PCT_BENCH_MODE": "filip",
                               "PCT_BENCH_PROFILE": "longtail",
                               "PCT_PACK_TIERS": "4"},
+    "clip_int8": {"PCT_ESM_DTYPE": "int8"},
+    "filip_int8": {"PCT_BENCH_MODE": "filip", "PCT_ESM_DTYPE": "int8"},
     "clip_650M": {"PCT_ESM_CONFIG": "t33_650M"},
     "clip_650M_int8": {"PCT_ESM_CONFIG": "t33_650M",
                        "PCT_ESM_DTYPE": "int8"},
