@@ -63,18 +63,22 @@ def make_batches(rng, n, global_batch, tokenizer, length_groups=1):
     return batches
 
 
-def _maybe_int8(esm_params):
+def _maybe_int8(esm_cfg, esm_params):
     """PCT_ESM_DTYPE=int8 on a frozen-backbone mode: post-training w8a8
     quantisation + the tanh-gelu default that unlocks its MXU win
-    (docs/PERF.md 'int8 is erf-bound'; PCT_GELU=erf reverts)."""
+    (docs/PERF.md 'int8 is erf-bound'; PCT_GELU=erf reverts). The gelu
+    choice is resolved INTO the returned config here at build time —
+    nothing reads env at trace time (ADVICE r4)."""
+    import dataclasses
     import os
 
     from protein_clip_tpu.models import esm2
 
     if os.environ.get("PCT_ESM_DTYPE") == "int8":
-        os.environ.setdefault("PCT_GELU", "tanh")
-        return esm2.quantize_params(esm_params)
-    return esm_params
+        esm_cfg = dataclasses.replace(
+            esm_cfg, gelu=os.environ.get("PCT_GELU", "tanh"))
+        return esm_cfg, esm2.quantize_params(esm_params)
+    return esm_cfg, esm_params
 
 
 def bench_filip():
@@ -94,10 +98,10 @@ def bench_filip():
     import os
 
     esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16)
-    mcfg = filip.FILIPConfig(esm=esm_cfg)
     esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
                                   dtype=jnp.bfloat16)
-    esm_params = _maybe_int8(esm_params)
+    esm_cfg, esm_params = _maybe_int8(esm_cfg, esm_params)
+    mcfg = filip.FILIPConfig(esm=esm_cfg)
     params = filip.init_params(jax.random.key(1), mcfg)
     packed = os.environ.get("PCT_FILIP_PACKED", "1") != "0"
     batch = int(os.environ.get("PCT_FILIP_BATCH", "128"))
@@ -178,10 +182,10 @@ def bench_eval():
     from protein_clip_tpu.train import clip_engine
 
     esm_cfg = esm2.ESM2Config.t30_150M(compute_dtype=jnp.bfloat16)
-    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
     esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
                                   dtype=jnp.bfloat16)
-    esm_params = _maybe_int8(esm_params)
+    esm_cfg, esm_params = _maybe_int8(esm_cfg, esm_params)
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
     params = clip.init_params(jax.random.key(1), mcfg)
     cfg = clip_engine.EngineConfig(model=mcfg, batch_size=16,
                                    accumulated_batches=16, num_chunks=16,
@@ -835,15 +839,12 @@ def main():
     family = os.environ.get("PCT_ESM_CONFIG", "t30_150M")
     esm_cfg = getattr(esm2.ESM2Config, family)(
         compute_dtype=jnp.bfloat16, attention_impl=attn_impl)
-    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
     esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
                                   dtype=jnp.bfloat16)
-    if os.environ.get("PCT_ESM_DTYPE") == "int8":
-        esm_params = esm2.quantize_params(esm_params)
-        # int8 implies tanh gelu (matches the CLI default: erf's epilogue
-        # forfeits the int8 MXU win — 897 vs 1040 pairs/s at 150M);
-        # PCT_GELU=erf reverts for A/B.
-        os.environ.setdefault("PCT_GELU", "tanh")
+    # int8 implies tanh gelu (erf's epilogue forfeits the int8 MXU win —
+    # 897 vs 1040 pairs/s at 150M); PCT_GELU=erf reverts for A/B.
+    esm_cfg, esm_params = _maybe_int8(esm_cfg, esm_params)
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
     params = clip.init_params(jax.random.key(1), mcfg)
 
     # PCT_REMAT=0: drop the jax.checkpoint wrap on the (frozen,

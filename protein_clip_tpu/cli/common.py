@@ -185,8 +185,17 @@ def esm_config(name: str, dtype_name: str, fast_gelu: bool = False,
         # dwarfs tanh-vs-erf (5e-8 token cosine), so tanh is the right
         # default here; --exact-gelu restores erf.
         fast_gelu = True
-    return getattr(esm2.ESM2Config, name)(
-        compute_dtype=dtype, gelu="tanh" if fast_gelu else "erf")
+    if exact_gelu:
+        gelu = "erf"
+    elif fast_gelu:
+        gelu = "tanh"
+    else:
+        # no explicit flag: honor the PCT_GELU A/B env knob, resolved here
+        # at config build (a constructed config is authoritative at trace
+        # time — ADVICE r4).
+        import os
+        gelu = os.environ.get("PCT_GELU", "erf")
+    return getattr(esm2.ESM2Config, name)(compute_dtype=dtype, gelu=gelu)
 
 
 def load_clip_checkpoint(path, mcfg, esm_params):

@@ -101,6 +101,11 @@ def main(argv=None) -> int:
                        if "lengths" in index else None)
         corpus_m = (np.asarray(index["mask"], np.int32)
                     if "mask" in index else None)
+        if corpus_lens is None and corpus_m is None:
+            raise ValueError(
+                "malformed FILIP index: has 'tokens' but neither 'lengths' "
+                "(ragged, what `embed --filip` writes) nor 'mask' (legacy "
+                "dense) — rebuild the index with `embed --filip`")
         if corpus_t.shape[-1] != mcfg.embedding_dim:
             raise ValueError(
                 f"index token dim {corpus_t.shape[-1]} != model "

@@ -149,6 +149,11 @@ class ClipService:
                                        if "lengths" in index else None)
                 self.corpus_mask = (np.asarray(index["mask"], np.int32)
                                     if "mask" in index else None)
+                if self.corpus_lengths is None and self.corpus_mask is None:
+                    raise ValueError(
+                        "malformed FILIP index: has 'tokens' but neither "
+                        "'lengths' (ragged) nor 'mask' (legacy dense) — "
+                        "rebuild the index with `embed --filip`")
                 tok_dim = self.corpus_tokens.shape[-1]
                 if tok_dim != self.mcfg.embedding_dim:
                     raise ValueError(

@@ -181,6 +181,8 @@ def filip_score_matrix(ha, mask_a, hb, mask_b, temperature,
     """
     n = ha.shape[0]
     m = hb.shape[0]
+    if m == 0:  # empty index: range(0, 0, 0) below would raise opaquely
+        return np.zeros((n, 0), np.float32)
     rb = min(row_block, n)
     cb = min(col_block, m)
     rows = []
@@ -210,6 +212,8 @@ def filip_score_matrix_ragged(ha, mask_a, flat, lengths, temperature,
     offsets = np.concatenate([[0], np.cumsum(lengths)])
     n = ha.shape[0]
     m = len(lengths)
+    if m == 0:
+        return np.zeros((n, 0), np.float32)
     d = flat.shape[1]
     cb = min(col_block, m)
     rb = min(row_block, n)

@@ -62,8 +62,12 @@ class ESM2Config:
     # "tanh" is the bf16 tanh approximation — +4.3% step throughput
     # measured at t30_150M, token cosine drift vs erf 5e-8 at full depth
     # (~2000x below bf16 compute noise; docs/PERF.md ceiling
-    # decomposition). CLI: --fast-gelu; env override: PCT_GELU.
-    gelu: str = "erf"
+    # decomposition). CLI: --fast-gelu. The PCT_GELU env A/B knob is read
+    # ONCE here at config build — never at trace time — so an explicit
+    # gelu= (e.g. the CLI's erf parity contract) is authoritative even if
+    # a bench wrapper left a stale PCT_GELU in the process (ADVICE r4).
+    gelu: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("PCT_GELU", "erf"))
     fused_min_seq_len: int = 128   # eager wins for tiny T
     fused_max_seq_len: int = 2048  # q-blocked score tile must fit VMEM
 
@@ -193,12 +197,13 @@ def _layer_norm(x, w, b, eps):
 
 def _gelu_exact(x, mode: str = "erf"):
     # ESM's original erf gelu (modeling_esm.py: gelu) — NOT the tanh approx.
-    # mode="tanh" (ESM2Config.gelu / --fast-gelu; PCT_GELU env overrides)
-    # swaps in the bf16 tanh approximation: the wi matmul fusion is
-    # epilogue-limited (134 vs the wo's 187 TF/s — the only difference
-    # between those fusions IS this epilogue), +4.3% measured; erf stays
-    # the default for HF-parity ("bitwise-comparable similarity matrices").
-    if os.environ.get("PCT_GELU", mode) == "tanh":
+    # mode="tanh" (ESM2Config.gelu / --fast-gelu; PCT_GELU resolves at
+    # config build, see ESM2Config.gelu) swaps in the bf16 tanh
+    # approximation: the wi matmul fusion is epilogue-limited (134 vs the
+    # wo's 187 TF/s — the only difference between those fusions IS this
+    # epilogue), +4.3% measured; erf stays the default for HF-parity
+    # ("bitwise-comparable similarity matrices").
+    if mode == "tanh":
         return jax.nn.gelu(x, approximate=True)
     x32 = x.astype(jnp.float32)
     return (x32 * 0.5 * (1.0 + jax.lax.erf(x32 / math.sqrt(2.0)))).astype(x.dtype)

@@ -336,10 +336,22 @@ def _pp_hidden_packed(staged, ids_mb, seg_mb, pos_mb, cfg: esm2.ESM2Config,
 
 def _micro_divisor(rows: int, want: int) -> int:
     """Largest microbatch count <= want that divides the row count (packed
-    row counts are data-dependent; GPipe needs an exact split)."""
+    row counts are data-dependent; GPipe needs an exact split).
+
+    Warns (once per compiled shape — this runs at trace time) when the
+    effective count differs from the requested one: m=1 means no pipelining
+    and (n_stages-1)/n_stages idle bubble, a hidden throughput cliff."""
     m = max(1, min(want, rows))
     while rows % m:
         m -= 1
+    if m != want:
+        import warnings
+        warnings.warn(
+            f"PP: requested {want} microbatches but {rows} packed rows "
+            f"only split into {m} — pipeline utilization drops "
+            f"({'no overlap at m=1' if m == 1 else 'bigger bubble'}); "
+            "pick a pack budget whose row count divides the request",
+            stacklevel=2)
     return m
 
 

@@ -107,11 +107,11 @@ def capture(out_dir: Path, n_steps: int) -> None:
     esm_cfg = esm2.ESM2Config.t30_150M(
         compute_dtype=jnp.bfloat16,
         attention_impl=os.environ.get("PCT_ATTN_IMPL", "fused"))
-    mcfg = clip.CLIPConfig(esm=esm_cfg)
     esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
                                   dtype=jnp.bfloat16)
-    if os.environ.get("PCT_ESM_DTYPE") == "int8":  # same knob as bench.py
-        esm_params = esm2.quantize_params(esm_params)
+    from bench import _maybe_int8  # same knob + gelu default as bench.py
+    esm_cfg, esm_params = _maybe_int8(esm_cfg, esm_params)
+    mcfg = clip.CLIPConfig(esm=esm_cfg)
     params = clip.init_params(jax.random.key(1), mcfg)
     cfg = clip_engine.EngineConfig(model=mcfg, batch_size=16,
                                    accumulated_batches=16, num_chunks=16,
