@@ -81,6 +81,91 @@ def _maybe_int8(esm_cfg, esm_params):
     return esm_cfg, esm_params
 
 
+def bench_sharded():
+    """Mesh-sharded CLIP train step (parallel/step.make_sharded_train_step)
+    on whatever devices this host exposes: PCT_MESH_DP x PCT_MESH_TP
+    (defaults: all devices x 1). With PCT_ESM_CONFIG=t36_3B
+    PCT_ESM_DTYPE=int8 this is the 3B int8 TP bench mode (VERDICT r4 #4) —
+    the quantized backbone rides its w_q/w_s Megatron splits
+    (parallel/sharding.esm_param_specs) through the GSPMD 'model' axis.
+    On the single axon chip it measures the sharded-machinery overhead vs
+    the plain step (mesh 1x1); on real multi-chip it measures the scaling.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from protein_clip_tpu.models import clip, esm2
+    from protein_clip_tpu.parallel import mesh as mesh_mod
+    from protein_clip_tpu.parallel import sharding as shard_mod
+    from protein_clip_tpu.parallel.step import (make_sharded_train_step,
+                                                shard_batch)
+    from protein_clip_tpu.train import clip_engine
+    from protein_clip_tpu.train import optimizer as opt_mod
+
+    n_dev = len(jax.devices())
+    tp = int(os.environ.get("PCT_MESH_TP", "1"))
+    dp = int(os.environ.get("PCT_MESH_DP", str(max(1, n_dev // tp))))
+    mesh = mesh_mod.make_mesh(data=dp, model=tp)
+
+    family = os.environ.get("PCT_ESM_CONFIG", "t30_150M")
+    esm_cfg = getattr(esm2.ESM2Config, family)(compute_dtype=jnp.bfloat16)
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg,
+                                  dtype=jnp.bfloat16)
+    esm_cfg, esm_params = _maybe_int8(esm_cfg, esm_params)
+    if tp > 1 or os.environ.get("PCT_ESM_DTYPE") == "int8":
+        esm_params = shard_mod.shard_params(
+            mesh, esm_params, shard_mod.esm_param_specs(esm_params))
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, esm=esm_cfg)
+    params = clip.init_params(jax.random.key(1), mcfg)
+
+    gb = int(os.environ.get("PCT_GLOBAL_BATCH", "256"))
+    cfg = clip_engine.EngineConfig(
+        model=mcfg, batch_size=gb // 16, accumulated_batches=16,
+        num_chunks=16, remat=True)
+    optimizer = opt_mod.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+    step = make_sharded_train_step(cfg, optimizer, mesh)
+
+    tokenizer = EsmTokenizer()
+    rng = np.random.default_rng(42)
+    n_steps = 10
+    batches = [shard_batch(mesh, b) for b in
+               make_batches(rng, n_steps + 1, cfg.global_batch, tokenizer, 1)]
+    for b in batches:
+        for leaf in jax.tree.leaves(b):
+            float(jnp.sum(leaf.astype(jnp.int32)))
+
+    key = jax.random.key(0)
+    for b in batches:
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, esm_params, b, sub)
+        float(loss)
+
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, esm_params,
+                                       batches[i + 1], sub)
+        losses.append(loss)
+    vals = [float(l) for l in losses]
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(v) for v in vals), vals
+
+    pairs_per_sec = n_steps * cfg.global_batch / dt
+    print(json.dumps({
+        "metric": f"sharded_dp{dp}_tp{tp}_{family}"
+                  f"{'_int8' if os.environ.get('PCT_ESM_DTYPE') == 'int8' else ''}"
+                  "_pairs_per_sec",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": None,
+    }))
+
+
 def bench_filip():
     """FILIP pairs/s at batch 128 = 12.8x the reference's bs-10 memory wall
     (main_2protein_filip.py:33): fused max-sim kernel (no B^2*T^2 tensor),
@@ -823,6 +908,8 @@ def main():
         return bench_filip_retrieve()
     if os.environ.get("PCT_BENCH_MODE") == "serve":
         return bench_serve()
+    if os.environ.get("PCT_BENCH_MODE") == "sharded":
+        return bench_sharded()
 
     import jax.numpy as jnp
 

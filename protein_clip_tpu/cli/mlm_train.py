@@ -43,6 +43,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "grads reduce over ICI; composes with --packed "
                         "(rows dealt per shard) and with "
                         "--finetune/--lora-rank (trainable grads pmean'd)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel devices: backbone weights carry "
+                        "Megatron splits over the GSPMD 'model' axis "
+                        "(parallel/sharding.esm_param_specs) — per-token "
+                        "CE shards transparently; composes with --dp and "
+                        "with --finetune (f32 masters sharded too)")
     return p
 
 
@@ -55,7 +61,22 @@ def main(argv=None) -> int:
     esm_cfg = common.esm_config(args.esm_config, args.esm_dtype,
                                 fast_gelu=args.fast_gelu,
                                 exact_gelu=args.exact_gelu)
+    if args.tp > 1 and esm_cfg.attention_impl == "fused":
+        # GSPMD can't partition the Pallas custom call over the auto
+        # 'model' axis (same rule as parallel/step.tp_safe_model_config)
+        import dataclasses
+        esm_cfg = dataclasses.replace(esm_cfg, attention_impl="eager")
     esm_params = common.load_esm(args, esm_cfg)
+    mesh = None
+    if args.dp > 1 or args.tp > 1:
+        from ..parallel import mesh as mesh_mod
+        mesh = mesh_mod.make_mesh(data=args.dp, model=args.tp)
+        if args.tp > 1:
+            # Megatron splits over the GSPMD auto axis; the shard_map steps
+            # keep in_specs P() for params, so placement IS the partitioning
+            from ..parallel import sharding as shard_mod
+            esm_params = shard_mod.shard_params(
+                mesh, esm_params, shard_mod.esm_param_specs(esm_params))
     tokenizer = common.make_tokenizer()
     rng, hk = jax.random.split(rng)
     lm_head = esm2.init_lm_head(hk, esm_cfg)
@@ -136,17 +157,22 @@ def main(argv=None) -> int:
             {group: backbone_opt, "head": optimizer},
             lambda t: jax.tree.map_with_path(
                 lambda path, _: str(getattr(path[0], "key", "head")), t)))
+        if mesh is not None and args.tp > 1 and finetuning:
+            # f32 masters carry the same Megatron splits as the frozen
+            # base; optimizer.init below inherits them into the moments
+            from ..parallel import sharding as shard_mod
+            trainable["esm"] = shard_mod.shard_params(
+                mesh, trainable["esm"],
+                shard_mod.esm_param_specs(trainable["esm"]))
         opt_state = optimizer.init(trainable)
 
-        if args.dp > 1:
+        if mesh is not None:
             # continued pretraining over the data mesh: psum'd global-mean
             # CE, pmean'd trainable grads; plain or packed wire
             # (parallel/mlm_step.make_sharded_mlm_finetune_step)
-            from ..parallel import mesh as mesh_mod
             from ..parallel.mlm_step import (
                 make_sharded_mlm_finetune_eval_step,
                 make_sharded_mlm_finetune_step)
-            mesh = mesh_mod.make_mesh(data=args.dp, model=1)
             _ts = make_sharded_mlm_finetune_step(
                 esm_cfg, optimizer, mesh, args.mask_prob, esm_view,
                 packed=args.packed)
@@ -174,10 +200,8 @@ def main(argv=None) -> int:
                                     trainable["head"], arrs, key)
 
         lm_head = trainable
-    elif args.dp > 1:
-        from ..parallel import mesh as mesh_mod
+    elif mesh is not None:
         from ..parallel import mlm_step as dp_mod
-        mesh = mesh_mod.make_mesh(data=args.dp, model=1)
         optimizer = _clipped(optimizer)
         opt_state = optimizer.init(lm_head)
         if args.packed:

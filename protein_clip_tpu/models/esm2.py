@@ -508,8 +508,10 @@ def quantize_params(params: Params) -> Params:
 
     NOT a parity path: hidden states drift by int8 rounding (the parity
     target stays bf16/f32). Serving/throughput feature — the frozen
-    backbone takes it without retraining. Unsupported together with the
-    tensor-parallel 'model' axis (parallel/sharding.py expects "w" keys).
+    backbone takes it without retraining. Composes with the
+    tensor-parallel 'model' axis: parallel/sharding.esm_param_specs emits
+    w_q/w_s splits for quantized trees (parity-pinned in
+    tests/test_quantized.py).
     """
 
     @jax.jit

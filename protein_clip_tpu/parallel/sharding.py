@@ -25,20 +25,40 @@ from .mesh import MODEL_AXIS
 
 
 def esm_param_specs(params_like: Any) -> Any:
-    """PartitionSpec pytree matching models.esm2.init_params structure."""
+    """PartitionSpec pytree matching models.esm2.init_params structure.
+
+    Handles BOTH weight layouts per linear (dispatch on ``params_like``):
+    - bf16/f32: {"w" (L, in, out), "b" (L, out)};
+    - int8 from esm2.quantize_params: {"w_q" (L, in, out) int8,
+      "w_s" (L, out) per-output-channel scales, "b"} — w_q splits like w;
+      w_s/b follow the OUT axis, so they split on column-parallel linears
+      (q/k/v/wi) and replicate on row-parallel ones (o/wo), whose
+      s32-accumulator dequant needs every shard's full scale row.
+    int8 x TP is VERDICT r4 #4: the big-width win (+51% at 3B) composed
+    with the big-width axis.
+    """
     M = MODEL_AXIS
-    lin_col = {"w": P(None, None, M), "b": P(None, M)}   # (L, in, out) col-split
-    lin_row = {"w": P(None, M, None), "b": P(None)}      # (L, in, out) row-split
+
+    def lin(like: Any, col: bool) -> dict[str, P]:
+        w_spec = P(None, None, M) if col else P(None, M, None)
+        out_vec = P(None, M) if col else P(None)
+        if "w_q" in like:
+            return {"w_q": w_spec, "w_s": out_vec, "b": out_vec}
+        return {"w": w_spec, "b": out_vec}
+
+    attn = params_like["layers"]["attn"]
+    ffn = params_like["layers"]["ffn"]
     ln = {"w": P(None), "b": P(None)}
     specs = {
         "embed": {"word": P()},
         "layers": {
             "attn": {
-                "q": dict(lin_col), "k": dict(lin_col), "v": dict(lin_col),
-                "o": dict(lin_row),
+                "q": lin(attn["q"], True), "k": lin(attn["k"], True),
+                "v": lin(attn["v"], True), "o": lin(attn["o"], False),
                 "ln": dict(ln),
             },
-            "ffn": {"wi": dict(lin_col), "wo": dict(lin_row), "ln": dict(ln)},
+            "ffn": {"wi": lin(ffn["wi"], True), "wo": lin(ffn["wo"], False),
+                    "ln": dict(ln)},
         },
         "final_ln": {"w": P(), "b": P()},
     }
@@ -57,5 +77,17 @@ def to_shardings(mesh: Mesh, specs: Any) -> Any:
 
 
 def shard_params(mesh: Mesh, params: Any, specs: Any) -> Any:
+    """Place params onto their Megatron shardings. Multi-host: params are
+    identical on every process (seeded init / npz load), so
+    ``make_array_from_process_local_data`` with the full array materialises
+    only the addressable shards (device_put can't target remote devices)."""
     shardings = to_shardings(mesh, specs)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        def put(v, s):
+            host = np.asarray(v)
+            return jax.make_array_from_process_local_data(s, host,
+                                                          host.shape)
+        return jax.tree.map(put, params, shardings)
     return jax.tree.map(jax.device_put, params, shardings)

@@ -584,3 +584,86 @@ def test_deal_pairs_balances_equal_counts():
     loads = sorted(sum(rec_lens[i] for i in s) for s in shards)
     assert loads[-1] <= 1000, loads  # far from the 1700 regression
     assert sorted(i for s in shards for i in s) == list(range(6))
+
+
+def test_sharded_mlm_step_composes_with_tp(rng):
+    """MLM x TP (VERDICT r4 #7): the same step over a dp2 x tp2 mesh —
+    backbone weights carrying Megatron splits over the GSPMD 'model' axis —
+    must match the dp2-only run bit-for-bit in loss and updated head
+    (per-token CE has no cross-shard coupling beyond the psum'd mean)."""
+    import optax
+
+    from protein_clip_tpu.models import esm2
+    from protein_clip_tpu.parallel.mlm_step import make_sharded_mlm_train_step
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    lm_head = esm2.init_lm_head(jax.random.key(1), esm_cfg)
+    optimizer = optax.sgd(0.05)
+
+    B, T = 8, 16
+    ids = jnp.asarray(np.random.default_rng(3).integers(4, 24, (B, T)),
+                      jnp.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+    key = jax.random.key(11)
+
+    mesh_dp = mesh_mod.make_mesh(data=2, model=1)
+    step_dp = make_sharded_mlm_train_step(esm_cfg, optimizer, mesh_dp, 0.3)
+    head_dp, _, loss_dp = step_dp(lm_head, optimizer.init(lm_head),
+                                  esm_params, ids, mask, key)
+
+    mesh_tp = mesh_mod.make_mesh(data=2, model=2)
+    esm_tp = shard_mod.shard_params(mesh_tp, esm_params,
+                                    shard_mod.esm_param_specs(esm_params))
+    step_tp = make_sharded_mlm_train_step(esm_cfg, optimizer, mesh_tp, 0.3)
+    head_tp, _, loss_tp = step_tp(lm_head, optimizer.init(lm_head),
+                                  esm_tp, ids, mask, key)
+
+    np.testing.assert_allclose(float(loss_tp), float(loss_dp), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(head_tp), jax.tree.leaves(head_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sharded_mlm_finetune_step_composes_with_tp(rng):
+    """MLM unfrozen finetune x TP: f32 masters sharded with the same
+    Megatron specs; trainable update must match the dp-only step."""
+    import optax
+
+    from protein_clip_tpu.models import esm2
+    from protein_clip_tpu.parallel.mlm_step import (
+        make_sharded_mlm_finetune_step)
+    from protein_clip_tpu.train.finetune import _cast_esm, init_params as _fp
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    esm_params = esm2.init_params(jax.random.key(0), esm_cfg)
+    lm_head = esm2.init_lm_head(jax.random.key(1), esm_cfg)
+    optimizer = optax.sgd(0.05)
+    esm_view = lambda t, _e: _cast_esm(t["esm"], esm_cfg.compute_dtype)
+
+    B, T = 8, 16
+    ids = jnp.asarray(np.random.default_rng(5).integers(4, 24, (B, T)),
+                      jnp.int32)
+    mask = jnp.ones((B, T), jnp.int32)
+    key = jax.random.key(13)
+
+    def run(mesh, esm_p, trainable):
+        step = make_sharded_mlm_finetune_step(esm_cfg, optimizer, mesh, 0.3,
+                                              esm_view, packed=False)
+        return step(trainable, optimizer.init(trainable), esm_p, ids, mask,
+                    key)
+
+    trainable = {"esm": _fp(esm_params, {})["esm"], "head": lm_head}
+    t_dp, _, loss_dp = run(mesh_mod.make_mesh(data=2, model=1), esm_params,
+                           trainable)
+
+    mesh_tp = mesh_mod.make_mesh(data=2, model=2)
+    specs = shard_mod.esm_param_specs(esm_params)
+    trainable_tp = {
+        "esm": shard_mod.shard_params(mesh_tp, trainable["esm"], specs),
+        "head": lm_head}
+    esm_tp = shard_mod.shard_params(mesh_tp, esm_params, specs)
+    t_tp, _, loss_tp = run(mesh_tp, esm_tp, trainable_tp)
+
+    np.testing.assert_allclose(float(loss_tp), float(loss_dp), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(t_tp), jax.tree.leaves(t_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)

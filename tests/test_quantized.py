@@ -105,3 +105,91 @@ def test_int8_defaults_to_tanh_gelu():
     assert common.esm_config("tiny", "bfloat16", fast_gelu=True).gelu == "tanh"
     assert common.esm_config("tiny", "int8").gelu == "tanh"
     assert common.esm_config("tiny", "int8", exact_gelu=True).gelu == "erf"
+
+
+def test_quantized_specs_shard_w_q(rng):
+    """esm_param_specs dispatches on the quantized layout (VERDICT r4 #4):
+    w_q splits like w; w_s/b split on column-parallel linears only."""
+    from jax.sharding import PartitionSpec as P
+
+    from protein_clip_tpu.parallel import sharding as shard_mod
+
+    cfg = esm2.ESM2Config.tiny()
+    qp = esm2.quantize_params(esm2.init_params(jax.random.key(0), cfg))
+    specs = shard_mod.esm_param_specs(qp)
+    attn, ffn = specs["layers"]["attn"], specs["layers"]["ffn"]
+    assert attn["q"]["w_q"] == P(None, None, "model")
+    assert attn["q"]["w_s"] == P(None, "model")
+    assert attn["o"]["w_q"] == P(None, "model", None)
+    assert attn["o"]["w_s"] == P(None)          # dequant needs full scales
+    assert ffn["wi"]["w_q"] == P(None, None, "model")
+    assert ffn["wo"]["w_q"] == P(None, "model", None)
+    # structural match: device_put succeeds leaf-for-leaf
+    jax.tree.map(lambda a, b: None, qp, specs,
+                 is_leaf=lambda x: isinstance(x, P))
+
+
+def test_quantized_forward_matches_under_tp(rng):
+    """int8 backbone forward over a 4-way 'model' mesh == single-device
+    int8 forward exactly (GSPMD partitioning must not change the dynamic
+    activation-quant max or the s32 dequant)."""
+    from protein_clip_tpu.parallel import mesh as mesh_mod
+    from protein_clip_tpu.parallel import sharding as shard_mod
+
+    cfg = esm2.ESM2Config.tiny()
+    params = esm2.init_params(jax.random.key(0), cfg)
+    qp = esm2.quantize_params(params)
+    ids = jnp.asarray(rng.integers(4, 24, (4, 16)), jnp.int32)
+    mask = jnp.ones((4, 16), jnp.int32)
+    ref = np.asarray(esm2.forward(qp, ids, mask, cfg))
+
+    mesh = mesh_mod.make_mesh(data=2, model=4)
+    qp_tp = shard_mod.shard_params(mesh, qp, shard_mod.esm_param_specs(qp))
+    out = np.asarray(jax.jit(
+        lambda p, i, m: esm2.forward(p, i, m, cfg))(qp_tp, ids, mask))
+    np.testing.assert_allclose(out, ref, atol=2e-6, rtol=1e-6)
+
+
+def test_quantized_sharded_clip_step_dp_x_tp(rng):
+    """int8 x DP x TP end-to-end: one sharded CLIP train step over a
+    dp2 x tp2 mesh with the quantized backbone matches the dp2-only step."""
+    import optax
+
+    from protein_clip_tpu.models import clip
+    from protein_clip_tpu.parallel import mesh as mesh_mod
+    from protein_clip_tpu.parallel import sharding as shard_mod
+    from protein_clip_tpu.parallel.step import (make_sharded_train_step,
+                                                shard_batch)
+    from protein_clip_tpu.train import clip_engine
+
+    esm_cfg = esm2.ESM2Config.tiny()
+    mcfg = clip.CLIPConfig(input_dim=esm_cfg.hidden_size, embedding_dim=16,
+                           h1=2, h2=2, esm=esm_cfg)
+    qp = esm2.quantize_params(esm2.init_params(jax.random.key(1), esm_cfg))
+    params = clip.init_params(jax.random.key(2), mcfg)
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                   accumulated_batches=1, num_chunks=2)
+    optimizer = optax.sgd(0.05)
+    B, T = 8, 16
+    batch = {
+        "pep_ids": jnp.asarray(rng.integers(4, 24, (B, T)), jnp.int32),
+        "pep_mask": jnp.ones((B, T), jnp.int32),
+        "rec_ids": jnp.asarray(rng.integers(4, 24, (B, T)), jnp.int32),
+        "rec_mask": jnp.ones((B, T), jnp.int32),
+    }
+    key = jax.random.key(9)
+
+    def run(mesh, esm_p):
+        step = make_sharded_train_step(cfg, optimizer, mesh)
+        return step(params, optimizer.init(params), esm_p,
+                    shard_batch(mesh, batch), key)
+
+    p_dp, _, loss_dp = run(mesh_mod.make_mesh(data=2, model=1), qp)
+    mesh_tp = mesh_mod.make_mesh(data=2, model=2)
+    qp_tp = shard_mod.shard_params(mesh_tp, qp,
+                                   shard_mod.esm_param_specs(qp))
+    p_tp, _, loss_tp = run(mesh_tp, qp_tp)
+
+    np.testing.assert_allclose(float(loss_tp), float(loss_dp), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_tp), jax.tree.leaves(p_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)

@@ -37,6 +37,12 @@ MODES: dict[str, dict[str, str]] = {
                        "PCT_ESM_DTYPE": "int8"},
     "clip_3B": {"PCT_ESM_CONFIG": "t36_3B"},
     "clip_3B_int8": {"PCT_ESM_CONFIG": "t36_3B", "PCT_ESM_DTYPE": "int8"},
+    # mesh-sharded step machinery (parallel/step.py) incl. the int8 w_q/w_s
+    # Megatron-spec path; on one chip mesh=1x1 (overhead check), on real
+    # multi-chip set PCT_MESH_TP to measure TP scaling
+    "clip_3B_int8_sharded": {"PCT_BENCH_MODE": "sharded",
+                             "PCT_ESM_CONFIG": "t36_3B",
+                             "PCT_ESM_DTYPE": "int8"},
     "eval": {"PCT_BENCH_MODE": "eval"},
     # unfrozen-backbone training (train/finetune.py): packed rows
     # (default) and the plain single-bucket path
