@@ -160,6 +160,30 @@ def add_mesh_args(p: argparse.ArgumentParser) -> None:
                    help="with --pp: microbatches per step (default "
                         "max(2*pp, --num-chunks); bubble fraction = "
                         "(pp-1)/(M+pp-1))")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator host:port for "
+                        "jax.distributed (Cloud TPU VMs auto-detect — just "
+                        "run the same command on every host; see README "
+                        "'Multi-host launch'). Requires --num-processes "
+                        "and --process-id off-cloud")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+
+
+def maybe_init_distributed(args) -> None:
+    """Join the multi-host cluster BEFORE any other jax use (flagship CLIs
+    call this first). No-op single-process; auto-detects on Cloud TPU when
+    --coordinator is omitted but PCT_MULTIHOST=1 requests cluster init."""
+    import os
+
+    from ..parallel import distributed
+
+    coord = getattr(args, "coordinator", None)
+    if coord or os.environ.get("PCT_MULTIHOST") == "1":
+        distributed.initialize(coord,
+                               num_processes=getattr(args, "num_processes",
+                                                     None),
+                               process_id=getattr(args, "process_id", None))
 
 
 def resolve_mesh_shape(args) -> tuple[int, int, int]:

@@ -27,6 +27,7 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    common.maybe_init_distributed(args)
     return run_clip_training(
         args, prefix_a="protein1", prefix_b="protein2", plot_cluster=True,
         max_sequence_length=args.max_sequence_length)

@@ -58,6 +58,7 @@ def filip_similarity_viz(params, esm_params, mcfg, tokenizer):
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    common.maybe_init_distributed(args)
     finetuning = getattr(args, "finetune", False)
     lora_rank = getattr(args, "lora_rank", 0)
     if finetuning and lora_rank:

@@ -76,6 +76,22 @@ def _snap_divisor(n: int, want: int) -> int:
     return m
 
 
+def _put_global(v, sharding: NamedSharding):
+    """Place identical per-host data onto a (possibly multi-host) sharding.
+
+    Multi-controller JAX forbids ``device_put`` onto non-addressable
+    devices; ``make_array_from_process_local_data`` with
+    ``global_shape == local.shape`` takes the same-on-every-host array and
+    materialises only this process's shards.
+    """
+    if jax.process_count() > 1:
+        import numpy as np
+        host = np.asarray(v)
+        return jax.make_array_from_process_local_data(sharding, host,
+                                                      host.shape)
+    return jax.device_put(v, sharding)
+
+
 class MeshEngine:
     """loop.fit engine protocol over the sharded step factories.
 
@@ -193,7 +209,17 @@ class MeshEngine:
         return _make_clip_eval_sharded(cfg, self.mesh, view, loss_fn)
 
     def make_prepare(self, cfg, tokenizer):
-        """Host-side (peps, recs) -> mesh-placed device batch."""
+        """Host-side (peps, recs) -> mesh-placed device batch.
+
+        Single-process: plain ``device_put`` onto the mesh sharding.
+        Multi-host (``jax.process_count() > 1``): every process builds the
+        SAME host batch (the loaders are seed-deterministic across hosts,
+        data/dataset.py), and ``jax.make_array_from_process_local_data``
+        with ``global_shape == local.shape`` places only each process's
+        addressable slice — no cross-host batch broadcast, the production
+        per-process data path (VERDICT r4 #3 / SURVEY §2.3 comm row).
+        Proven by the 2-process cases in tests/test_distributed.py.
+        """
         n_data = self._n_data
         if self.packed:
             from .packed_step import tokenize_packed_sharded
@@ -207,7 +233,7 @@ class MeshEngine:
             def prepare(peps, recs):
                 batch = tokenize_packed_sharded(tokenizer, peps, recs,
                                                 n_data)
-                return {k: jax.device_put(v, shardings[k])
+                return {k: _put_global(v, shardings[k])
                         for k, v in batch.items()}
 
             return prepare
@@ -217,7 +243,7 @@ class MeshEngine:
 
         def prepare(peps, recs):
             batch = tokenize_pair_batch(tokenizer, peps, recs)
-            return {k: jax.device_put(v, sharding)
+            return {k: _put_global(v, sharding)
                     for k, v in batch.items()}
 
         return prepare

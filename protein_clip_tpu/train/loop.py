@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 from pathlib import Path
 from typing import Any, Callable
@@ -127,9 +128,14 @@ def fit(
             val_losses = list(state["val_losses"])
             log(f"Resumed from epoch {start_epoch}")
 
+    # Multi-controller: every process runs the SPMD epoch loop, but run
+    # artifacts (CSV/ckpt/metrics/figures via epoch_hook) write on process 0
+    # only — secondaries would otherwise write duplicates into their own
+    # timestamped run dirs (parallel/distributed.is_primary()).
+    primary = jax.process_index() == 0
     mode = "a" if (resume and start_epoch > 0) else "w"
-    with open(losses_path, mode) as f:
-        if mode == "w":
+    with open(losses_path if primary else os.devnull, mode) as f:
+        if mode == "w" and primary:
             f.write("Epoch,Train Loss,Validation Loss\n")
         for epoch in range(start_epoch, num_epochs):
             t0 = time.perf_counter()
@@ -160,17 +166,19 @@ def fit(
             if val_loss < best_val:
                 best_val = val_loss
                 best_params = params
-                ckpt.export_npz(model_path, best_params)
+                if primary:
+                    ckpt.export_npz(model_path, best_params)
 
             dt = time.perf_counter() - t0
-            with open(metrics_path, "a") as mf:
-                mf.write(json.dumps({
-                    "epoch": epoch + 1, "train_loss": train_loss,
-                    "val_loss": val_loss, "seconds": dt,
-                }) + "\n")
+            if primary:
+                with open(metrics_path, "a") as mf:
+                    mf.write(json.dumps({
+                        "epoch": epoch + 1, "train_loss": train_loss,
+                        "val_loss": val_loss, "seconds": dt,
+                    }) + "\n")
             log(f"Epoch {epoch + 1}/{num_epochs} - Train Loss: "
                 f"{train_loss:.4f}, Val Loss: {val_loss:.4f} ({dt:.1f}s)")
-            if (epoch + 1) % save_state_every == 0:
+            if (epoch + 1) % save_state_every == 0 and primary:
                 _save_state(state_dir, epoch + 1, {
                     "params": params, "opt_state": opt_state,
                     "best_params": best_params,
@@ -178,7 +186,7 @@ def fit(
                     "train_losses": jax.numpy.asarray(train_losses),
                     "val_losses": jax.numpy.asarray(val_losses),
                 })
-            if epoch_hook is not None:
+            if epoch_hook is not None and primary:
                 epoch_hook(epoch, best_params)
 
     test_loss = None

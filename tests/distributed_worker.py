@@ -13,9 +13,13 @@ batch rows are split so each process only ever materialises ITS OWN rows
 other process travel through the all_gather, as on a real pod.
 
 Usage: python distributed_worker.py <pid> <nproc> <port> <out.npz> [mode]
-mode: "plain" (default, unpacked DP step) or "packed" (packed rows over
+mode: "plain" (default, unpacked DP step), "packed" (packed rows over
 the same cross-process mesh via tokenize_packed_sharded — each rank
-materialises only its own shards' rows).
+materialises only its own shards' rows), "finetune" (unfrozen two-pass
+gradcache across the process boundary), "mlm" (masked-CE global mean
+psum'd across processes), or "engine" (the CLI wiring itself:
+MeshEngine.make_prepare's per-process make_array_from_process_local_data
+placement + its train step).
 """
 
 import os
@@ -92,6 +96,54 @@ def main():
                     NamedSharding(mesh, P("data")), sl, v.shape)
         step = make_sharded_packed_train_step(cfg, optimizer, mesh,
                                               rows_per_chunk=1)
+    elif mode == "engine":
+        # THE CLI WIRING: MeshEngine.make_prepare does the per-process
+        # placement itself (engine._put_global) — no hand-rolled slicing
+        # here, every process feeds the full host batch.
+        from protein_clip_tpu.data.tokenizer import EsmTokenizer
+        from protein_clip_tpu.parallel.engine import MeshEngine
+        from tests.distributed_case import build_packed_pairs
+
+        eng = MeshEngine(data=2 * nproc, arch="clip", mode="frozen")
+        peps, recs = build_packed_pairs()
+        gbatch = eng.make_prepare(cfg, EsmTokenizer())(peps, recs)
+        step = eng.make_train_step(cfg, optimizer)
+    elif mode == "mlm":
+        from protein_clip_tpu.models import esm2 as esm2_mod
+        from protein_clip_tpu.parallel.mlm_step import (
+            make_sharded_mlm_train_step)
+
+        lm_head = esm2_mod.init_lm_head(jax.random.key(3), mcfg.esm)
+        params = lm_head
+        opt0 = optimizer.init(lm_head)
+        rows = CASE_BATCH // nproc
+        sharding = NamedSharding(mesh, P("data"))
+        gbatch = {
+            k: jax.make_array_from_process_local_data(
+                sharding, batch[k][pid * rows:(pid + 1) * rows],
+                batch[k].shape)
+            for k in ("pep_ids", "pep_mask")
+        }
+        _mstep = make_sharded_mlm_train_step(mcfg.esm, optimizer, mesh,
+                                             mask_prob=0.3)
+        step = lambda p, o, e, b, k: _mstep(p, o, e, b["pep_ids"],
+                                            b["pep_mask"], k)
+    elif mode == "finetune":
+        from protein_clip_tpu.parallel.finetune_step import (
+            make_sharded_finetune_step)
+        from protein_clip_tpu.train import finetune
+
+        params = finetune.init_params(esm_params, params)
+        esm_params = {}
+        opt0 = optimizer.init(params)
+        rows = CASE_BATCH // nproc
+        sharding = NamedSharding(mesh, P("data"))
+        gbatch = {
+            k: jax.make_array_from_process_local_data(
+                sharding, v[pid * rows:(pid + 1) * rows], v.shape)
+            for k, v in batch.items()
+        }
+        step = make_sharded_finetune_step(cfg, optimizer, mesh)
     else:
         rows = CASE_BATCH // nproc
         sharding = NamedSharding(mesh, P("data"))

@@ -123,3 +123,88 @@ def test_two_process_packed_dp_step_matches_single_process(tmp_path):
     for a, b in zip(jax.tree.leaves(got["params"]), jax.tree.leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_two_process_finetune_step_matches_single_process(tmp_path):
+    """UNFROZEN two-pass gradcache across a real process boundary: embedding
+    cotangents from the cross-process all_gather must flow back into each
+    rank's local backbone replay (VERDICT r4 #3 'finetune case')."""
+    from protein_clip_tpu.train import finetune
+
+    out = _run_workers(tmp_path, "finetune")
+
+    mcfg, esm_params, heads, batch = build_case()
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=2,
+                                   accumulated_batches=4, num_chunks=4,
+                                   remat=False)
+    optimizer = optax.sgd(5e-2)
+    params = finetune.init_params(esm_params, heads)
+    p1, _, loss1 = finetune.make_train_step(cfg, optimizer)(
+        params, optimizer.init(params), {}, batch, jax.random.key(CASE_SEED))
+
+    from protein_clip_tpu.train.checkpoint import load_npz
+    got = load_npz(out, {"params": jax.tree.map(np.asarray, p1),
+                         "loss": np.float32(0)})
+    np.testing.assert_allclose(float(got["loss"]), float(loss1), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(got["params"]), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_two_process_mlm_step_matches_single_process(tmp_path):
+    """Masked-CE (sum, count) psum across processes: the 2-rank global-mean
+    loss and LM-head update equal the same data=4 mesh computed locally
+    (identical fold_in(axis_index) masks by construction)."""
+    from protein_clip_tpu.models import esm2
+    from protein_clip_tpu.parallel import mesh as mesh_mod
+    from protein_clip_tpu.parallel.mlm_step import make_sharded_mlm_train_step
+
+    out = _run_workers(tmp_path, "mlm")
+
+    mcfg, esm_params, _, batch = build_case()
+    lm_head = esm2.init_lm_head(jax.random.key(3), mcfg.esm)
+    optimizer = optax.sgd(5e-2)
+    mesh = mesh_mod.make_mesh(data=4, model=1)
+    step = make_sharded_mlm_train_step(mcfg.esm, optimizer, mesh,
+                                       mask_prob=0.3)
+    h1, _, loss1 = step(lm_head, optimizer.init(lm_head), esm_params,
+                        batch["pep_ids"], batch["pep_mask"],
+                        jax.random.key(CASE_SEED))
+
+    from protein_clip_tpu.train.checkpoint import load_npz
+    got = load_npz(out, {"params": jax.tree.map(np.asarray, h1),
+                         "loss": np.float32(0)})
+    np.testing.assert_allclose(float(got["loss"]), float(loss1), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(got["params"]), jax.tree.leaves(h1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_two_process_engine_prepare_matches_single_process(tmp_path):
+    """The CLI wiring itself across processes: MeshEngine.make_prepare
+    places each rank's slice via make_array_from_process_local_data from
+    the SAME full host batch (engine._put_global) — updated params must
+    match the single-device engine step on those pairs."""
+    from protein_clip_tpu.data.tokenizer import EsmTokenizer
+    from tests.distributed_case import build_packed_pairs
+
+    out = _run_workers(tmp_path, "engine")
+
+    mcfg, esm_params, params, _ = build_case()
+    cfg = clip_engine.EngineConfig(model=mcfg, batch_size=2,
+                                   accumulated_batches=4, num_chunks=4,
+                                   remat=False)
+    optimizer = optax.sgd(5e-2)
+    peps, recs = build_packed_pairs()
+    batch = clip_engine.tokenize_pair_batch(EsmTokenizer(), peps, recs)
+    p1, _, loss1 = clip_engine.make_train_step(cfg, optimizer)(
+        params, optimizer.init(params), esm_params, batch,
+        jax.random.key(CASE_SEED))
+
+    from protein_clip_tpu.train.checkpoint import load_npz
+    got = load_npz(out, {"params": jax.tree.map(np.asarray, p1),
+                         "loss": np.float32(0)})
+    np.testing.assert_allclose(float(got["loss"]), float(loss1), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(got["params"]), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
