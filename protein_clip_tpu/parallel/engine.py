@@ -110,12 +110,17 @@ class MeshEngine:
         if mode not in ("frozen", "finetune", "lora"):
             raise ValueError(f"unknown mode {mode!r}")
         if stages > 1:
-            if arch != "clip" or mode != "frozen" or packed:
+            if arch != "clip" or mode not in ("frozen", "finetune") or packed:
                 raise ValueError(
-                    "--pp composes with the frozen unpacked CLIP path only "
-                    "(parallel/pipeline.py: forward-only GPipe over the "
-                    "frozen backbone; drop --packed/--finetune/--lora-rank "
+                    "--pp composes with the unpacked CLIP path only "
+                    "(frozen, or --finetune via the reversed-ppermute "
+                    "backward pipeline; drop --packed/--lora-rank "
                     "or use --dp/--tp)")
+            if mode == "finetune" and (data > 1 or model > 1):
+                raise ValueError(
+                    "--pp --finetune is a pure 'stage' pipeline for now "
+                    "(drop --dp/--tp; parallel/pipeline."
+                    "make_pp_finetune_step)")
             self.mesh = pp_mod.make_pp_dp_mesh(data, stages, model=model,
                                                devices=devices)
         else:
@@ -155,6 +160,10 @@ class MeshEngine:
             return self._filip_train_step(cfg, optimizer)
         loss_fn = default_loss_fn()
         if self.stages > 1:
+            if self.mode == "finetune":
+                return pp_mod.make_pp_finetune_step(
+                    cfg, optimizer, self.mesh,
+                    num_microbatches=self.num_microbatches, loss_fn=loss_fn)
             return pp_mod.make_pp_dp_train_step(
                 cfg, optimizer, self.mesh,
                 num_microbatches=self.num_microbatches, loss_fn=loss_fn)
@@ -202,7 +211,8 @@ class MeshEngine:
         loss_fn = default_loss_fn()
         if self.stages > 1:
             return _make_pp_dp_eval_step(cfg, self.mesh, loss_fn,
-                                         self.num_microbatches)
+                                         self.num_microbatches,
+                                         finetune=self.mode == "finetune")
         if self.packed:
             return _make_packed_clip_eval_sharded(cfg, self.mesh, view,
                                                   loss_fn)
@@ -269,15 +279,34 @@ class MeshEngine:
 
     def prepare_params(self, params):
         """Place trainable params: under TP finetune the f32 master backbone
-        inside params carries the Megatron splits (optimizer state inherits
-        them via optimizer.init)."""
-        if (self.mode == "finetune"
-                and dict(self.mesh.shape).get(MODEL_AXIS, 1) > 1):
+        inside params carries the Megatron splits; under PP finetune it
+        stages over 'stage' (each chip: 1/S of the masters + moments).
+        Optimizer state inherits either placement via optimizer.init."""
+        if self.mode != "finetune":
+            return params
+        if self.stages > 1:
+            params = dict(params)
+            params["esm"] = pp_mod.shard_staged_params(
+                self.mesh, pp_mod.stage_esm_params(params["esm"],
+                                                   self.stages))
+            return params
+        if dict(self.mesh.shape).get(MODEL_AXIS, 1) > 1:
             from . import sharding as shard_mod
             params = dict(params)
             params["esm"] = shard_mod.shard_params(
                 self.mesh, params["esm"],
                 shard_mod.esm_param_specs(params["esm"]))
+        return params
+
+    def export_view(self, params):
+        """Canonical checkpoint/eval layout for step-time params: PP
+        finetune's staged (S, L/S, ...) masters flatten back to the
+        (L, ...) stack every consumer (esm2.forward, npz loaders, viz)
+        expects. Identity for every other mode (train/loop.py applies
+        this to exports, epoch hooks and FitResult)."""
+        if self.mode == "finetune" and self.stages > 1:
+            return {"esm": pp_mod.unstage_esm_params(params["esm"]),
+                    "heads": params["heads"]}
         return params
 
 
@@ -440,19 +469,26 @@ def _make_filip_eval_sharded(cfg, mesh, view, packed: bool):
     return jax.jit(sharded)
 
 
-def _make_pp_dp_eval_step(cfg, mesh, loss_fn, num_microbatches: int | None):
-    """Frozen CLIP eval over the ('data', 'stage') mesh: the GPipe forward
+def _make_pp_dp_eval_step(cfg, mesh, loss_fn, num_microbatches: int | None,
+                          finetune: bool = False):
+    """CLIP eval over the ('data', 'stage') mesh: the GPipe forward
     of make_pp_dp_train_step without grads/dropout. Microbatch count snaps
     to the largest divisor of the local batch (val batches are smaller
-    than the train global batch)."""
+    than the train global batch). finetune: params carry the staged f32
+    masters ({'esm': staged, 'heads': ...}); cast in-step to the compute
+    dtype exactly as the train step, esm_params slot ignored."""
     from ..models import clip
     from ..train.clip_engine import expand_batch
+    from ..train.finetune import _cast_esm
 
     mcfg = tp_safe_model_config(cfg.model, mesh)
     n_stages = mesh.shape[pp_mod.STAGE_AXIS]
     want_micro = num_microbatches or max(2 * n_stages, cfg.num_chunks)
 
     def local_step(params, esm_params, batch):
+        if finetune:
+            esm_params = _cast_esm(params["esm"], mcfg.esm.compute_dtype)
+            params = params["heads"]
         batch = expand_batch(batch)
 
         def enc(ids, mask):
@@ -474,9 +510,12 @@ def _make_pp_dp_eval_step(cfg, mesh, loss_fn, num_microbatches: int | None):
         rec = jax.lax.all_gather(rec_l, DATA_AXIS, axis=0, tiled=True)
         return loss_fn(pep, rec)
 
+    params_spec = ({"esm": pp_mod.STAGED_SPEC, "heads": P()} if finetune
+                   else P())
+    esm_spec = P() if finetune else pp_mod.STAGED_SPEC  # finetune: {} slot
     sharded = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(), pp_mod.STAGED_SPEC, P(DATA_AXIS)),
+        in_specs=(params_spec, esm_spec, P(DATA_AXIS)),
         out_specs=P(),
         axis_names={DATA_AXIS, pp_mod.STAGE_AXIS},
         check_vma=False,

@@ -26,10 +26,14 @@ pipeline a complete training schedule: gradients stop at the backbone
 boundary (``stop_gradient``), so no backward pipeline / 1F1B interleaving is
 needed — the replicated heads get exact gradients of the global loss
 (tests/test_pipeline.py proves step-for-step equality with the single-device
-engine). An unfrozen backbone would differentiate through the tick scan —
-JAX reverses the ppermutes automatically — at the cost of storing per-tick
-activations; that regime is out of scope while every model family here
-freezes the backbone (reference main.py:22-24).
+engine).
+
+The UNFROZEN regime (``make_pp_finetune_step``) differentiates through the
+tick scan: JAX reverses the ppermutes automatically, which turns the GPipe
+forward schedule into its mirrored backward pipeline — cotangents ride the
+reversed ring while each stage replays its own layer slice under per-layer
+``jax.checkpoint``. Exact-gradient parity with the single-device two-pass
+gradcache finetune is pinned in tests/test_pipeline.py.
 """
 
 from __future__ import annotations
@@ -145,12 +149,19 @@ def shard_staged_params(mesh: Mesh, staged: Params) -> Params:
 
 
 def _pp_hidden_local(staged, ids_mb, mask_mb, cfg: esm2.ESM2Config,
-                     n_stages: int, n_micro: int):
+                     n_stages: int, n_micro: int, remat: bool = False):
     """Per-device body (inside shard_map over 'stage').
 
     ids_mb/mask_mb: (M, mb, T), replicated. Staged layer leaves arrive
     (1, L/S, ...). Returns (M, mb, T, H) last_hidden_state, replicated
     (masked-psum broadcast from the last stage).
+
+    remat: checkpoint each layer so differentiating THROUGH the pipeline
+    (make_pp_finetune_step) stores one (mb, T, H) activation per layer
+    boundary instead of every attention/FFN intermediate — the same
+    policy as esm2.forward(remat=True). Frozen callers leave it off
+    (stop_gradient makes the backward nonexistent; remat is a no-op,
+    measured in docs/PERF.md).
     """
     s = jax.lax.axis_index(STAGE_AXIS)
     layers = jax.tree.map(lambda x: x[0], staged["layers"])
@@ -168,6 +179,8 @@ def _pp_hidden_local(staged, ids_mb, mask_mb, cfg: esm2.ESM2Config,
             x = esm2._ffn_block(x, lp["ffn"], cfg)
             return x, None
 
+        if remat:
+            layer = jax.checkpoint(layer)
         x, _ = jax.lax.scan(layer, x, layers)
         return x
 
@@ -516,3 +529,102 @@ def make_pp_dp_train_step(cfg, optimizer: optax.GradientTransformation,
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def init_finetune_params(esm_params: Params, head_params: Params,
+                         mesh: Mesh) -> Params:
+    """Finetune-through-PP trainable pytree: f32 backbone masters staged
+    and sharded over 'stage' (each chip holds 1/S of the masters AND of
+    the Adam moments initialised from them — the memory math that makes a
+    t48-class finetune fit), heads replicated."""
+    from ..train.finetune import init_params as _fp
+
+    masters = _fp(esm_params, {})["esm"]
+    n_stages = mesh.shape[STAGE_AXIS]
+    staged = shard_staged_params(mesh, stage_esm_params(masters, n_stages))
+    return {"esm": staged, "heads": head_params}
+
+
+def unstage_esm_params(staged: Params) -> Params:
+    """(S, L/S, ...) staged layer leaves back to the flat (L, ...) stack
+    (checkpoint/export view; inverse of stage_esm_params)."""
+    layers = jax.tree.map(
+        lambda x: jnp.reshape(x, (x.shape[0] * x.shape[1], *x.shape[2:])),
+        staged["layers"])
+    return {"embed": staged["embed"], "layers": layers,
+            "final_ln": staged["final_ln"]}
+
+
+def make_pp_finetune_step(cfg, optimizer: optax.GradientTransformation,
+                          mesh: Mesh, num_microbatches: int | None = None,
+                          loss_fn=None):
+    """UNFROZEN CLIP finetune with the backbone pipelined over 'stage' —
+    the t48_15B-class regime PP exists for (models/esm2.py:113-116),
+    closing VERDICT r4 #5 (the frozen-only restriction).
+
+    Differentiates THROUGH the GPipe tick scan: JAX reverses the ring
+    ``ppermute``s automatically, turning the forward fill/drain schedule
+    into the mirrored backward pipeline (cotangents ride the reversed
+    ring edges), and the VMA system transposes each replicated input's
+    implicit broadcast into a ``psum`` — so embed/final_ln/head grads
+    (computed on one stage, zeros elsewhere) arrive replicated without
+    hand-written collectives, while each stage keeps ONLY its own layer
+    slice's grads (out spec P('stage')). Activation memory: the scan
+    stores one (mb, T, H) ppermute carry per tick plus, with cfg.remat,
+    one activation per layer boundary (``jax.checkpoint`` per layer,
+    same policy as the single-device finetune) — the (B, nh, T, T)
+    scores never materialise (Pallas attention backward, fused path) or
+    recompute per layer (eager under TP).
+
+    Trainable pytree from ``init_finetune_params``: f32 masters staged
+    over 'stage' (optimizer moments inherit the placement — optimizer
+    runs OUTSIDE the shard_map, GSPMD keeps elementwise updates local),
+    one in-step bf16 cast inside the loss exactly as train/finetune.py.
+    Exact-gradient parity with the single-device two-pass gradcache
+    finetune: tests/test_pipeline.py::test_pp_finetune_step.
+    """
+    from ..train.clip_engine import default_loss_fn, expand_batch
+    from ..train.finetune import _cast_esm
+
+    loss_fn = loss_fn or default_loss_fn()
+    mcfg = cfg.model
+    n_stages = mesh.shape[STAGE_AXIS]
+    n_micro = num_microbatches or max(2 * n_stages, cfg.num_chunks)
+
+    def local_value_and_grad(trainable, batch, rng):
+        batch = expand_batch(batch)
+
+        def full_loss(tr):
+            staged = _cast_esm(tr["esm"], mcfg.esm.compute_dtype)
+
+            def enc(side, key):
+                ids, mask = batch[f"{side}_ids"], batch[f"{side}_mask"]
+                h = _pp_hidden_local(staged, _microbatched(ids, n_micro),
+                                     _microbatched(mask, n_micro), mcfg.esm,
+                                     n_stages, n_micro, remat=cfg.remat)
+                h = h.reshape(ids.shape[0], ids.shape[1], -1)
+                return clip.encode_side(tr["heads"], side,
+                                        h.astype(jnp.float32), mask, mcfg,
+                                        train=True, rng=key)
+
+            rp, rr = jax.random.split(rng)
+            return loss_fn(enc("pep", rp), enc("rec", rr))
+
+        return jax.value_and_grad(full_loss)(trainable)
+
+    tr_spec = {"esm": STAGED_SPEC, "heads": P()}
+    sharded = jax.shard_map(
+        local_value_and_grad, mesh=mesh,
+        in_specs=(tr_spec, P(), P()),
+        out_specs=(P(), tr_spec),
+        axis_names={STAGE_AXIS},
+    )
+
+    def step(trainable, opt_state, esm_params, batch, rng):
+        del esm_params  # the backbone lives inside trainable (staged)
+        loss, grads = sharded(trainable, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss
+
+    return jax.jit(step)

@@ -100,6 +100,11 @@ def fit(
     # with their mesh shardings before the step sees them
     prepare = (engine.make_prepare(cfg, tokenizer)
                if hasattr(engine, "make_prepare") else None)
+    # engines whose step-time params layout differs from the canonical
+    # checkpoint/eval layout (PP finetune: staged (S, L/S, ...) masters)
+    # expose export_view; exports, epoch hooks and the returned result get
+    # the canonical view, resume snapshots keep the raw step layout
+    export = getattr(engine, "export_view", lambda p: p)
 
     losses_path = run_dir / "losses_per_epoch.txt"
     metrics_path = run_dir / "metrics.jsonl"
@@ -167,7 +172,7 @@ def fit(
                 best_val = val_loss
                 best_params = params
                 if primary:
-                    ckpt.export_npz(model_path, best_params)
+                    ckpt.export_npz(model_path, export(best_params))
 
             dt = time.perf_counter() - t0
             if primary:
@@ -187,7 +192,7 @@ def fit(
                     "val_losses": jax.numpy.asarray(val_losses),
                 })
             if epoch_hook is not None and primary:
-                epoch_hook(epoch, best_params)
+                epoch_hook(epoch, export(best_params))
 
     test_loss = None
     if test_loader is not None:
@@ -196,5 +201,5 @@ def fit(
                                          prepare=prepare)
         log(f"Test Loss: {test_loss:.4f}")
 
-    return FitResult(train_losses, val_losses, best_val, best_params, params,
-                     test_loss)
+    return FitResult(train_losses, val_losses, best_val,
+                     export(best_params), export(params), test_loss)

@@ -146,3 +146,17 @@ def test_filip_mesh_rejects_odd_batch(workdir):
     from protein_clip_tpu.cli.main_2protein_filip import main
     with pytest.raises(SystemExit):
         main(TINY + FILIP_RUN + ["--dp", "8", "--batch-size", "10"])
+
+
+def test_clip_finetune_pp(workdir):
+    """--finetune --pp 2 (VERDICT r4 #5): the unfrozen backbone trains
+    THROUGH the pipeline (reversed-ppermute backward, staged f32 masters);
+    losses must match the single-device finetune, and the exported
+    checkpoint carries the canonical flat (L, ...) stack (the engine's
+    export_view unstages before train/loop.py writes the npz)."""
+    base = _losses(["--finetune"])
+    _assert_close(_losses(["--finetune", "--pp", "2"]), base)
+    run = sorted(Path("runs").iterdir())[-1]
+    ckpt = np.load(run / "best_model.npz")
+    key = next(k for k in ckpt.files if k.startswith("esm/layers/attn/q/w"))
+    assert ckpt[key].shape[0] == 2 and ckpt[key].ndim == 3  # (L, in, out)

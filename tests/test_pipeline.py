@@ -273,3 +273,58 @@ def test_pp_encode_quantized_backbone(tiny4, rng):
     got = pp.make_pp_encode(cfg, mesh, 2)(staged, ids, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pp_finetune_step_matches_single_device(tiny4, rng):
+    """UNFROZEN finetune THROUGH the pipeline (VERDICT r4 #5): gradients
+    flow backward through the GPipe tick scan (reversed ppermute ring),
+    each stage updates only its own f32 layer-slice masters, and the
+    result must match the single-device two-pass gradcache finetune
+    exactly. The PP side runs with remat=True (per-layer checkpoint) —
+    rematerialisation must not change values, so this also pins the
+    memory-bounded path's numerics. SGD: scale-sensitive probe."""
+    import optax
+
+    from protein_clip_tpu.train import finetune
+
+    mcfg, esm_params, params = tiny4
+    mcfg = clip.CLIPConfig(**{**mcfg.__dict__, "dropout": 0.0})
+    cfg_sd = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                      accumulated_batches=1, num_chunks=2,
+                                      remat=False)
+    cfg_pp = clip_engine.EngineConfig(model=mcfg, batch_size=8,
+                                      accumulated_batches=1, num_chunks=2,
+                                      remat=True)
+    optimizer = optax.sgd(5e-2)
+
+    single = finetune.make_train_step(cfg_sd, optimizer)
+    tr_sd = finetune.init_params(esm_params, params)
+    o_sd = optimizer.init(tr_sd)
+
+    mesh = pp.make_pp_mesh(4)
+    tr_pp = pp.init_finetune_params(esm_params, params, mesh)
+    o_pp = optimizer.init(tr_pp)
+    pp_step = pp.make_pp_finetune_step(cfg_pp, optimizer, mesh,
+                                       num_microbatches=4)
+
+    ids_p, mask_p = _ids(rng, 8, 12)
+    ids_r, mask_r = _ids(rng, 8, 12)
+    batch = {"pep_ids": ids_p, "pep_mask": mask_p,
+             "rec_ids": ids_r, "rec_mask": mask_r}
+
+    for i in range(2):
+        key = jax.random.key(7 + i)
+        tr_pp, o_pp, loss_pp = pp_step(tr_pp, o_pp, {}, batch, key)
+        tr_sd, o_sd, loss_sd = single(tr_sd, o_sd, {}, batch, key)
+        np.testing.assert_allclose(float(loss_pp), float(loss_sd),
+                                   rtol=1e-5)
+
+    got = {"esm": pp.unstage_esm_params(tr_pp["esm"]),
+           "heads": tr_pp["heads"]}
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(got),
+            jax.tree_util.tree_leaves_with_path(tr_sd)):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(pa))
