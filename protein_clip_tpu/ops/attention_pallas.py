@@ -125,6 +125,45 @@ def _kernel(s_ref, sc_ref, q_ref, k_ref, v_ref, o_ref, *, dh: int,
             vh, p, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
+    if q_block == T and _os.environ.get("PCT_ATTN_SWPIPE") == "1":
+        # Software-pipelined (r, h) loop: issue iteration i+1's score
+        # matmul BEFORE iteration i's softmax so the asynchronous MXU
+        # works through the next K=32 contraction while the VPU runs the
+        # f32 mask/max/exp/sum chain on the previous (T, T) tile. The
+        # program-order dependence s -> softmax(s) -> pv(s) otherwise
+        # serialises MXU and VPU: the per-program-cost fit
+        # (tools/attn_program_cost.py) measured per-call time =~ MXU time
+        # + VPU time (sum, not max), i.e. zero overlap. Costs one extra
+        # live (T, T) f32 score tile of VMEM. A/B on the bench: PERF.md.
+        def mk_s(r, lo):
+            s = jax.lax.dot_general(
+                q_ref[r, lo:lo + dh, :], k_ref[r, lo:lo + dh, :],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            seg_row = s_ref[r]
+            return jnp.where((sc_ref[r] == seg_row) & (seg_row > 0),
+                             s, _NEG)
+
+        def finish(r, lo, s):
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v_ref.dtype)
+            ctx = jax.lax.dot_general(
+                v_ref[r, lo:lo + dh, :], p,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[r, lo:lo + dh, :] = ctx.astype(o_ref.dtype)
+
+        pairs = [(r, h * dh) for r in range(q_ref.shape[0])
+                 for h in range(lanes // dh)]
+        prev, s_prev = pairs[0], mk_s(*pairs[0])
+        for pr in pairs[1:]:
+            s_cur = mk_s(*pr)
+            finish(*prev, s_prev)
+            prev, s_prev = pr, s_cur
+        finish(*prev, s_prev)
+        return
+
     for r in range(q_ref.shape[0]):
         seg_row = s_ref[r]                       # (1, T) int32
         key_ok = seg_row > 0
@@ -186,10 +225,20 @@ def _attention_call(q, k, v, segments):
     B, T, NH, DH = q.shape
     lanes = NH * DH
     group = _GROUP_LANES if lanes % _GROUP_LANES == 0 else lanes
+    # PCT_ATTN_GROUP_LANES: experiment knob — lanes one program handles
+    # (must divide NH*DH, 128-multiple). group=lanes turns the grid 1D
+    # (whole rows per program, fewer programs at the same VMEM when R
+    # shrinks to match). Measured on the bench: see docs/PERF.md
+    # (program-count A/B, round 5).
+    gov = _os.environ.get("PCT_ATTN_GROUP_LANES")
+    if gov and lanes % int(gov) == 0 and int(gov) % 128 == 0:
+        group = int(gov)
     n_groups = lanes // group
     q_block = _choose_q_block(T)
 
-    rpp = _choose_rows_per_program(B, T, q.dtype.itemsize)
+    rpp = _choose_rows_per_program(B, T, q.dtype.itemsize,
+                                   budget_divisor=group // _GROUP_LANES
+                                   if group % _GROUP_LANES == 0 else 1)
     q3 = q.reshape(B, T, lanes).swapaxes(1, 2)  # (B, lanes, T)
     k3 = k.reshape(B, T, lanes).swapaxes(1, 2)
     v3 = v.reshape(B, T, lanes).swapaxes(1, 2)
