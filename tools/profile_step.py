@@ -80,14 +80,16 @@ def capture_filip(out_dir: Path, n_steps: int) -> None:
     optimizer = opt_mod.adam(cfg.learning_rate)
     step = filip_engine.make_train_step(cfg, optimizer)
 
+    from bench import _rec_len  # honors PCT_BENCH_PROFILE=longtail
+
     rng = np.random.default_rng(42)
     aas = list("LAGVSERTIDPKQNFYMHWC")
     tok = EsmTokenizer()
     batches = []
     for _ in range(n_steps + 1):
-        peps = ["".join(rng.choice(aas, rng.integers(100, 500)))
+        peps = ["".join(rng.choice(aas, _rec_len(rng)))
                 for _ in range(cfg.batch_size)]
-        recs = ["".join(rng.choice(aas, rng.integers(100, 500)))
+        recs = ["".join(rng.choice(aas, _rec_len(rng)))
                 for _ in range(cfg.batch_size)]
         batches.append(tokenize_packed(tok, peps, recs, scatter_tiers=sct))
     _trace_steps(out_dir, step, params, optimizer.init(params), esm_params,
