@@ -91,7 +91,10 @@ def capture_filip(out_dir: Path, n_steps: int) -> None:
                 for _ in range(cfg.batch_size)]
         recs = ["".join(rng.choice(aas, _rec_len(rng)))
                 for _ in range(cfg.batch_size)]
-        batches.append(tokenize_packed(tok, peps, recs, scatter_tiers=sct))
+        batches.append(tokenize_packed(
+            tok, peps, recs,
+            tiers=int(os.environ.get("PCT_PACK_TIERS", "1")),
+            scatter_tiers=sct))
     _trace_steps(out_dir, step, params, optimizer.init(params), esm_params,
                  batches)
 
