@@ -17,8 +17,10 @@ shipped (ids+seg+pos+owner as int32).
 Row lengths default to the batch's own max sequence (rounded up to a
 multiple of 128, capped at MAX_ROW_LEN=2048) so 2000-residue chains — the
 reference's ingest cap, /root/reference/modules/data_utils_2protein.py:88 —
-pack without truncation. Row counts are rounded to a multiple of 16, so
-compiled shapes repeat across batches like the length-group compositions.
+pack without truncation. Row counts are rounded so compiled shapes repeat
+across batches like the length-group compositions; the multiple scales
+down with row width (constant 8192-slot quantum, _row_multiple_for) so
+wide long-tail tiers don't drown in 16-row minimums.
 """
 
 from __future__ import annotations
@@ -70,6 +72,111 @@ def _tier_widths(row_len: int, n: int = 4) -> list[int]:
                    for q in range(1, n + 1)} | {row_len})
 
 
+# Per-slot backbone cost at row width w is ~(w + 3H): each layer spends
+# ~12H^2 FLOPs on linear/FFN per slot and ~4wH on attention, so the ratio
+# is 3H. 1920 = 3*640 (t30). The chosen width set only trades attention
+# savings against fill loss, so the optimum is flat in this constant —
+# t33/t48 land on the same 128-multiple boundaries for the length
+# profiles measured in docs/PERF.md.
+_TIER_COST_GAMMA = 1920
+
+
+def _row_multiple_for(w: int) -> int:
+    """Row-count rounding for a pack of width w: constant SLOT quantum.
+
+    16 rows was tuned at the 512-wide standard profile (8192 slots); at
+    2048-wide rows the same 16-row quantum is 32k slots — on the longtail
+    profile it rounded a 20-row long tier up to 32 and erased the tier
+    split's win entirely (the DP in _tier_widths_data correctly refused to
+    split). Halving the multiple as width doubles keeps the quantum (and
+    the compiled-shape reuse it buys) constant: 512->16, 1024->8, 2048->4.
+    """
+    m = 16
+    while m > 4 and m * w > 16 * 512:
+        m //= 2
+    return m
+
+
+def _ffd_rows(lens: list[int], w: int) -> int:
+    """Row count first-fit-decreasing packing would use at width w
+    (mirrors pack_sequences so the tier-width DP prices real fill)."""
+    free: list[int] = []
+    for L in sorted(lens, reverse=True):
+        for i, f in enumerate(free):
+            if f >= L:
+                free[i] = f - L
+                break
+        else:
+            free.append(w - L)
+    return len(free)
+
+
+def _tier_widths_data(lens: list[int], row_len: int, n: int) -> list[int]:
+    """Data-aware tier widths: <=n 128-multiple boundaries minimizing the
+    modeled backbone cost sum_t rows_t(w) * w * (w + 3H).
+
+    The even splits of ``_tier_widths`` lose on skewed length mixes: on the
+    longtail profile (90% short / 10% near-cap) they spread the sparse long
+    tail across two 16-row-minimum tiers at 0.24-0.55 fill, so total row
+    capacity GREW 65k -> 90k slots/side and the extra FFN/linear work
+    cancelled the attention savings (traced: 577 vs 621 ms/step attention,
+    a wash end-to-end — docs/PERF.md). This DP prices each candidate tier
+    by the rows FFD would actually use (rounded to the 16-row multiple the
+    packer pads to), so boundaries land where the data is: bimodal lengths
+    get [short-bucket, row_len] instead of even quarters.
+
+    Exact DP: buckets between consecutive 128-multiples, best[j][k] = min
+    cost covering buckets <=j with k tiers (tier widths are candidate
+    values; a sequence rides the narrowest chosen width that fits it).
+    O(n * cands^2) with cands <= 17 — host-side noise per batch.
+    """
+    cands = sorted({min(row_len, w)
+                    for w in range(128, row_len + 127, 128)} | {row_len})
+    buckets: list[list[int]] = [[] for _ in cands]
+    lo = 0
+    for j, c in enumerate(cands):
+        buckets[j] = [L for L in lens if lo < L <= c]
+        lo = c
+    last = max((j for j, b in enumerate(buckets) if b), default=0)
+    cands = cands[: last + 1]
+    buckets = buckets[: last + 1]
+    m = len(cands)
+
+    def tier_cost(a: int, b: int) -> float:
+        members = [L for bk in buckets[a: b + 1] for L in bk]
+        if not members:
+            return 0.0
+        w = cands[b]
+        mult = _row_multiple_for(w)
+        rows = -(-_ffd_rows(members, w) // mult) * mult
+        return float(rows) * w * (w + _TIER_COST_GAMMA)
+
+    INF = float("inf")
+    best = [[INF] * (n + 1) for _ in range(m)]
+    pick: dict[tuple[int, int], int] = {}
+    for b in range(m):
+        for k in range(1, n + 1):
+            c_full = tier_cost(0, b)
+            if c_full < best[b][k]:
+                best[b][k] = c_full
+                pick[(b, k)] = -1
+            if k > 1:
+                for a in range(b):
+                    c = best[a][k - 1] + tier_cost(a + 1, b)
+                    if c < best[b][k]:
+                        best[b][k] = c
+                        pick[(b, k)] = a
+    widths = []
+    b, k = m - 1, n
+    while b >= 0:
+        a = pick[(b, k)]
+        widths.append(cands[b])
+        if a < 0:
+            break
+        b, k = a, k - 1
+    return sorted(set(widths))
+
+
 def scan_order_operm(packed, idx: np.ndarray) -> np.ndarray:
     """Owner permutation: idx entry of each segment in row-major (row,
     segment) scan order — the one map the device-side derivation
@@ -84,17 +191,45 @@ def scan_order_operm(packed, idx: np.ndarray) -> np.ndarray:
 
 def _pack_one(encs: list[np.ndarray], idx: np.ndarray, row_len: int
               ) -> dict[str, jnp.ndarray]:
-    """Pack one group; operm maps scan-order segments to GLOBAL indices."""
-    packed = pack_sequences(encs, row_len, row_multiple=16)
-    return {"ids": jnp.asarray(packed.ids.astype(np.int8)),
-            "operm": jnp.asarray(scan_order_operm(packed, idx))}
+    """Pack one group; operm maps scan-order segments to GLOBAL indices.
+
+    Returns HOST (NumPy) arrays — jnp conversion happens once at wire emit
+    time. Round-tripping a device array back through np.asarray inside the
+    packer costs seconds per batch over the lazy axon tunnel (~0.3 MB/s
+    host<->device; CLAUDE.md gotchas)."""
+    packed = pack_sequences(encs, row_len,
+                            row_multiple=_row_multiple_for(row_len))
+    return {"ids": packed.ids.astype(np.int8),
+            "operm": scan_order_operm(packed, idx)}
+
+
+# First data-aware width choice per (side, row_len, tiers), reused for
+# the rest of the process so compiled shapes repeat across batches.
+_STICKY_TIER_WIDTHS: dict[tuple[str, int, int], list[int]] = {}
+# High-water row / operm counts per (side, row_len, tiers, width): tier
+# compositions jitter batch-to-batch, and every distinct batch pytree
+# signature is a fresh full-step XLA compile (30-210 s). Ratcheting each
+# tier's row count and operm length up to the process maximum (padding
+# with all-<pad> rows / sentinel operm slots, both proven inert) converges
+# the signature after a few batches instead of never.
+_STICKY_TIER_ROWS: dict[tuple[str, int, int, int], int] = {}
+_STICKY_TIER_OPERM: dict[tuple[str, int, int, int], int] = {}
+
+
+def clear_tier_width_cache() -> None:
+    """Forget sticky data-aware tier widths (tests; corpus switches)."""
+    _STICKY_TIER_WIDTHS.clear()
+    _STICKY_TIER_ROWS.clear()
+    _STICKY_TIER_OPERM.clear()
 
 
 def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
                     recs: list[str], pep_row_len: int | None = None,
                     rec_row_len: int | None = None,
                     tiers: int = 1,
-                    scatter_tiers: int = 1) -> dict[str, jnp.ndarray]:
+                    scatter_tiers: int = 1,
+                    tier_widths: list[int] | None = None
+                    ) -> dict[str, jnp.ndarray]:
     """Pack both sides into a compact device batch.
 
     Row lengths derive from each side's longest tokenized sequence (multiple
@@ -126,7 +261,17 @@ def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
     for side, seqs, explicit in (("pep", peps, pep_row_len),
                                  ("rec", recs, rec_row_len)):
         encs = [tokenizer.encode(s) for s in seqs]
-        row_len = _row_len_for(max(len(e) for e in encs), explicit)
+        max_len = max(len(e) for e in encs)
+        tiered = tier_widths is not None or tiers > 1
+        # Tiered mode caps at MAX_ROW_LEN (or the explicit length) instead
+        # of the batch max: the batch max jitters across batches, and a
+        # jittering cap both breaks the sticky-width key and re-derives
+        # different tier boundaries per batch (each a full step recompile).
+        # The DP ignores candidate widths above the data anyway, so the
+        # fixed cap costs nothing on narrow batches.
+        row_len = (explicit if tiered and explicit is not None
+                   else MAX_ROW_LEN if tiered
+                   else _row_len_for(max_len, explicit))
         clamped = 0
         for j, e in enumerate(encs):
             if len(e) > row_len:  # keep eos, like the bucket clamp
@@ -136,18 +281,82 @@ def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
             warnings.warn(
                 f"tokenize_packed: {clamped} {side} sequence(s) longer than "
                 f"row_len={row_len} were truncated (eos kept)", stacklevel=2)
-        widths = _tier_widths(row_len, tiers) if tiers > 1 else [row_len]
+        if tier_widths is not None:
+            # Explicit widths: deterministic multi-tier wire (tests) and
+            # production shape pinning when the length distribution is
+            # known. Widths beyond the cap are dropped; a top width is
+            # added only when the given ones don't cover the batch (so
+            # pinned shapes stay pinned on narrow batches).
+            widths = sorted({w for w in tier_widths if w <= row_len})
+            if not widths or widths[-1] < max_len:
+                widths.append(min(row_len, -(-max_len // 128) * 128))
+        elif tiers > 1:
+            # Data-aware boundaries: the even splits of _tier_widths lose
+            # on skewed length mixes (docs/PERF.md longtail trace). STICKY
+            # per process: the first batch's DP choice is reused for every
+            # later batch with the same (side, row_len, tiers) — per-batch
+            # re-optimization would change the compiled shapes every step
+            # (a fresh 30-210s XLA compile per batch; the first data-aware
+            # bench run timed out exactly this way). Any width set is
+            # exact — only the packing efficiency depends on it — and
+            # batches drawn from one corpus share a length distribution,
+            # so the first batch's boundaries transfer.
+            key = (side, row_len, tiers)
+            widths = _STICKY_TIER_WIDTHS.get(key)
+            if widths is None or max_len > widths[-1]:
+                # (re)derive — the ratchet case (a later batch outgrowing
+                # the sticky top width) re-runs the DP once and re-pins
+                widths = _tier_widths_data([len(e) for e in encs],
+                                           row_len, tiers)
+                _STICKY_TIER_WIDTHS[key] = widths
+        else:
+            widths = [row_len]
         groups: dict[int, list] = {w: [] for w in widths}
         gidx: dict[int, list] = {w: [] for w in widths}
         for j, e in enumerate(encs):
             w = next(w for w in widths if len(e) <= w)
             groups[w].append(e)
             gidx[w].append(j)
-        packs = [_pack_one(groups[w], np.asarray(gidx[w], np.int32), w)
-                 for w in widths if groups[w]]
-        if len(packs) == 1:
-            out[f"{side}_ids"] = packs[0]["ids"]
-            out[f"{side}_operm"] = packs[0]["operm"]
+        # Spill-to-wider: once a tier's row count is pinned (first batch),
+        # later batches whose group overflows that capacity move the
+        # overflow UP to the next wider tier instead of growing the tier —
+        # wider rows always fit, correctness is untouched (owner maps are
+        # global), and the compiled shapes stay frozen. Only the TOP tier
+        # can genuinely grow (rare: it's the near-cap tail).
+        for i, w in enumerate(widths[:-1]):
+            cap = _STICKY_TIER_ROWS.get((side, row_len, tiers, w))
+            if cap is None or not groups[w]:
+                continue
+            order = sorted(range(len(groups[w])),
+                           key=lambda k: -len(groups[w][k]))
+            free = [w] * cap
+            keep, spill = [], []
+            for k in order:
+                L = len(groups[w][k])
+                for r in range(cap):
+                    if free[r] >= L:
+                        free[r] -= L
+                        keep.append(k)
+                        break
+                else:
+                    spill.append(k)
+            if spill:
+                wn = widths[i + 1]
+                groups[wn] += [groups[w][k] for k in spill]
+                gidx[wn] += [gidx[w][k] for k in spill]
+                keep = sorted(keep)
+                groups[w] = [groups[w][k] for k in keep]
+                gidx[w] = [gidx[w][k] for k in keep]
+        # Arity follows the WIDTH SET, not this batch's occupancy: a batch
+        # that happens to fill one tier of a multi-width set still ships
+        # the multi-tier wire (placeholder packs), because flipping between
+        # flat and tiered pytree structures is a step recompile.
+        if len(widths) == 1:
+            pk = _pack_one(groups[widths[0]],
+                           np.asarray(gidx[widths[0]], np.int32),
+                           widths[0])
+            out[f"{side}_ids"] = jnp.asarray(pk["ids"])
+            out[f"{side}_operm"] = jnp.asarray(pk["operm"])
             if scatter_tiers > 1:
                 # narrowest fitting tier per sequence
                 swidths = _tier_widths(row_len, scatter_tiers)
@@ -166,14 +375,56 @@ def tokenize_packed(tokenizer: EsmTokenizer, peps: list[str],
                     pad = (-len(g)) % 8
                     return np.asarray(g + [n_seqs] * pad, np.int32)
 
+                # every width emits a tier — an empty one is 8 sentinel
+                # slots (all-masked phantom rows in the assembly) — so the
+                # stiers tuple ARITY never changes batch-to-batch: an
+                # arity flip is a new pytree structure and a full step
+                # recompile
                 out[f"{side}_stiers"] = tuple(
                     {"operm": jnp.asarray(_padded(sgroups[w])),
                      # width marker: the only static channel a jit'd pytree
                      # leaf offers is its SHAPE
                      "wmark": jnp.zeros((w,), jnp.int8)}
-                    for w in swidths if sgroups[w])
+                    for w in swidths)
         else:
-            out[f"{side}_packs"] = tuple(packs)
+            # Multi-tier wire. Shape-stability rules (each distinct batch
+            # pytree signature costs a full 30-210s XLA step compile):
+            # every width emits a pack even when this batch left it empty
+            # (placeholder all-<pad> rows encode to zeros and pool/scatter
+            # to the dump slot), and tier operms pad to a multiple of 8
+            # with the out-of-range sentinel n_total. The REAL sequence
+            # count rides the shape-only ``nmark`` marker so
+            # packed_side_count stays static under jit.
+            n_total = len(encs)
+            tier_packs = []
+            for w in widths:
+                if groups[w]:
+                    pk = _pack_one(groups[w], np.asarray(gidx[w], np.int32),
+                                   w)
+                    op = pk["operm"]
+                    ids_t = pk["ids"]
+                else:
+                    op = np.zeros((0,), np.int32)
+                    ids_t = np.full((_row_multiple_for(w), w), PAD_ID,
+                                    np.int8)
+                rkey = (side, row_len, tiers, w)
+                rows = max(ids_t.shape[0], _STICKY_TIER_ROWS.get(rkey, 0))
+                _STICKY_TIER_ROWS[rkey] = rows
+                if rows > ids_t.shape[0]:
+                    ids_t = np.concatenate(
+                        [ids_t, np.full((rows - ids_t.shape[0], w), PAD_ID,
+                                        np.int8)])
+                n_op = max(-(-op.shape[0] // 8) * 8, 8,
+                           _STICKY_TIER_OPERM.get(rkey, 0))
+                _STICKY_TIER_OPERM[rkey] = n_op
+                if n_op > op.shape[0]:
+                    op = np.concatenate(
+                        [op, np.full((n_op - op.shape[0],), n_total,
+                                     np.int32)])
+                tier_packs.append(
+                    {"ids": jnp.asarray(ids_t), "operm": jnp.asarray(op),
+                     "nmark": jnp.zeros((len(gidx[w]),), jnp.int8)})
+            out[f"{side}_packs"] = tuple(tier_packs)
     return out
 
 
@@ -216,7 +467,7 @@ def tokenize_packed_rows(tokenizer: EsmTokenizer, seqs: list[str],
         warnings.warn(
             f"tokenize_packed_rows: {clamped} sequence(s) longer than "
             f"row_len={rl} were truncated (eos kept)", stacklevel=2)
-    packed = pack_sequences(encs, rl, row_multiple=16)
+    packed = pack_sequences(encs, rl, row_multiple=_row_multiple_for(rl))
     return jnp.asarray(packed.ids.astype(np.int8))
 
 
@@ -288,9 +539,15 @@ def _expand_pack(ids8: jnp.ndarray, operm: jnp.ndarray,
 
 
 def packed_side_count(batch, side: str) -> int:
-    """Number of sequences a packed wire batch carries for one side."""
+    """Number of sequences a packed wire batch carries for one side.
+
+    Tier packs pad their operm to a shape-stable multiple of 8, so the
+    REAL count rides the ``nmark`` shape marker; flat packs carry an
+    exact operm. Shape-only either way — safe at jit trace time."""
     if f"{side}_packs" in batch:
-        return sum(p["operm"].shape[0] for p in batch[f"{side}_packs"])
+        return sum(p["nmark"].shape[0] if "nmark" in p
+                   else p["operm"].shape[0]
+                   for p in batch[f"{side}_packs"])
     return batch[f"{side}_operm"].shape[0]
 
 
@@ -315,7 +572,9 @@ def expand_packed_batch(batch: dict[str, jnp.ndarray]
         n_seqs = packed_side_count(batch, side)
         if f"{side}_packs" in batch:
             out[f"{side}_packs"] = tuple(
-                _expand_pack(p["ids"], p["operm"], n_seqs)
+                ({**_expand_pack(p["ids"], p["operm"], n_seqs),
+                  "nmark": p["nmark"]} if "nmark" in p
+                 else _expand_pack(p["ids"], p["operm"], n_seqs))
                 for p in batch[f"{side}_packs"])
         else:
             e = _expand_pack(batch[f"{side}_ids"], batch[f"{side}_operm"],

@@ -282,7 +282,8 @@ def test_filip_tiered_packed_step_matches_plain(rng):
 
     packed_step = make_train_step_packed_filip(cfg, optimizer,
                                                rows_per_chunk=2)
-    pb = tokenize_packed(tok, peps, recs, rec_row_len=256, tiers=4)
+    pb = tokenize_packed(tok, peps, recs, rec_row_len=256,
+                         tier_widths=[128, 256])
     assert "rec_packs" in pb
     p2, _, l2 = packed_step(params, opt0, esm_params, pb, jax.random.key(2))
 

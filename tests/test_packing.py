@@ -177,14 +177,17 @@ def test_tiered_packed_wire_intact(rng):
 
     tok = EsmTokenizer()
     aas = list("LAGVSERTIDPKQNFYMHWC")
-    peps = _sequences(rng, 8, lo=5, hi=15)
-    # Explicit lengths that straddle the tier widths: the shared session rng
-    # stream shifts with test selection (smoke vs full), and a random draw
-    # that lands in one tier makes the rec_packs assert order-dependent.
-    rec_lens = [12, 30, 58, 100, 140, 190, 230, 248]
+    # A longtail mix the width DP genuinely splits (many shorts + a sparse
+    # near-cap tail): narrow profiles now correctly collapse to ONE flat
+    # tier (_tier_widths_data prices real fill, and 16-row minimums beat
+    # any split below ~512-wide rows), so multi-tier asserts need skew.
+    rec_lens = [100] * 48 + [1950] * 8
+    peps = _sequences(rng, len(rec_lens), lo=5, hi=15)
     recs = ["".join(rng.choice(aas, L)) for L in rec_lens]
-    batch = tokenize_packed(tok, peps, recs, rec_row_len=256, tiers=4)
-    assert "rec_packs" in batch  # lengths straddle the 128/256 tier split
+    from protein_clip_tpu.train.packed_engine import clear_tier_width_cache
+    clear_tier_width_cache()  # widths are sticky per process
+    batch = tokenize_packed(tok, peps, recs, tiers=4)
+    assert "rec_packs" in batch  # the 100aa bulk rides a narrow tier
     widths = {p["ids"].shape[1] for p in batch["rec_packs"]}
     assert len(widths) > 1
     expanded = jax.jit(expand_packed_batch)(batch)
@@ -228,7 +231,10 @@ def test_tiered_packed_step_matches_flat(rng):
     flat = tokenize_packed(tok, peps, recs, rec_row_len=256)
     p1, _, l1 = step(params, opt0, esm_params, flat, jax.random.key(2))
 
-    tiered = tokenize_packed(tok, peps, recs, rec_row_len=256, tiers=4)
+    # explicit widths: the data-aware DP correctly refuses to split 8
+    # narrow sequences, and parity must hold on the multi-tier wire
+    tiered = tokenize_packed(tok, peps, recs, rec_row_len=256,
+                             tier_widths=[128, 256])
     assert "rec_packs" in tiered
     p2, _, l2 = step(params, opt0, esm_params, tiered, jax.random.key(2))
 
@@ -317,14 +323,25 @@ def test_tier_count_honored(rng):
     assert _tier_widths(2048, 4) == [512, 1024, 1536, 2048]
     assert len(_tier_widths(2048, 8)) <= 8
 
+    from protein_clip_tpu.train.packed_engine import _tier_widths_data
+    lens = [100] * 48 + [1950] * 8
+    assert len(_tier_widths_data(lens, 2048, 2)) <= 2
+    assert len(_tier_widths_data(lens, 2048, 4)) <= 4
+    assert _tier_widths_data(lens, 2048, 4)[-1] >= 1950
+
     tok = EsmTokenizer()
     aas = list("LAGVSERTIDPKQNFYMHWC")
-    peps = _sequences(rng, 8, lo=5, hi=15)
-    recs = ["".join(rng.choice(aas, L))
-            for L in (30, 120, 250, 380, 30, 120, 250, 380)]
-    b2 = tokenize_packed(tok, peps, recs, rec_row_len=512, tiers=2)
-    assert len(b2["rec_packs"]) <= 2
-    s2 = tokenize_packed(tok, peps, recs, rec_row_len=512, scatter_tiers=2)
+    rec_lens = [100] * 48 + [1950] * 8
+    peps = _sequences(rng, len(rec_lens), lo=5, hi=15)
+    recs = ["".join(rng.choice(aas, L)) for L in rec_lens]
+    from protein_clip_tpu.train.packed_engine import clear_tier_width_cache
+    clear_tier_width_cache()
+    b2 = tokenize_packed(tok, peps, recs, tiers=2)
+    assert len(b2.get("rec_packs", ("flat",))) <= 2
+    srecs = ["".join(rng.choice(aas, L))
+             for L in (30, 120, 250, 380, 30, 120, 250, 380)]
+    s2 = tokenize_packed(tok, peps[:8], srecs, rec_row_len=512,
+                         scatter_tiers=2)
     assert len(s2["rec_stiers"]) <= 2
     widths2 = [t["wmark"].shape[0] for t in s2["rec_stiers"]]
     assert set(widths2) <= {256, 512}

@@ -227,9 +227,8 @@ def test_pp_packed_rejects_tiered_packs(tiny4, rng):
             for i in range(8)]
     recs = ["".join(np.random.default_rng(99 + i).choice(aas, 100 + 200 * (i % 2)))
             for i in range(8)]
-    batch = tokenize_packed(EsmTokenizer(), peps, recs, tiers=4)
-    if "pep_packs" not in batch and "rec_packs" not in batch:
-        pytest.skip("corpus did not produce multiple tiers")
+    batch = tokenize_packed(EsmTokenizer(), peps, recs, tier_widths=[128])
+    assert "pep_packs" in batch or "rec_packs" in batch
     with pytest.raises(ValueError, match="flat packs"):
         step(params, optimizer.init(params), staged, batch,
              jax.random.key(0))
