@@ -18,8 +18,13 @@ outgrow one chip even in bf16. The schedule:
   bound); carried state is ONE microbatch activation per stage.
 - The last stage applies the final LayerNorm; outputs broadcast to all
   stages with a masked ``psum`` so the trainable heads + InfoNCE run
-  replicated (they are <1% of the FLOPs; in a production topology 'stage'
-  composes with a 'data' axis for the heads).
+  replicated. The duplication stays noise even at the t48 shapes PP
+  exists for: per global batch 256 at T=2048 the heads cost ~0.7 TFLOP
+  (projection B*T*H*P dominates, H=5120, P=128) and the (B,B) InfoNCE
+  ~0.02 GFLOP, vs ~8e3 TFLOP for the 48-layer backbone forward — 0.009%,
+  and the loss term only reaches ~2 GFLOP at global batch 4096 (B^2*P
+  growth). Replication costs S copies of ~0.01%; in a production
+  topology 'stage' composes with a 'data' axis for the heads anyway.
 
 The frozen-backbone regime (train/gradcache.py) makes this forward-only
 pipeline a complete training schedule: gradients stop at the backbone
